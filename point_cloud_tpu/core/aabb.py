@@ -1,0 +1,77 @@
+"""Axis-aligned bounding boxes (float32).
+
+Capability parity with the reference's ``bounding-volume`` crate
+(reference: bounding-volume/src/lib.rs:5-53), re-designed for batches: the
+reference folds an iterator point-by-point; here AABBs come from vectorized
+min/max reductions (order-independent, bit-identical for min/max).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _zero3() -> np.ndarray:
+    return np.zeros(3, dtype=np.float32)
+
+
+@dataclass
+class Aabb:
+    min: np.ndarray = field(default_factory=_zero3)
+    max: np.ndarray = field(default_factory=_zero3)
+
+    def __post_init__(self) -> None:
+        self.min = np.asarray(self.min, dtype=np.float32).copy()
+        self.max = np.asarray(self.max, dtype=np.float32).copy()
+
+    def center(self) -> np.ndarray:
+        return (self.min + self.max) / np.float32(2.0)
+
+    def extends(self) -> np.ndarray:
+        return (self.max - self.min) / np.float32(2.0)
+
+    def extend(self, point: np.ndarray) -> None:
+        point = np.asarray(point, dtype=np.float32)
+        self.min = np.minimum(self.min, point)
+        self.max = np.maximum(self.max, point)
+
+    def extend_aabb(self, other: "Aabb") -> None:
+        self.min = np.minimum(self.min, other.min)
+        self.max = np.maximum(self.max, other.max)
+
+    def clamp(self, min_v: np.ndarray, max_v: np.ndarray) -> None:
+        self.min = np.maximum(self.min, np.asarray(min_v, dtype=np.float32))
+        self.max = np.minimum(self.max, np.asarray(max_v, dtype=np.float32))
+
+    def copy(self) -> "Aabb":
+        return Aabb(self.min, self.max)
+
+    @staticmethod
+    def from_points(points: np.ndarray) -> "Aabb | None":
+        """AABB of an ``(N, 3)`` array; ``None`` when empty (lib.rs:38-52)."""
+        points = np.asarray(points, dtype=np.float32)
+        if points.shape[0] == 0:
+            return None
+        return Aabb(points.min(axis=0), points.max(axis=0))
+
+    def to_json(self) -> dict:
+        from .json_compat import F32
+
+        return {
+            "min": [F32(v) for v in self.min],
+            "max": [F32(v) for v in self.max],
+        }
+
+    @staticmethod
+    def from_json(data: dict) -> "Aabb":
+        return Aabb(np.asarray(data["min"], dtype=np.float32),
+                    np.asarray(data["max"], dtype=np.float32))
+
+
+def jax_points_aabb(points):
+    """Device-side AABB of an ``(N, 3)`` batch: fused min/max reduction."""
+    import jax.numpy as jnp
+
+    return jnp.min(points, axis=0), jnp.max(points, axis=0)

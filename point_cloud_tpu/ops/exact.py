@@ -1,0 +1,123 @@
+"""Correctly-rounded float32 arithmetic on TPU.
+
+The TPU VPU's f32 divide is reciprocal-based and returns results 1-2 ulp off
+the IEEE correctly-rounded quotient for ~10% of operands (measured on v5e).
+Add/sub/mul are exact. The hex-grid quantization and cell indexing used by
+the converter (core/hex.py, core/metadata.py) are defined in terms of IEEE
+f32 semantics — the same semantics the reference's Rust/CPU build gets for
+free — so the device pipeline needs a correctly-rounded division.
+
+``exact_div`` reconstructs the correctly-rounded quotient from the hardware
+estimate:
+
+1. normalize both operands to [1, 2) by exact power-of-two scaling (TPU
+   flushes subnormals to zero, which would corrupt Veltkamp splitting for
+   small operands — normalization keeps every intermediate comfortably
+   normal),
+2. evaluate the hardware quotient's ulp-neighbourhood and pick the candidate
+   whose exact residual ``a - q*b`` (Dekker two-product, exact mul/add only)
+   is smallest, ties to even,
+3. scale back by the exact power of two.
+
+All operations are exact f32 ops, so the result is deterministic and matches
+IEEE round-to-nearest-even on every backend. Inputs with zero/subnormal/
+non-finite operands or out-of-range scaling fall back to the hardware
+quotient (the converter never produces them).
+
+Cost: ~70 VPU flops per division — irrelevant for the memory-bound
+quantization pass (HBM bandwidth saturates long before the VPU does).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_SPLIT = 4097.0  # Veltkamp constant for f32: 2^12 + 1
+_EXP_MASK = 0x7F800000
+_MANT_SIGN_MASK = -2139095041  # ~_EXP_MASK as int32 (sign + mantissa bits)
+
+
+def _two_prod(a, b):
+    """Exact product: returns (p, e) with a*b == p + e exactly.
+
+    Dekker/Veltkamp two-product using only exact f32 mul/add/sub (no FMA).
+    Operands must be far from overflow/underflow; callers normalize.
+    """
+    p = a * b
+    ta = a * jnp.float32(_SPLIT)
+    ahi = ta - (ta - a)
+    alo = a - ahi
+    tb = b * jnp.float32(_SPLIT)
+    bhi = tb - (tb - b)
+    blo = b - bhi
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+def _exponent_field(x):
+    """Biased exponent bits of f32 values."""
+    return (x.view(jnp.int32) >> 23) & 0xFF
+
+
+def _with_exponent_one(x):
+    """Replace the exponent field so |x| lands in [1, 2) (exact)."""
+    bits = x.view(jnp.int32)
+    return ((bits & jnp.int32(_MANT_SIGN_MASK)) | jnp.int32(127 << 23)).view(
+        jnp.float32
+    )
+
+
+def _pow2(k):
+    """Exact 2**k as f32 for k in [-126, 127]."""
+    return ((k + 127) << 23).view(jnp.float32)
+
+
+def exact_div(a, b):
+    """Correctly-rounded IEEE-754 f32 division ``a / b`` (elementwise)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    q0 = a / b
+
+    ea = _exponent_field(a)
+    eb = _exponent_field(b)
+    an = _with_exponent_one(a)  # a = an * 2^(ea-127)
+    bn = _with_exponent_one(b)
+    qn0 = an / bn  # in (0.5, 2): safe for splitting
+
+    key0 = qn0.view(jnp.int32)
+    p0, e0 = _two_prod(qn0, bn)
+    best_key = key0
+    best_err = jnp.abs((an - p0) - e0)
+    best_even = (key0 & 1) == 0
+
+    for k in (-2, -1, 1, 2):
+        key = key0 + jnp.int32(k)
+        q = key.view(jnp.float32)
+        p, e = _two_prod(q, bn)
+        r = (an - p) - e  # an - p exact by Sterbenz
+        err = jnp.abs(r)
+        even = (key & 1) == 0
+        better = (err < best_err) | ((err == best_err) & even & ~best_even)
+        best_key = jnp.where(better, key, best_key)
+        best_err = jnp.where(better, err, best_err)
+        best_even = jnp.where(better, even, best_even)
+
+    qn = best_key.view(jnp.float32)
+    # q = qn * 2^(ea - eb); apply in two exact halves to cover the full
+    # exponent range without constructing an out-of-range power of two.
+    k = ea - eb
+    k1 = k // 2
+    k2 = k - k1
+    q = qn * _pow2(jnp.clip(k1, -126, 127)) * _pow2(jnp.clip(k2, -126, 127))
+
+    # fall back to the hardware quotient outside the safe envelope:
+    # zero/subnormal/inf/nan operands or a non-normal true quotient.
+    a_normal = (ea > 0) & (ea < 255)
+    b_normal = (eb > 0) & (eb < 255)
+    q_normal = (
+        (jnp.abs(k) <= 252)
+        & jnp.isfinite(q)
+        & (jnp.abs(q) >= jnp.float32(1.1754944e-38))  # subnormal results
+    )
+    safe = a_normal & b_normal & q_normal
+    return jnp.where(safe, q, q0)
