@@ -1,1 +1,9 @@
-"""Conversion pipeline: device batch dedup + host cell store."""
+"""Conversion pipeline: batched point streams -> multi-hierarchy cell store."""
+
+from .converter import (  # noqa: F401
+    Converter,
+    add_points_to_cell,
+    convert_from_paths,
+    load_metadata,
+)
+from .pipeline import group_points_host, merge_point_maps  # noqa: F401

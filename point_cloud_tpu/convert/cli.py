@@ -1,0 +1,106 @@
+"""Converter CLI.
+
+Flag parity with the reference CLI (reference: point-converter/src/main.rs:11-50):
+``-o/--output DIR``, ``-d/--directories DIRS...`` (each directory's entries
+are flattened into the file list), ``-f/--files FILES...``; default output
+is the current working directory.
+
+Extensions beyond the reference: ``--batch-size`` (the reference hardcodes
+10,000, lib.rs:32), ``--device`` to run the dedup pipeline on TPU via the
+device-accelerated converter, and ``--mesh`` to shard conversion over
+multiple chips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="point-converter",
+        description=(
+            "Point converter will convert your points to a format that the "
+            "point cloud renderer can use. Currently supported file formats "
+            "are las/laz and ply and the generated metadata.json."
+        ),
+    )
+    parser.add_argument(
+        "-o", "--output", metavar="DIR", type=Path, default=None,
+        help="Output directory of the converted format. "
+             "Will be created if it doesn't exist.",
+    )
+    parser.add_argument(
+        "-d", "--directories", metavar="DIRS", type=Path, nargs="*",
+        default=[], help="Directories with input files to convert.",
+    )
+    parser.add_argument(
+        "-f", "--files", metavar="FILES", type=Path, nargs="*",
+        default=[], help="Input files with the points to convert.",
+    )
+    parser.add_argument(
+        "--batch-size", type=int, default=None,
+        help="Points per conversion batch (default 10000 host, 2^20 device).",
+    )
+    parser.add_argument(
+        "--device", action="store_true",
+        help="Run the dedup pipeline on the JAX default device (TPU).",
+    )
+    parser.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="Shard conversion over an N-device mesh (implies --device).",
+    )
+    parser.add_argument("-v", "--verbose", action="store_true")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    log = logging.getLogger("point_cloud_tpu.cli")
+
+    files = list(args.files)
+    for directory in args.directories:
+        try:
+            files.extend(sorted(directory.iterdir()))
+        except OSError as err:
+            log.error("Failed to read directory %s: %s", directory, err)
+            return 1
+
+    if not files:
+        log.warning("Please provide some files or directories")
+        return 0
+
+    output = args.output if args.output is not None else Path(os.getcwd())
+
+    from .converter import DEFAULT_BATCH_SIZE, Converter, convert_from_paths
+
+    factory = Converter
+    batch_size = args.batch_size
+    if args.mesh:
+        from ..parallel.mesh_converter import make_mesh_converter_factory
+
+        factory = make_mesh_converter_factory(args.mesh)
+        batch_size = batch_size or 1 << 20
+    elif args.device:
+        from .device import DeviceConverter
+
+        factory = DeviceConverter
+        batch_size = batch_size or 1 << 20
+    else:
+        batch_size = batch_size or DEFAULT_BATCH_SIZE
+
+    convert_from_paths(files, output, batch_size=batch_size,
+                       converter_factory=factory)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

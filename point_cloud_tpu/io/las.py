@@ -1,0 +1,197 @@
+"""LAS / LAZ reader (from-scratch, vectorized NumPy).
+
+Capability parity with the reference's LAS path (reference:
+point-converter/src/converter/las.rs:22-55, which delegates parsing to the
+``las`` crate): coordinates come out as ``raw_i32 * scale + offset`` in f64
+and are cast to f32; u16 color channels are truncated to their low byte
+(Rust ``as u8`` semantics, las.rs:39); points without color get
+``[0, 0, 0, 255]``.
+
+This implementation parses the LAS 1.0-1.4 header and point record formats
+0-10 directly with structured NumPy dtypes, so a whole batch decodes as a
+handful of array ops instead of a per-point loop (the feed path must sustain
+the TPU conversion pipeline, see SURVEY.md section 7 "hard parts").
+
+LAZ (laszip-compressed) files are detected (compressor bit in the point
+format byte / laszip VLR) and rejected with a clear error: no LAZ
+decompressor is available in this environment and we do not ship one yet.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from ..core.point import PointBatch
+from . import BatchedPointReader
+
+# offset (bytes) of the u16 RGB triple inside each point record, per format
+_COLOR_OFFSET = {2: 20, 3: 28, 5: 28, 7: 30, 8: 30, 10: 30}
+# minimum record length per point data record format
+_MIN_RECORD_LEN = {
+    0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63,
+    6: 30, 7: 36, 8: 38, 9: 59, 10: 67,
+}
+
+
+class LasHeader:
+    """Parsed LAS public header block."""
+
+    def __init__(self, data: bytes):
+        if data[:4] != b"LASF":
+            raise ValueError("not a LAS file (missing LASF signature)")
+        self.version = (data[24], data[25])
+        (self.header_size,) = struct.unpack_from("<H", data, 94)
+        (self.point_data_offset,) = struct.unpack_from("<I", data, 96)
+        (self.n_vlrs,) = struct.unpack_from("<I", data, 100)
+        fmt_byte = data[104]
+        self.is_compressed = bool(fmt_byte & 0x80)  # laszip sets bit 7
+        self.point_format = fmt_byte & 0x3F
+        (self.point_record_length,) = struct.unpack_from("<H", data, 105)
+        (legacy_count,) = struct.unpack_from("<I", data, 107)
+        self.scale = np.array(struct.unpack_from("<3d", data, 131), np.float64)
+        self.offset = np.array(struct.unpack_from("<3d", data, 155), np.float64)
+        self.point_count = legacy_count
+        if self.version >= (1, 4) and self.header_size >= 255:
+            (count_14,) = struct.unpack_from("<Q", data, 247)
+            if count_14:
+                self.point_count = count_14
+        if self.point_format not in _MIN_RECORD_LEN:
+            raise ValueError(f"unsupported LAS point format {self.point_format}")
+        if self.point_record_length < _MIN_RECORD_LEN[self.point_format]:
+            raise ValueError(
+                f"record length {self.point_record_length} too small for "
+                f"format {self.point_format}"
+            )
+
+
+def _record_dtype(header: LasHeader) -> np.dtype:
+    """Structured dtype selecting xyz (+rgb if present) out of each record."""
+    names = ["x", "y", "z"]
+    formats = ["<i4", "<i4", "<i4"]
+    offsets = [0, 4, 8]
+    color_off = _COLOR_OFFSET.get(header.point_format)
+    if color_off is not None:
+        names += ["red", "green", "blue"]
+        formats += ["<u2", "<u2", "<u2"]
+        offsets += [color_off, color_off + 2, color_off + 4]
+    return np.dtype(
+        {
+            "names": names,
+            "formats": formats,
+            "offsets": offsets,
+            "itemsize": header.point_record_length,
+        }
+    )
+
+
+class LasPointReader(BatchedPointReader):
+    def __init__(self, path):
+        self.path = Path(path)
+        self._file = open(self.path, "rb")
+        head = self._file.read(375)
+        self.header = LasHeader(head)
+        if self.header.is_compressed:
+            self._file.close()
+            raise NotImplementedError(
+                "LAZ (laszip-compressed) input is not supported in this "
+                "build; decompress to .las first (e.g. `laszip -d`)"
+            )
+        self._dtype = _record_dtype(self.header)
+        self._file.seek(self.header.point_data_offset)
+        self._read = 0
+        # f32 cast of (i32 * f64 scale + f64 offset), like the las crate +
+        # the `as f32` casts at converter/las.rs:34-38
+        self._scale = self.header.scale
+        self._offset = self.header.offset
+
+    def get_batch(self, size: int) -> PointBatch:
+        n = min(size, self.remaining_points())
+        if n <= 0:
+            return PointBatch.empty()
+        raw = self._file.read(n * self.header.point_record_length)
+        rec = np.frombuffer(raw, dtype=self._dtype)
+        n = len(rec)
+        self._read += n
+
+        raw_xyz = np.stack(
+            [rec["x"], rec["y"], rec["z"]], axis=-1
+        ).astype(np.float64)
+        positions = (raw_xyz * self._scale + self._offset).astype(np.float32)
+
+        colors = np.empty((n, 4), np.uint8)
+        if "red" in rec.dtype.names:
+            # Rust `color.red as u8` truncates to the low byte (las.rs:39)
+            colors[:, 0] = rec["red"].astype(np.uint8)
+            colors[:, 1] = rec["green"].astype(np.uint8)
+            colors[:, 2] = rec["blue"].astype(np.uint8)
+        else:
+            colors[:, :3] = 0  # Color::default() (las.rs:32)
+        colors[:, 3] = 255
+        return PointBatch(positions, colors)
+
+    def total_points(self) -> int:
+        return int(self.header.point_count)
+
+    def remaining_points(self) -> int:
+        return self.total_points() - self._read
+
+    def close(self):
+        self._file.close()
+
+
+def write_las(path, batch: PointBatch, point_format: int = 2,
+              scale=(0.001, 0.001, 0.001)) -> None:
+    """Minimal LAS 1.2 writer (test fixtures + export tool).
+
+    Writes point format 0 (no color) or 2 (RGB); colors are widened u8->u16
+    by byte duplication (v * 257), the standard 8->16 bit upscale, so our
+    truncating read path round-trips them exactly.
+    """
+    if point_format not in (0, 2):
+        raise ValueError("write_las supports formats 0 and 2")
+    n = len(batch)
+    scale = np.asarray(scale, np.float64)
+    offset = (
+        batch.positions.astype(np.float64).min(axis=0)
+        if n
+        else np.zeros(3, np.float64)
+    )
+    record_len = 20 if point_format == 0 else 26
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    header[24] = 1
+    header[25] = 2
+    struct.pack_into("<H", header, 94, 227)
+    struct.pack_into("<I", header, 96, 227)
+    struct.pack_into("<I", header, 100, 0)
+    header[104] = point_format
+    struct.pack_into("<H", header, 105, record_len)
+    struct.pack_into("<I", header, 107, n)
+    struct.pack_into("<3d", header, 131, *scale)
+    struct.pack_into("<3d", header, 155, *offset)
+
+    raw = np.round(
+        (batch.positions.astype(np.float64) - offset) / scale
+    ).astype(np.int32)
+    dtype_fields = {
+        "names": ["x", "y", "z"],
+        "formats": ["<i4", "<i4", "<i4"],
+        "offsets": [0, 4, 8],
+        "itemsize": record_len,
+    }
+    if point_format == 2:
+        dtype_fields["names"] += ["red", "green", "blue"]
+        dtype_fields["formats"] += ["<u2", "<u2", "<u2"]
+        dtype_fields["offsets"] += [20, 22, 24]
+    rec = np.zeros(n, dtype=np.dtype(dtype_fields))
+    rec["x"], rec["y"], rec["z"] = raw[:, 0], raw[:, 1], raw[:, 2]
+    if point_format == 2:
+        rec["red"] = batch.colors[:, 0].astype(np.uint16) * 257
+        rec["green"] = batch.colors[:, 1].astype(np.uint16) * 257
+        rec["blue"] = batch.colors[:, 2].astype(np.uint16) * 257
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(rec.tobytes())

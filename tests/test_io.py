@@ -1,0 +1,179 @@
+"""Reader tests: LAS, PLY (ascii/LE/BE), own-format round trips."""
+
+import numpy as np
+import pytest
+
+from point_cloud_tpu.core.point import PointBatch
+from point_cloud_tpu.io import get_batched_point_reader
+from point_cloud_tpu.io.las import LasPointReader, write_las
+from point_cloud_tpu.io.ply import PlyPointReader, write_ply
+
+
+def random_batch(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-100, 100, (n, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+class TestLas:
+    def test_round_trip_rgb(self, tmp_path):
+        batch = random_batch(1000)
+        path = tmp_path / "cloud.las"
+        write_las(path, batch, point_format=2)
+        reader = LasPointReader(path)
+        assert reader.total_points() == 1000
+        out = reader.get_batch(2000)
+        assert len(out) == 1000
+        assert reader.remaining_points() == 0
+        # scale quantizes to 1mm; positions match within quantization
+        np.testing.assert_allclose(out.positions, batch.positions, atol=2e-3)
+        np.testing.assert_array_equal(out.colors, batch.colors)
+
+    def test_no_color_defaults(self, tmp_path):
+        batch = random_batch(10)
+        path = tmp_path / "plain.las"
+        write_las(path, batch, point_format=0)
+        out = LasPointReader(path).get_batch(100)
+        # missing color -> [0,0,0,255] (reference converter/las.rs:32)
+        assert np.all(out.colors[:, :3] == 0)
+        assert np.all(out.colors[:, 3] == 255)
+
+    def test_batched_reads(self, tmp_path):
+        batch = random_batch(250)
+        path = tmp_path / "cloud.las"
+        write_las(path, batch)
+        reader = LasPointReader(path)
+        sizes = []
+        while reader.remaining_points() > 0:
+            sizes.append(len(reader.get_batch(100)))
+        assert sizes == [100, 100, 50]
+
+    def test_u16_color_truncates_low_byte(self, tmp_path):
+        """Rust `as u8` takes the low byte (converter/las.rs:39)."""
+        import struct
+        batch = random_batch(1)
+        path = tmp_path / "c.las"
+        write_las(path, batch, point_format=2)
+        raw = bytearray(path.read_bytes())
+        struct.pack_into("<HHH", raw, 227 + 20, 0x1FF, 0x100, 0xABCD)
+        path.write_bytes(bytes(raw))
+        out = LasPointReader(path).get_batch(1)
+        assert list(out.colors[0]) == [0xFF, 0x00, 0xCD, 255]
+
+    def test_laz_rejected(self, tmp_path):
+        batch = random_batch(1)
+        path = tmp_path / "c.las"
+        write_las(path, batch)
+        raw = bytearray(path.read_bytes())
+        raw[104] |= 0x80  # laszip compression bit
+        laz = tmp_path / "c.laz"
+        laz.write_bytes(bytes(raw))
+        with pytest.raises(NotImplementedError):
+            LasPointReader(laz)
+
+
+class TestPly:
+    @pytest.mark.parametrize(
+        "encoding", ["ascii", "binary_little_endian", "binary_big_endian"]
+    )
+    def test_round_trip(self, tmp_path, encoding):
+        batch = random_batch(500)
+        path = tmp_path / "cloud.ply"
+        write_ply(path, batch, encoding=encoding)
+        reader = PlyPointReader(path)
+        assert reader.total_points() == 500
+        out = PointBatch.concat(list(reader.batches(128)))
+        np.testing.assert_array_equal(out.positions, batch.positions)
+        np.testing.assert_array_equal(out.colors, batch.colors)
+
+    def test_double_positions_cast_to_f32(self, tmp_path):
+        batch = random_batch(100)
+        path = tmp_path / "d.ply"
+        write_ply(path, batch, double_pos=True)
+        out = PlyPointReader(path).get_batch(100)
+        np.testing.assert_array_equal(out.positions, batch.positions)
+
+    def test_no_color_defaults(self, tmp_path):
+        batch = random_batch(10)
+        path = tmp_path / "p.ply"
+        write_ply(path, batch, color=False)
+        out = PlyPointReader(path).get_batch(10)
+        assert np.all(out.colors[:, :3] == 0)
+        assert np.all(out.colors[:, 3] == 255)
+
+    def test_extra_and_reordered_properties(self, tmp_path):
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            "element vertex 2\n"
+            "property float nx\n"        # ignored
+            "property float z\n"         # out of order
+            "property uchar red\n"
+            "property float x\n"
+            "property ushort weird\n"    # ignored
+            "property float y\n"
+            "end_header\n"
+        ).encode()
+        rec = np.zeros(2, dtype=[("nx", "<f4"), ("z", "<f4"), ("red", "u1"),
+                                 ("x", "<f4"), ("weird", "<u2"), ("y", "<f4")])
+        rec["x"] = [1.0, 4.0]
+        rec["y"] = [2.0, 5.0]
+        rec["z"] = [3.0, 6.0]
+        rec["red"] = [7, 8]
+        path = tmp_path / "odd.ply"
+        path.write_bytes(header + rec.tobytes())
+        out = PlyPointReader(path).get_batch(10)
+        np.testing.assert_array_equal(
+            out.positions, [[1, 2, 3], [4, 5, 6]]
+        )
+        np.testing.assert_array_equal(out.colors[:, 0], [7, 8])
+        np.testing.assert_array_equal(out.colors[:, 1], [0, 0])
+
+    def test_skips_leading_non_vertex_element(self, tmp_path):
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            "element junk 3\n"
+            "property ushort a\n"
+            "element vertex 1\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        ).encode()
+        junk = np.arange(3, dtype="<u2").tobytes()
+        vert = np.array([(9.0, 8.0, 7.0)], dtype="<f4,<f4,<f4").tobytes()
+        path = tmp_path / "skip.ply"
+        path.write_bytes(header + junk + vert)
+        out = PlyPointReader(path).get_batch(5)
+        np.testing.assert_array_equal(out.positions, [[9, 8, 7]])
+
+    def test_float_color_normalized(self, tmp_path):
+        """Divergence from the reference's `(v/255.0) as u8` truncation bug:
+        float colors are treated as normalized [0,1]."""
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            "element vertex 1\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property float red\n"
+            "end_header\n"
+        ).encode()
+        vert = np.array([(0.0, 0.0, 0.0, 0.5)],
+                        dtype="<f4,<f4,<f4,<f4").tobytes()
+        path = tmp_path / "fc.ply"
+        path.write_bytes(header + vert)
+        out = PlyPointReader(path).get_batch(1)
+        assert out.colors[0, 0] == 128
+
+
+class TestDispatch:
+    def test_extension_dispatch(self, tmp_path):
+        from point_cloud_tpu.io.las import LasPointReader
+        from point_cloud_tpu.io.ply import PlyPointReader
+
+        batch = random_batch(5)
+        las = tmp_path / "a.las"
+        ply = tmp_path / "b.ply"
+        write_las(las, batch)
+        write_ply(ply, batch)
+        assert isinstance(get_batched_point_reader(las), LasPointReader)
+        assert isinstance(get_batched_point_reader(ply), PlyPointReader)
+        assert get_batched_point_reader(tmp_path / "x.xyz") is None
