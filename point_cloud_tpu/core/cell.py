@@ -159,6 +159,28 @@ class Cell:
 
     # --- overflow cascade (cell.rs:108-153, exact accounting) ---------------
 
+    @staticmethod
+    def _canonical_overflow_order(points: PointBatch) -> PointBatch:
+        """Sort a staged overflow group by full record bits.
+
+        The reference stages overflow in arrival order, which depends on
+        hash-map iteration (non-deterministic across its own runs). We
+        canonicalize each staged group so the host and device pipelines —
+        which produce losers in different orders — stage byte-identical
+        overflow buffers. Bit patterns (not float values) are the keys so
+        -0.0/0.0 and NaNs order deterministically; fully identical records
+        are interchangeable.
+        """
+        if len(points) <= 1:
+            return points
+        pos_bits = points.positions.view(np.int32)
+        c = points.colors
+        order = np.lexsort(
+            (c[:, 3], c[:, 2], c[:, 1], c[:, 0],
+             pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0])
+        )
+        return points[order]
+
     def add_points_in_overflow(
         self,
         grouped: dict[tuple[int, int, int], PointBatch],
@@ -169,6 +191,7 @@ class Cell:
         remaining: dict[tuple[int, int, int], PointBatch] = {}
 
         for cell_index, points in grouped.items():
+            points = self._canonical_overflow_order(points)
             if cell_index not in self.overflow:
                 if len(points) <= limit:
                     self.total_number_of_points += len(points)

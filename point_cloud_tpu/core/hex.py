@@ -115,6 +115,15 @@ def _jax_ops():
     return jnp
 
 
+def _jax_saturating_i32(v):
+    """Device version of Rust ``as i32``: saturate, NaN -> 0 (matches
+    :func:`_np_saturating_i32` so device and host quantize identically)."""
+    jnp = _jax_ops()
+    v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
+    v = jnp.clip(v, jnp.float32(_I32_MIN), jnp.float32(_I32_MAX))
+    return v.astype(jnp.int32)
+
+
 def jax_axial_from_world(pos, cell_radius):
     """jnp version of :func:`axial_from_world` (same f32 op order).
 
@@ -136,9 +145,9 @@ def jax_axial_from_world(pos, cell_radius):
     temp3 = 2.0 * x + 1.0
     qf = exact_div(temp1 + temp3, jnp.float32(3.0))
     rf = exact_div(temp1 + temp2, jnp.float32(3.0))
-    q = jnp.floor(qf).astype(jnp.int32)
-    r = -(jnp.floor(rf).astype(jnp.int32))
-    h = jnp.trunc(exact_div(pos[..., 2], radius)).astype(jnp.int32)
+    q = _jax_saturating_i32(jnp.floor(qf))
+    r = -_jax_saturating_i32(jnp.floor(rf))
+    h = _jax_saturating_i32(jnp.trunc(exact_div(pos[..., 2], radius)))
     return jnp.stack([q, r, h], axis=-1)
 
 
@@ -151,9 +160,9 @@ def jax_cell_index(pos, cell_size):
     jnp = _jax_ops()
     from ..ops.exact import exact_div
 
-    return jnp.floor(
-        exact_div(pos.astype(jnp.float32), jnp.float32(cell_size))
-    ).astype(jnp.int32)
+    return _jax_saturating_i32(
+        jnp.floor(exact_div(pos.astype(jnp.float32), jnp.float32(cell_size)))
+    )
 
 
 def jax_axial_to_offset(axial):

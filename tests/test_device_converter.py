@@ -1,0 +1,149 @@
+"""Device pipeline tests: the fused dedup pass and the DeviceConverter.
+
+The gold standard is byte-identical stores: DeviceConverter and the host
+Converter must produce the same metadata.json and the same cell files for
+the same input (winner sets, overflow partitions, counters all equal).
+Runs on the virtual CPU mesh platform configured in conftest.py.
+"""
+
+import numpy as np
+import pytest
+
+from point_cloud_tpu.convert.converter import Converter
+from point_cloud_tpu.convert.device import DeviceConverter
+from point_cloud_tpu.core import hex as hexgrid
+from point_cloud_tpu.core.metadata import Metadata, MetadataConfig
+from point_cloud_tpu.core.point import PointBatch
+from point_cloud_tpu.ops.dedup import dedup_batch_host, pad_to_bucket
+
+
+def random_batch(n, seed=0, lo=-100, hi=100):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+def store_files(store_dir):
+    files = {}
+    for path in sorted(store_dir.rglob("*")):
+        if path.is_file():
+            files[str(path.relative_to(store_dir))] = path.read_bytes()
+    return files
+
+
+class TestDedupPass:
+    def test_keys_match_host_oracle(self):
+        config = MetadataConfig()
+        cell_size = config.cell_size(0)
+        sub = config.sub_cell_size(cell_size)
+        batch = random_batch(5_000, seed=7)
+        perm, winner, cell_idx, sub_idx, dist, next_idx = dedup_batch_host(
+            batch.positions, cell_size, sub
+        )
+        # host oracles (the NumPy reference implementations)
+        exp_cell = config.cell_index(batch.positions, cell_size)
+        exp_sub = hexgrid.offset_from_world(
+            batch.positions, np.float32(sub / np.float32(2.0))
+        )
+        exp_next = config.cell_index(
+            batch.positions, np.float32(cell_size / np.float32(2.0))
+        )
+        np.testing.assert_array_equal(cell_idx, exp_cell[perm])
+        np.testing.assert_array_equal(sub_idx, exp_sub[perm])
+        np.testing.assert_array_equal(next_idx, exp_next[perm])
+
+    def test_one_winner_per_slot_and_argmin(self):
+        config = MetadataConfig()
+        cell_size = config.cell_size(3)
+        sub = config.sub_cell_size(cell_size)
+        batch = random_batch(20_000, seed=8, lo=-5, hi=5)  # force collisions
+        perm, winner, cell_idx, sub_idx, dist, next_idx = dedup_batch_host(
+            batch.positions, cell_size, sub
+        )
+        keys = np.concatenate([cell_idx, sub_idx], axis=1)
+        uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+        assert winner.sum() == len(uniq)
+        # the winner of each group has the minimal distance in that group
+        for g in range(len(uniq)):
+            rows = np.nonzero(inverse == g)[0]
+            w = rows[winner[rows]]
+            assert len(w) == 1
+            assert dist[w[0]] == dist[rows].min()
+
+    def test_sorted_and_grouped(self):
+        config = MetadataConfig()
+        cell_size = config.cell_size(0)
+        sub = config.sub_cell_size(cell_size)
+        batch = random_batch(3_000, seed=9)
+        perm, winner, cell_idx, sub_idx, dist, next_idx = dedup_batch_host(
+            batch.positions, cell_size, sub
+        )
+        keys = np.concatenate([cell_idx, sub_idx], axis=1)
+        order = np.lexsort(keys.T[::-1])
+        np.testing.assert_array_equal(order, np.sort(order))  # already sorted
+
+    def test_tie_break_earliest_arrival(self):
+        """Duplicate positions: the first arrival must win (incumbent rule)."""
+        config = MetadataConfig()
+        cell_size = config.cell_size(0)
+        sub = config.sub_cell_size(cell_size)
+        pos = np.tile(np.array([[1.0, 2.0, 3.0]], np.float32), (5, 1))
+        perm, winner, *_ = dedup_batch_host(pos, cell_size, sub)
+        assert winner.sum() == 1
+        assert perm[np.nonzero(winner)[0][0]] == 0
+
+    def test_pad_to_bucket(self):
+        assert pad_to_bucket(1) == 1024
+        assert pad_to_bucket(1024) == 1024
+        assert pad_to_bucket(1025) == 2048
+
+
+class TestDeviceConverterParity:
+    @pytest.mark.parametrize(
+        "name,n,kwargs,config",
+        [
+            ("sparse", 10_000, dict(lo=-300, hi=300), MetadataConfig()),
+            ("dense", 30_000, dict(lo=-2, hi=2), MetadataConfig()),
+            (
+                "overflow",
+                5_000,
+                dict(lo=-0.5, hi=0.5),
+                MetadataConfig(cell_point_overflow_limit=40),
+            ),
+        ],
+    )
+    def test_store_byte_identical_to_host(self, tmp_path, name, n, kwargs, config):
+        batch = random_batch(n, seed=hash(name) % 2**31, **kwargs)
+        import dataclasses
+
+        with Converter(Metadata(config=dataclasses.replace(config)),
+                       tmp_path / "host") as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        with DeviceConverter(Metadata(config=dataclasses.replace(config)),
+                             tmp_path / "dev") as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+
+        host_files = store_files(tmp_path / "host")
+        dev_files = store_files(tmp_path / "dev")
+        assert set(host_files) == set(dev_files)
+        for name_, data in host_files.items():
+            assert dev_files[name_] == data, f"mismatch in {name_}"
+
+    def test_incremental_merge_parity(self, tmp_path):
+        a = random_batch(5_000, seed=21)
+        b = random_batch(5_000, seed=22, lo=-150, hi=150)
+        from point_cloud_tpu.convert.converter import load_metadata
+
+        for cls, d in [(Converter, "host"), (DeviceConverter, "dev")]:
+            out = tmp_path / d
+            with cls(load_metadata(out), out) as conv:
+                conv.add_points_batch(a)
+            with cls(load_metadata(out), out) as conv:
+                conv.add_points_batch(b)
+        host_files = store_files(tmp_path / "host")
+        dev_files = store_files(tmp_path / "dev")
+        assert host_files == dev_files
