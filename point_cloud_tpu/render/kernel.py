@@ -1,0 +1,186 @@
+"""The fused cull + LOD + occlusion frame kernel (TPU hot path).
+
+TPU-native re-design of the reference's per-cell WGSL compute pass
+(reference: src/plugins/render/point/pipelines/compute.wgsl:170-206): one
+jitted XLA program processes *all* loaded points at once instead of one
+128-thread dispatch per cell:
+
+- project every point view -> clip -> NDC; keep points inside the NDC cube
+  (compute.wgsl:180-184),
+- LOD selection (compute.wgsl:85-155): walk from the point's own hierarchy
+  toward finer ones while the containing finer cell is loaded; the WGSL
+  per-thread binary search over the sorted loaded-cells buffer becomes a
+  *vectorized* lexicographic binary search (every point searches in
+  lock-step; log2(M) gather+compare rounds on the VPU); an optional
+  distance-based override promotes points to coarser hierarchies by
+  comparing camera distance against per-hierarchy streaming-frustum far
+  distances (compute.wgsl:88-96),
+- optional occlusion against a depth buffer (compute.wgsl:185-196): move
+  the point toward the camera by its splat radius and keep it if it is not
+  clearly behind the pre-rendered depth,
+- output is a visibility mask + selected hierarchy (the WGSL packs the
+  hierarchy into the color alpha byte and compacts with an atomic append;
+  XLA-side compaction uses a cumsum, see :func:`compact_visible`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_HIERARCHIES = 24  # static unroll bound for the LOD walk
+
+
+def _lex_less(row_a, row_b):
+    """Elementwise lexicographic < between (..., 4) int32 key rows
+    (the WGSL comparison at compute.wgsl:142-147)."""
+    a0, a1, a2, a3 = (row_a[..., i] for i in range(4))
+    b0, b1, b2, b3 = (row_b[..., i] for i in range(4))
+    return (
+        (a0 < b0)
+        | ((a0 == b0) & (a1 < b1))
+        | ((a0 == b0) & (a1 == b1) & (a2 < b2))
+        | ((a0 == b0) & (a1 == b1) & (a2 == b2) & (a3 < b3))
+    )
+
+
+def loaded_cells_member(table, targets):
+    """Vectorized membership of (N, 4) target rows in a row-sorted (M, 4)
+    table: lock-step lexicographic binary search (compute.wgsl:127-155)."""
+    m = table.shape[0]
+    n = targets.shape[0]
+    if m == 0:
+        return jnp.zeros(n, bool)
+    lo = jnp.zeros(n, jnp.int32)
+    hi = jnp.full(n, m, jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(m + 1))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mid_c = jnp.clip(mid, 0, m - 1)
+        rows = table[mid_c]
+        less = _lex_less(rows, targets) & (mid < m)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    lo_c = jnp.clip(lo, 0, m - 1)
+    return (lo < m) & jnp.all(table[lo_c] == targets, axis=-1)
+
+
+def _cell_index(position, cell_size):
+    """floor(pos / cell_size) — the WGSL copy of the converter formula
+    (compute.wgsl:80-83). Rendering does not require bit-exact IEEE
+    division (a point on a cell boundary resolves to either neighbor), so
+    the native divide is used here; the converter path uses exact_div."""
+    return jnp.floor(position / cell_size).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("use_occlusion",),
+)
+def cull_lod_pass(
+    positions,  # (N, 3) f32
+    point_hierarchy,  # (N,) i32: hierarchy of each point's owning cell
+    valid,  # (N,) bool
+    view,  # (4, 4) f32
+    projection,  # (4, 4) f32
+    cam_pos,  # (3,) f32
+    cell_sizes,  # (MAX_HIERARCHIES,) f32 per-hierarchy cell size
+    spacings,  # (MAX_HIERARCHIES,) f32 per-hierarchy splat radius
+    num_hierarchies,  # i32 scalar
+    loaded_cells,  # (M, 4) i32 row-sorted loaded-cell (h, x, y, z) table
+    far_distances,  # (MAX_HIERARCHIES,) f32 streaming-frustum far distances
+    size_by_distance,  # bool scalar
+    max_hierarchy,  # i32 scalar (distance-override coarsest hierarchy)
+    depth=None,  # (H, W) f32 depth buffer, required if use_occlusion
+    use_occlusion: bool = False,
+):
+    """Returns (visible (N,) bool, hierarchy (N,) i32, ndc (N, 3) f32)."""
+    n = positions.shape[0]
+    ones = jnp.ones((n, 1), jnp.float32)
+    hpos = jnp.concatenate([positions, ones], axis=1)  # (N, 4)
+
+    view_pos = hpos @ view.T  # (N, 4)
+    clip = view_pos @ projection.T
+    ndc = clip[:, :3] / clip[:, 3:4]
+
+    inside = (
+        (jnp.abs(ndc[:, 0]) <= 1.0)
+        & (jnp.abs(ndc[:, 1]) <= 1.0)
+        & (jnp.abs(ndc[:, 2] - 0.5) <= 0.5)
+        & valid
+    )
+
+    # --- LOD: search_smallest_hierarchy (compute.wgsl:101-125) --------------
+    last = num_hierarchies - 1
+    own = jnp.minimum(point_hierarchy, last)
+    result = own
+    alive = jnp.ones(n, bool)
+    for h in range(1, MAX_HIERARCHIES):
+        idx = _cell_index(positions, cell_sizes[h])
+        target = jnp.concatenate(
+            [jnp.full((n, 1), h, jnp.int32), idx], axis=1
+        )
+        found = loaded_cells_member(loaded_cells, target)
+        relevant = (h > own) & (h <= last)
+        alive = jnp.where(relevant, alive & found, alive)
+        step = relevant & alive
+        result = jnp.where(step, h, result)
+
+    # --- distance override (compute.wgsl:85-99) ------------------------------
+    delta = positions - cam_pos[None, :]
+    dist_cam = jnp.sqrt(jnp.sum(delta * delta, axis=1))
+    hier_ids = jnp.arange(MAX_HIERARCHIES, dtype=jnp.int32)
+    cand = (
+        (hier_ids[None, :] > result[:, None])
+        & (hier_ids[None, :] <= max_hierarchy)
+        & (dist_cam[:, None] < far_distances[None, :])
+    )
+    override = jnp.max(
+        jnp.where(cand, hier_ids[None, :], jnp.int32(-1)), axis=1
+    )
+    use_override = size_by_distance & (override >= 0)
+    hierarchy = jnp.where(use_override, override, result)
+
+    keep = inside
+
+    # --- occlusion (compute.wgsl:185-196) ------------------------------------
+    if use_occlusion:
+        assert depth is not None
+        hgt, wid = depth.shape
+        u = (ndc[:, 0] * 0.5 + 0.5) * wid
+        v = (ndc[:, 1] * -0.5 + 0.5) * hgt
+        ui = jnp.clip(u.astype(jnp.int32), 0, wid - 1)
+        vi = jnp.clip(v.astype(jnp.int32), 0, hgt - 1)
+        depth_at = depth[vi, ui]
+
+        radius = spacings[hierarchy]
+        moved_view = jnp.stack(
+            [view_pos[:, 0], view_pos[:, 1], view_pos[:, 2] + radius,
+             view_pos[:, 3]],
+            axis=1,
+        )
+        moved_clip = moved_view @ projection.T
+        moved_z = moved_clip[:, 2] / moved_clip[:, 3]
+        radius_z = ndc[:, 2] - moved_z
+        keep = keep & (
+            (moved_z < depth_at) | ((moved_z - depth_at) < radius_z * 3.0)
+        )
+
+    return keep, hierarchy, ndc
+
+
+def compact_visible(mask, *arrays):
+    """Stable compaction: gather rows where ``mask`` holds to the front.
+
+    The XLA replacement for the WGSL atomic-append (compute.wgsl:202-203)
+    — deterministic (stable order) unlike the atomic version. Returns
+    (count, compacted arrays); tail rows beyond ``count`` are filled from
+    row 0 (callers slice by count on host).
+    """
+    n = mask.shape[0]
+    count = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.nonzero(mask, size=n, fill_value=0)[0]
+    return count, tuple(a[idx] for a in arrays)

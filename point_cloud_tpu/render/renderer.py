@@ -1,0 +1,188 @@
+"""Frame orchestration: streamed cells -> culled splats -> image.
+
+TPU-native re-design of the reference's draw loop (reference:
+src/plugins/render/point.rs:117-218): visible cells are sorted by camera
+distance and grouped into ilog2(distance) buckets (point.rs:128-143);
+buckets render near-to-far, and each bucket's cull pass tests occlusion
+against the depth produced by the nearer buckets — reproducing the
+same-frame compute/render interleaving the reference gets from its GPU
+submission order. Occlusion is skipped when streaming is paused, like
+point.rs:140.
+
+Everything per bucket is two fused XLA calls (cull_lod_pass +
+rasterize_splats); the host only slices per-bucket arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.metadata import Metadata
+from .camera import Camera
+from .kernel import MAX_HIERARCHIES, cull_lod_pass
+from .splat import (
+    make_framebuffer,
+    rasterize_splats,
+    resolve_framebuffer,
+)
+from .streaming import CellStreamer
+
+
+@dataclass
+class RenderSettings:
+    width: int = 1280
+    height: int = 720
+    voronoi: bool = True  # render.wgsl fs_voronoi vs fs_no_voronoi
+    size_by_distance: bool = False  # FrustumsSettings (cell/shader.rs:173-195)
+    max_hierarchy: int = 0
+    occlusion: bool = True
+    footprint: int = 9
+    # per-hierarchy visibility toggles (debug plugin, src/plugins/debug.rs:344-371)
+    hidden_hierarchies: set = field(default_factory=set)
+
+
+def hierarchy_tables(metadata: Metadata) -> tuple[np.ndarray, np.ndarray]:
+    """(cell_size, spacing) per hierarchy, padded to MAX_HIERARCHIES
+    (the GPU hierarchy buffer, src/plugins/metadata/shader.rs:7-73)."""
+    sizes = np.zeros(MAX_HIERARCHIES, np.float32)
+    spacings = np.zeros(MAX_HIERARCHIES, np.float32)
+    for h in range(min(metadata.hierarchies, MAX_HIERARCHIES)):
+        cs = metadata.config.cell_size(h)
+        sizes[h] = cs
+        spacings[h] = metadata.config.cell_spacing(cs)
+    return sizes, spacings
+
+
+class PointRenderer:
+    """Renders one frame from a CellStreamer's loaded set."""
+
+    def __init__(self, metadata: Metadata, settings: RenderSettings | None = None):
+        self.metadata = metadata
+        self.settings = settings or RenderSettings()
+
+    def gather_points(self, streamer: CellStreamer, camera: Camera):
+        """Concatenate loaded cells into flat arrays + per-cell buckets."""
+        cells = []
+        cam = camera.transform.translation
+        for cell_id, cell in streamer.loaded.items():
+            if cell_id.hierarchy in self.settings.hidden_hierarchies:
+                continue  # Visibility component (camera.rs:96-105)
+            pts = cell.all_points()
+            if len(pts) == 0:
+                continue
+            delta = cell.pos - cam
+            distance = float(np.linalg.norm(delta))
+            # ilog2 bucket (point.rs:128-143); distance < 1 -> bucket 0
+            bucket = max(int(distance).bit_length() - 1, 0)
+            cells.append((bucket, distance, cell_id, pts))
+        cells.sort(key=lambda c: (c[0], c[1]))
+        return cells
+
+    def render(self, streamer: CellStreamer, camera: Camera,
+               streaming_frustums=None, paused: bool = False):
+        """Returns (rgb (H,W,3) f32, depth (H,W) f32, stats dict)."""
+        s = self.settings
+        view = camera.view_matrix()
+        proj = camera.projection_matrix()
+        cam_pos = camera.transform.translation
+
+        sizes, spacings = hierarchy_tables(self.metadata)
+        loaded_table = streamer.loaded_cells_table()
+
+        far_distances = np.zeros(MAX_HIERARCHIES, np.float32)
+        if streaming_frustums is not None:
+            fd = streamer.frustum_far_distances(
+                streaming_frustums, camera.transform
+            )
+            far_distances[: len(fd)] = fd
+
+        cells = self.gather_points(streamer, camera)
+        framebuffer = make_framebuffer(s.height, s.width)
+        all_colors = [np.zeros((1, 4), np.uint8)]
+        id_base = 1
+        total_in = 0
+        total_visible = 0
+
+        # group consecutive same-bucket cells; near buckets raster first so
+        # farther buckets' occlusion test sees their depth (point.rs:144-215)
+        i = 0
+        import jax.numpy as jnp
+
+        while i < len(cells):
+            bucket = cells[i][0]
+            pos_chunks, hier_chunks, col_chunks = [], [], []
+            while i < len(cells) and cells[i][0] == bucket:
+                _, _, cell_id, pts = cells[i]
+                pos_chunks.append(pts.positions)
+                col_chunks.append(pts.colors)
+                hier_chunks.append(
+                    np.full(len(pts), cell_id.hierarchy, np.int32)
+                )
+                i += 1
+            positions = np.concatenate(pos_chunks)
+            colors = np.concatenate(col_chunks)
+            point_hier = np.concatenate(hier_chunks)
+            n = len(positions)
+            total_in += n
+
+            use_occ = s.occlusion and not paused
+            depth_now = (
+                framebuffer.depth.reshape(s.height, s.width)
+                if use_occ
+                else None
+            )
+
+            keep, hierarchy, ndc = cull_lod_pass(
+                jnp.asarray(positions),
+                jnp.asarray(point_hier),
+                jnp.ones(n, bool),
+                jnp.asarray(view),
+                jnp.asarray(proj),
+                jnp.asarray(cam_pos),
+                jnp.asarray(sizes),
+                jnp.asarray(spacings),
+                jnp.int32(self.metadata.hierarchies),
+                jnp.asarray(loaded_table),
+                jnp.asarray(far_distances),
+                jnp.bool_(s.size_by_distance),
+                jnp.int32(s.max_hierarchy),
+                depth=depth_now,
+                use_occlusion=use_occ,
+            )
+
+            hpos = np.concatenate(
+                [positions, np.ones((n, 1), np.float32)], axis=1
+            )
+            view_pos = hpos @ view.T
+            radius = spacings[np.asarray(hierarchy)]
+            point_ids = np.arange(id_base, id_base + n, dtype=np.int32)
+
+            framebuffer = rasterize_splats(
+                framebuffer,
+                jnp.asarray(view_pos.astype(np.float32)),
+                ndc,
+                jnp.asarray(radius),
+                jnp.asarray(point_ids),
+                keep,
+                jnp.asarray(proj),
+                height=s.height,
+                width=s.width,
+                footprint=s.footprint,
+                voronoi=s.voronoi,
+            )
+            total_visible += int(np.asarray(keep).sum())
+            all_colors.append(colors)
+            id_base += n
+
+        color_table = np.concatenate(all_colors)
+        rgb, depth = resolve_framebuffer(
+            framebuffer, jnp.asarray(color_table), s.height, s.width
+        )
+        stats = {
+            "cells": len(cells),
+            "points_in": total_in,
+            "points_visible": total_visible,
+        }
+        return np.asarray(rgb), np.asarray(depth), stats

@@ -1,0 +1,152 @@
+"""Splat rasterization on TPU: depth-tested circular point splats.
+
+TPU-native re-design of the reference's indirect splat draw (reference:
+src/plugins/render/point/pipelines/render.wgsl:70-138 + the per-bucket
+orchestration in src/plugins/render/point.rs:117-218). There is no
+rasterizer on a TPU, so the billboard-quad + fragment-discard pipeline
+becomes a fragment-expansion + scatter pass:
+
+- each visible point's splat footprint is expanded to a static KxK pixel
+  window around its projected center; pixels outside the projected circle
+  are masked out (the WGSL ``discard`` at render.wgsl:106-108),
+- depth per fragment: flat mode uses the point's NDC z; voronoi mode
+  offsets the view-space z by ``radius * (1 - |p|^2)`` and reprojects
+  (render.wgsl:110-116), which makes overlapping splats partition the
+  screen like a Voronoi diagram,
+- the depth test is a scatter-min of f32 depths followed by a masked
+  scatter-min of point ids among the exact-minimum fragments, which makes
+  the winner deterministic (ties go to the lowest point id; the GPU's
+  outcome is submission-order dependent). Depth semantics are LessEqual.
+
+The clear color (0.16 grey) and depth (1.0) match the reference's clear
+pass (src/plugins/wgpu.rs:301-332).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLEAR_COLOR = (0.16, 0.16, 0.16)  # wgpu.rs:310-316
+CLEAR_DEPTH = 1.0
+DEFAULT_FOOTPRINT = 9  # static KxK fragment window per splat
+
+_NO_ID = np.int32(2**31 - 1)
+
+
+class Framebuffer(NamedTuple):
+    depth: jax.Array  # (H*W,) f32
+    point_id: jax.Array  # (H*W,) i32, _NO_ID where uncovered
+
+
+def make_framebuffer(height: int, width: int) -> Framebuffer:
+    return Framebuffer(
+        depth=jnp.full((height * width,), CLEAR_DEPTH, jnp.float32),
+        point_id=jnp.full((height * width,), _NO_ID, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width", "footprint", "voronoi"))
+def rasterize_splats(
+    framebuffer: Framebuffer,
+    view_pos,  # (N, 4) f32 view-space positions
+    ndc,  # (N, 3) f32
+    radius,  # (N,) f32 world-space splat radius (hierarchy spacing)
+    point_id,  # (N,) i32 global point ids (index into the color table)
+    valid,  # (N,) bool
+    projection,  # (4, 4) f32
+    height: int = 720,
+    width: int = 1280,
+    footprint: int = DEFAULT_FOOTPRINT,
+    voronoi: bool = True,
+) -> Framebuffer:
+    """Depth-test ``N`` splats into ``framebuffer``; returns the new buffer."""
+    k = footprint
+
+    # projected center in pixels (wgsl viewport transform, compute.wgsl:185)
+    px = (ndc[:, 0] * 0.5 + 0.5) * width
+    py = (ndc[:, 1] * -0.5 + 0.5) * height
+
+    # splat radius in pixels: r_ndc = radius * P[0,0] / w  (w = clip w)
+    w_clip = jnp.maximum(-view_pos[:, 2], 1e-6)  # perspective_rh: w = -z_view
+    rx = radius * projection[0, 0] / w_clip * (0.5 * width)
+    ry = radius * projection[1, 1] / w_clip * (0.5 * height)
+    rx = jnp.maximum(rx, 1e-6)
+    ry = jnp.maximum(ry, 1e-6)
+
+    half = (k - 1) // 2
+    offs = jnp.arange(-half, k - half, dtype=jnp.float32)
+    dx = jnp.tile(offs, k)  # (k*k,)
+    dy = jnp.repeat(offs, k)
+
+    frag_x = jnp.round(px)[:, None] + dx[None, :]  # (N, k*k)
+    frag_y = jnp.round(py)[:, None] + dy[None, :]
+
+    # normalized offset from the true (unrounded) center, in radius units
+    nx = (frag_x - px[:, None]) / rx[:, None]
+    ny = (frag_y - py[:, None]) / ry[:, None]
+    d2 = nx * nx + ny * ny
+    inside = d2 <= 1.0  # render.wgsl:106-108
+
+    if voronoi:
+        # paraboloid depth: z_view + radius * (1 - |p|^2), reprojected
+        # (render.wgsl:110-116)
+        weight = 1.0 - d2
+        depth_off = radius[:, None] * weight
+        moved_z = view_pos[:, 2:3] + depth_off
+        clip_z = projection[2, 2] * moved_z + projection[2, 3] * 1.0
+        clip_w = -moved_z  # perspective_rh row 3 = (0, 0, -1, 0)
+        frag_depth = clip_z / clip_w
+    else:
+        frag_depth = jnp.broadcast_to(ndc[:, 2:3], d2.shape)
+    frag_depth = frag_depth.astype(jnp.float32)
+
+    on_screen = (
+        (frag_x >= 0) & (frag_x < width) & (frag_y >= 0) & (frag_y < height)
+    )
+    frag_valid = inside & on_screen & valid[:, None]
+    frag_valid &= (frag_depth >= 0.0) & (frag_depth <= 1.0)
+
+    flat_idx = (
+        frag_y.astype(jnp.int32) * width + frag_x.astype(jnp.int32)
+    ).reshape(-1)
+    flat_idx = jnp.where(frag_valid.reshape(-1), flat_idx, -1)  # -1 drops
+    frag_depth_flat = frag_depth.reshape(-1)
+    frag_ids = jnp.broadcast_to(
+        point_id[:, None].astype(jnp.int32), d2.shape
+    ).reshape(-1)
+
+    old_depth = framebuffer.depth
+    new_depth = old_depth.at[flat_idx].min(frag_depth_flat, mode="drop")
+
+    # winner resolution: pixels whose depth improved take ids only from this
+    # pass's exact-minimum fragments; exact ties keep the smallest id
+    improved = new_depth < old_depth
+    ids = jnp.where(improved, _NO_ID, framebuffer.point_id)
+    min_at_frag = new_depth[jnp.clip(flat_idx, 0, None)]
+    is_winner = (frag_depth_flat == min_at_frag) & (flat_idx >= 0)
+    ids = ids.at[jnp.where(is_winner, flat_idx, -1)].min(
+        frag_ids, mode="drop"
+    )
+    return Framebuffer(depth=new_depth, point_id=ids)
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def resolve_framebuffer(framebuffer: Framebuffer, colors, height: int, width: int):
+    """Framebuffer -> (rgb image (H, W, 3) f32, depth (H, W) f32).
+
+    ``colors`` is the (N, 4) u8 color table indexed by point id.
+    """
+    hit = framebuffer.point_id != _NO_ID
+    ids = jnp.where(hit, framebuffer.point_id, 0)
+    rgb = colors[ids, :3].astype(jnp.float32) / 255.0
+    clear = jnp.asarray(CLEAR_COLOR, jnp.float32)
+    rgb = jnp.where(hit[:, None], rgb, clear[None, :])
+    return (
+        rgb.reshape(height, width, 3),
+        framebuffer.depth.reshape(height, width),
+    )

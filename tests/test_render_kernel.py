@@ -1,0 +1,355 @@
+"""Cull+LOD kernel tests against a NumPy oracle mirroring compute.wgsl,
+plus streaming control plane and full-frame render tests."""
+
+import numpy as np
+import pytest
+
+from point_cloud_tpu.core.cell import Cell, CellId
+from point_cloud_tpu.core.metadata import Metadata, MetadataConfig
+from point_cloud_tpu.core.point import PointBatch
+from point_cloud_tpu.render.camera import Camera
+from point_cloud_tpu.render.kernel import (
+    MAX_HIERARCHIES,
+    compact_visible,
+    cull_lod_pass,
+)
+
+
+def oracle_search_smallest(pos, start_h, num_h, loaded_set, cell_sizes):
+    """Direct mirror of compute.wgsl:101-125."""
+    if start_h >= num_h - 1:
+        return num_h - 1
+    h = start_h
+    while True:
+        h += 1
+        idx = tuple(np.floor(pos / cell_sizes[h]).astype(np.int32))
+        if (h, *idx) not in loaded_set:
+            return h - 1
+        if h >= num_h - 1:
+            return h
+
+
+def oracle_get_hierarchy(pos, start_h, num_h, loaded_set, cell_sizes,
+                         cam_pos, size_by_distance, max_h, far_distances):
+    """Direct mirror of compute.wgsl:85-99."""
+    own = oracle_search_smallest(pos, start_h, num_h, loaded_set, cell_sizes)
+    if size_by_distance:
+        d = np.linalg.norm(cam_pos - pos)
+        for i in range(max_h, own, -1):
+            if d < far_distances[i]:
+                return i
+    return own
+
+
+def run_kernel(positions, point_h, num_h, loaded_table, cam,
+               size_by_distance=False, max_h=0, far=None):
+    import jax.numpy as jnp
+
+    n = len(positions)
+    sizes = np.zeros(MAX_HIERARCHIES, np.float32)
+    spacings = np.zeros(MAX_HIERARCHIES, np.float32)
+    config = MetadataConfig()
+    for h in range(num_h):
+        sizes[h] = config.cell_size(h)
+        spacings[h] = config.cell_spacing(sizes[h])
+    far_distances = np.zeros(MAX_HIERARCHIES, np.float32)
+    if far is not None:
+        far_distances[: len(far)] = far
+    keep, hierarchy, ndc = cull_lod_pass(
+        jnp.asarray(positions),
+        jnp.asarray(point_h),
+        jnp.ones(n, bool),
+        jnp.asarray(cam.view_matrix()),
+        jnp.asarray(cam.projection_matrix()),
+        jnp.asarray(cam.transform.translation),
+        jnp.asarray(sizes),
+        jnp.asarray(spacings),
+        jnp.int32(num_h),
+        jnp.asarray(np.asarray(loaded_table, np.int32).reshape(-1, 4)),
+        jnp.asarray(far_distances),
+        jnp.bool_(size_by_distance),
+        jnp.int32(max_h),
+    )
+    return np.asarray(keep), np.asarray(hierarchy), np.asarray(ndc), sizes
+
+
+class TestCullLod:
+    def make_camera(self):
+        cam = Camera()
+        cam.projection.far = 5000.0
+        return cam
+
+    def test_frustum_cull_against_projection_oracle(self):
+        cam = self.make_camera()
+        rng = np.random.default_rng(11)
+        positions = rng.uniform(-2000, 2000, (5000, 3)).astype(np.float32)
+        point_h = np.zeros(5000, np.int32)
+        keep, _, ndc, _ = run_kernel(positions, point_h, 1, np.empty((0, 4)), cam)
+
+        vp = cam.view_projection_matrix()
+        hpos = np.concatenate([positions, np.ones((5000, 1), np.float32)], 1)
+        clip = hpos @ vp.T
+        ndc_o = clip[:, :3] / clip[:, 3:4]
+        expected = (
+            (np.abs(ndc_o[:, 0]) <= 1)
+            & (np.abs(ndc_o[:, 1]) <= 1)
+            & (np.abs(ndc_o[:, 2] - 0.5) <= 0.5)
+        )
+        np.testing.assert_array_equal(keep, expected)
+
+    def test_lod_walk_matches_wgsl_oracle(self):
+        cam = self.make_camera()
+        rng = np.random.default_rng(12)
+        num_h = 4
+        config = MetadataConfig()
+        cell_sizes = [float(config.cell_size(h)) for h in range(num_h)]
+        positions = rng.uniform(-800, 800, (2000, 3)).astype(np.float32)
+        point_h = rng.integers(0, num_h, 2000).astype(np.int32)
+
+        # a random half of all touched (h, cell) pairs is "loaded"
+        entries = set()
+        for p in positions:
+            for h in range(num_h):
+                idx = tuple(np.floor(p / np.float32(cell_sizes[h])).astype(np.int32))
+                if rng.random() < 0.5:
+                    entries.add((h, *idx))
+        table = np.array(sorted(entries), np.int32).reshape(-1, 4)
+
+        _, hierarchy, _, sizes = run_kernel(
+            positions, point_h, num_h, table, cam
+        )
+        for i in range(0, 2000, 37):
+            expected = oracle_search_smallest(
+                positions[i], int(point_h[i]), num_h, entries, sizes
+            )
+            assert hierarchy[i] == expected, f"point {i}"
+
+    def test_distance_override_matches_oracle(self):
+        cam = self.make_camera()
+        rng = np.random.default_rng(13)
+        num_h = 4
+        positions = rng.uniform(-500, 500, (1000, 3)).astype(np.float32)
+        point_h = np.zeros(1000, np.int32)
+        far = np.array([4000.0, 2000.0, 800.0, 200.0], np.float32)
+
+        _, hierarchy, _, sizes = run_kernel(
+            positions, point_h, num_h, np.empty((0, 4)), cam,
+            size_by_distance=True, max_h=3, far=far,
+        )
+        for i in range(0, 1000, 23):
+            expected = oracle_get_hierarchy(
+                positions[i], 0, num_h, set(), sizes,
+                cam.transform.translation, True, 3, far,
+            )
+            assert hierarchy[i] == expected, f"point {i}"
+
+    def test_clamps_to_finest_hierarchy(self):
+        cam = self.make_camera()
+        positions = np.array([[0.5, 10.0, 0.5]], np.float32)
+        _, hierarchy, _, _ = run_kernel(
+            positions, np.array([7], np.int32), 3, np.empty((0, 4)), cam
+        )
+        assert hierarchy[0] == 2  # num_hierarchies - 1
+
+    def test_compact_visible(self):
+        import jax.numpy as jnp
+
+        mask = jnp.array([False, True, False, True, True])
+        vals = jnp.arange(5) * 10
+        count, (out,) = compact_visible(mask, vals)
+        assert int(count) == 3
+        np.testing.assert_array_equal(np.asarray(out[:3]), [10, 30, 40])
+
+
+class TestStreaming:
+    def make_world(self, n_hier=3):
+        metadata = Metadata(hierarchies=n_hier)
+        metadata.bounding_box.min = np.array([-500, -500, -500], np.float32)
+        metadata.bounding_box.max = np.array([500, 500, 500], np.float32)
+        cam = Camera()
+        cam.projection.far = metadata.config.max_cell_size * 5.0
+        return metadata, cam
+
+    def make_streamer_inputs(self, metadata, cam, scale=2.0):
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+
+        return update_streaming_frustums(
+            metadata, cam.transform, cam.projection, cam.frustum(), scale
+        )
+
+    def test_visible_cells_match_scalar_cull(self):
+        from point_cloud_tpu.render.streaming import compute_visible_cells
+
+        metadata, cam = self.make_world()
+        frustums = self.make_streamer_inputs(metadata, cam)
+        config = metadata.config
+        for h, frustum in enumerate(frustums):
+            cell_size = config.cell_size(h)
+            visible = compute_visible_cells(metadata, frustum, h)
+            # every reported cell must not be culled; spot check
+            half = np.float32(cell_size) / 2
+            centers = config.cell_pos(visible, cell_size)
+            assert not frustum.cull_aabbs(centers - half, centers + half).any()
+
+    def test_streamer_load_cancel_and_missing_cache(self):
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        metadata, cam = self.make_world(1)
+        frustums = self.make_streamer_inputs(metadata, cam)
+
+        loaded_log = []
+
+        def loader(cell_id):
+            loaded_log.append(cell_id)
+            return None  # everything missing
+
+        streamer = CellStreamer(metadata, loader=loader, max_loading=4)
+        streamer.update(frustums, cam.transform)
+        assert len(streamer.should_load) > 0
+        queued_before = len(streamer.should_load)
+        streamer.fill_load_slots()
+        assert len(loaded_log) == min(4, queued_before)
+        # missing cells entered the negative cache; re-update won't requeue
+        streamer.fill_load_slots()
+        while len(streamer.should_load):
+            streamer.fill_load_slots()
+        n_missing = len(streamer.missing)
+        streamer.update(frustums, cam.transform)
+        assert len(streamer.should_load) == 0
+        assert len(streamer.missing) == n_missing
+
+    def test_streamer_priority_order(self):
+        """Cells must load coarse-hierarchy-first, then near-first
+        (CellSortValue ordering, cell.rs:189-196)."""
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        metadata, cam = self.make_world(2)
+        frustums = self.make_streamer_inputs(metadata, cam)
+        streamer = CellStreamer(metadata, max_loading=10_000)
+        streamer.update(frustums, cam.transform)
+        order = streamer.fill_load_slots()
+        keys = [
+            (c.hierarchy, np.sum((metadata.config.cell_pos(
+                np.asarray(c.index, np.int32),
+                metadata.config.cell_size(c.hierarchy),
+            ) - cam.transform.translation) ** 2)) for c in order
+        ]
+        assert all(
+            keys[i][0] < keys[i + 1][0]
+            or (keys[i][0] == keys[i + 1][0]
+                and int(keys[i][1]) <= int(keys[i + 1][1]))
+            for i in range(len(keys) - 1)
+        )
+
+    def test_despawn_on_camera_turn(self):
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        metadata, cam = self.make_world(1)
+        frustums = self.make_streamer_inputs(metadata, cam)
+        streamer = CellStreamer(metadata)
+        streamer.update(frustums, cam.transform)
+        started = streamer.fill_load_slots()
+        config = metadata.config
+        for cell_id in started:
+            cell_size = config.cell_size(cell_id.hierarchy)
+            cell = Cell(
+                cell_id, config.sub_cell_size(cell_size), cell_size,
+                config.cell_pos(np.asarray(cell_id.index, np.int32), cell_size),
+            )
+            streamer.on_loaded(cell_id, cell)
+        assert len(streamer.loaded) == len(started)
+        # turn the camera around: old cells leave the visible set
+        cam.transform.look_to(
+            np.array([0.0, -1.0, 0.0]), np.array([0.0, 0.0, 1.0])
+        )
+        frustums = self.make_streamer_inputs(metadata, cam)
+        streamer.update(frustums, cam.transform)
+        for cell_id in started:
+            assert cell_id not in streamer.loaded
+
+
+class TestFullFrame:
+    def test_render_frame_produces_image(self, tmp_path):
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(14)
+        pos = rng.uniform(-50, 50, (20_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (20_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+        cam = Camera()
+        cam.projection.far = metadata.config.max_cell_size * 5.0
+        cam.look_at_aabb(metadata.bounding_box)
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        streamer = CellStreamer(metadata, loader=loader)
+        frustums = update_streaming_frustums(
+            metadata, cam.transform, cam.projection, cam.frustum()
+        )
+        streamer.update(frustums, cam.transform)
+        for _ in range(200):
+            if not streamer.fill_load_slots():
+                break
+        assert streamer.stats().loaded_points > 0
+
+        renderer = PointRenderer(
+            metadata, RenderSettings(width=320, height=240)
+        )
+        rgb, depth, stats = renderer.render(streamer, cam, frustums)
+        assert rgb.shape == (240, 320, 3)
+        assert depth.shape == (240, 320)
+        assert stats["points_visible"] > 0
+        # some pixels covered (not all clear color / clear depth)
+        assert (depth < 1.0).sum() > 50
+        assert np.abs(rgb - 0.16).max() > 0.1
+
+    def test_voronoi_vs_flat_depth_differs(self, tmp_path):
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.splat import (
+            make_framebuffer,
+            rasterize_splats,
+            resolve_framebuffer,
+        )
+
+        cam = Camera()
+        proj = cam.projection_matrix()
+        view = cam.view_matrix()
+        pos = np.array([[0.0, 10.0, 0.0]], np.float32)
+        hpos = np.concatenate([pos, np.ones((1, 1), np.float32)], 1)
+        view_pos = (hpos @ view.T).astype(np.float32)
+        clip = view_pos @ proj.T
+        ndc = clip[:, :3] / clip[:, 3:4]
+
+        images = {}
+        for voronoi in (True, False):
+            fb = make_framebuffer(64, 64)
+            fb = rasterize_splats(
+                fb, jnp.asarray(view_pos), jnp.asarray(ndc),
+                jnp.asarray([1.0], jnp.float32), jnp.asarray([1], jnp.int32),
+                jnp.ones(1, bool), jnp.asarray(proj),
+                height=64, width=64, footprint=9, voronoi=voronoi,
+            )
+            colors = jnp.asarray(
+                np.array([[0, 0, 0, 255], [255, 0, 0, 255]], np.uint8)
+            )
+            rgb, depth = resolve_framebuffer(fb, colors, 64, 64)
+            images[voronoi] = (np.asarray(rgb), np.asarray(depth))
+        # both hit pixels
+        assert (images[True][1] < 1.0).any()
+        assert (images[False][1] < 1.0).any()
+        hit = (images[True][1] < 1.0) & (images[False][1] < 1.0)
+        d_v = images[True][1][hit]
+        d_f = images[False][1][hit]
+        # voronoi pulls the paraboloid center toward the camera
+        assert (d_v <= d_f + 1e-7).all()
+        assert (d_v < d_f - 1e-7).any()
