@@ -58,6 +58,17 @@ class DeviceConverter(Converter):
         merged = PointBatch.concat(batches)
         self._cascade(merged.positions, merged.colors, hierarchy)
 
+    def _reduce_batch(self, hierarchy, positions, colors, cell_size,
+                      sub_cell_size):
+        """Hook: pre-reduce a level's batch before the merged pass.
+
+        Returns (positions, colors, extra_losers) where extra_losers is
+        None or a dict of arrays {positions, colors, cell_idx, next_idx}
+        that joins the merged pass's losers in the overflow staging. The
+        mesh-sharded converter overrides this to run shard-local dedup
+        first (parallel/mesh_converter.py)."""
+        return positions, colors, None
+
     def _cascade(
         self, positions: np.ndarray, colors: np.ndarray, hierarchy: int
     ) -> None:
@@ -66,6 +77,10 @@ class DeviceConverter(Converter):
             self._create_hierarchy_folder(hierarchy)
             cell_size = config.cell_size(hierarchy)
             sub_cell_size = config.sub_cell_size(cell_size)
+
+            positions, colors, extra_losers = self._reduce_batch(
+                hierarchy, positions, colors, cell_size, sub_cell_size
+            )
 
             # --- 1. touched cells + incumbents -----------------------------
             batch_cells = config.cell_index(positions, cell_size)
@@ -92,16 +107,18 @@ class DeviceConverter(Converter):
             cell_map = {c.id.index: c for c in cells}
             starts = _row_boundaries(cell_idx_s)
             ends = np.append(starts[1:], len(cell_idx_s))
-            # a cell's rows can span several slot runs; aggregate per cell
+            # cells come back in hash order; under a (rare) cell-hash
+            # collision one cell's rows can split into multiple spans
             seen: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
             for s, e in zip(starts, ends):
                 key = tuple(int(v) for v in cell_idx_s[s])
                 seen.setdefault(key, []).append((int(s), int(e)))
             for key, spans in seen.items():
                 cell = cell_map[key]
-                s0, e0 = spans[0][0], spans[-1][1]
-                rows = np.arange(s0, e0)
-                win_rows = rows[winner[s0:e0]]
+                rows = np.concatenate(
+                    [np.arange(s, e) for s, e in spans]
+                )
+                win_rows = rows[winner[rows]]
                 n_old = len(cell.points)
                 cell.points = PointBatch(pos_s[win_rows], col_s[win_rows])
                 cell.sub_indices = sub_idx_s[win_rows]
@@ -111,24 +128,32 @@ class DeviceConverter(Converter):
 
             # --- 4. losers -> overflow accounting --------------------------
             loser_rows = np.nonzero(~winner)[0]
-            if len(loser_rows) == 0:
-                return
+            l_pos = pos_s[loser_rows]
+            l_col = col_s[loser_rows]
             l_cell = cell_idx_s[loser_rows]
             l_next = next_idx_s[loser_rows]
+            if extra_losers is not None:
+                l_pos = np.concatenate([l_pos, extra_losers["positions"]])
+                l_col = np.concatenate([l_col, extra_losers["colors"]])
+                l_cell = np.concatenate([l_cell, extra_losers["cell_idx"]])
+                l_next = np.concatenate([l_next, extra_losers["next_idx"]])
+            if len(l_pos) == 0:
+                return
             order = np.lexsort(
                 (
                     l_next[:, 2], l_next[:, 1], l_next[:, 0],
                     l_cell[:, 2], l_cell[:, 1], l_cell[:, 0],
                 )
             )
-            loser_rows = loser_rows[order]
+            l_pos = l_pos[order]
+            l_col = l_col[order]
             l_cell = l_cell[order]
             l_next = l_next[order]
 
             next_chunks_pos: list[np.ndarray] = []
             next_chunks_col: list[np.ndarray] = []
             g_starts = _row_boundaries(np.concatenate([l_cell, l_next], axis=1))
-            g_ends = np.append(g_starts[1:], len(loser_rows))
+            g_ends = np.append(g_starts[1:], len(l_pos))
             # group the (cell, next-cell) runs per cell, then apply the
             # overflow-limit accounting one cell at a time
             i = 0
@@ -139,9 +164,8 @@ class DeviceConverter(Converter):
                     tuple(int(v) for v in l_cell[g_starts[i]]) == cell_key
                 ):
                     s, e = g_starts[i], g_ends[i]
-                    rows = loser_rows[s:e]
                     next_key = tuple(int(v) for v in l_next[s])
-                    grouped[next_key] = PointBatch(pos_s[rows], col_s[rows])
+                    grouped[next_key] = PointBatch(l_pos[s:e], l_col[s:e])
                     i += 1
                 cell = cell_map[cell_key]
                 remaining = cell.add_points_in_overflow(grouped, config)

@@ -8,40 +8,76 @@ whole batch in one fused XLA program:
 1. quantize every point to its (cell index, hex sub-grid slot) pair and
    compute its f32 squared distance to the slot center (VPU, exact ops —
    see ops/exact.py for why division is reconstructed),
-2. one multi-key ``lax.sort`` over (cell.xyz, slot.xyz, distance, arrival)
-   groups equal slots together with the best candidate first,
-3. a shifted-compare marks the first row of each (cell, slot) run — the
-   winners; every other row is a loser that cascades to the next hierarchy.
+2. one stable 3-key ``lax.sort`` over (cell-hash, slot-hash, distance)
+   groups cells into contiguous runs, slots into contiguous sub-runs, and
+   orders each slot's candidates best-first; stability preserves arrival
+   order on exact distance ties (the host feeds incumbents before batch
+   points, so a stored point beats an equal-distance newcomer, matching
+   cell.rs:80 ``new < old``),
+3. a shifted-compare marks the first row of each slot run — the winners;
+   every other row is a loser that cascades to the next hierarchy.
 
-Winner-set parity with the reference's sequential insertion: for distinct
-distances argmin is arrival-order independent; on ties the earliest arrival
-wins (the host feeds incumbents before batch points, so a stored point beats
-an equal-distance newcomer, matching cell.rs:80 ``new < old``).
+Why hashes instead of the raw (3 + 3) int32 key columns: TPU sort
+compilation scales with key count (~15 s per key per shape) and the raw
+form needs 7 keys; two 31-bit hashes + the distance give a 3-key sort
+that compiles once and reuses across every hierarchy level (grid scalars
+are traced values). Hash collisions cannot corrupt results: rows are
+re-checked against their true keys after the sort, any run that mixes two
+real keys is flagged, and flagged rows fall back to an exact host-side
+dedup (tests force this path; expected frequency is ~2^-22 per pair, and
+the fallback also guards cell-hash collisions in the grouping).
 
-Shapes are static: callers pad batches to pow2 buckets; padded rows carry a
-key of i32::MAX so they sort to the tail and are dropped by the valid mask.
+Shapes are static: callers pad batches to pow2 buckets; padded rows carry
+a cell-hash of i32::MAX (real hashes are clamped below it) so they sort to
+the tail and are dropped by the valid mask.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.hex import jax_axial_from_world, jax_axial_to_offset, jax_cell_index
-from ..ops.exact import exact_div
 
 _I32_MAX = np.int32(2**31 - 1)
 
+def _i32(v: int) -> np.int32:
+    """Python int (as u32 bit pattern) -> i32 constant."""
+    return np.int32(v - 2**32 if v >= 2**31 else v)
+
+
+# multiplicative mixing constants (odd, high-entropy)
+_PRIMES_A = tuple(_i32(v) for v in (0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F))
+_PRIMES_B = tuple(
+    _i32(v)
+    for v in (0x165667B1, 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB4F,
+              0x94D049BB)
+)
+
 
 def pad_to_bucket(n: int, minimum: int = 1024) -> int:
-    """Next power-of-two bucket size (bounds jit recompilation count)."""
+    """Next power-of-two bucket size (bounds the compiled-shape count)."""
     size = minimum
     while size < n:
         size *= 2
     return size
+
+
+def _mix(h):
+    """Final avalanche (murmur3-style), int32 wraparound arithmetic."""
+    h = h ^ (h >> 16)
+    h = h * np.int32(-2048144789)  # 0x85EBCA6B as i32
+    h = h ^ (h >> 13)
+    h = h * np.int32(-1028477387)  # 0xC2B2AE35 as i32
+    return h ^ (h >> 16)
+
+
+def _hash_cols(cols, primes):
+    h = jnp.zeros_like(cols[0])
+    for col, p in zip(cols, primes):
+        h = (h + col * p) * np.int32(-1640531527)  # golden-ratio constant
+    return _mix(h)
 
 
 def hex_keys(positions, cell_size, sub_cell_radius):
@@ -71,7 +107,7 @@ def hex_keys(positions, cell_size, sub_cell_radius):
     return cell_idx, sub_idx, dist
 
 
-@partial(jax.jit, donate_argnums=())
+@jax.jit
 def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
     """One fused dedup pass over a padded batch.
 
@@ -83,57 +119,91 @@ def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
       next_cell_size: f32 scalar, cell edge length at hierarchy + 1 (for
         loser regrouping).
 
-    Returns (all sorted by (cell, slot, distance, arrival)):
+    Returns (all sorted by (cell-hash, slot-hash, distance, arrival)):
       perm: (N,) i32 permutation into the input batch,
-      winner: (N,) bool, first valid row of each (cell, slot) run,
+      winner: (N,) bool, first valid row of each slot run,
       valid_s: (N,) bool sorted valid mask,
       cell_idx_s: (N, 3) i32 sorted cell indices,
       sub_idx_s: (N, 3) i32 sorted hex slot indices,
       dist_s: (N,) f32 sorted distances,
-      next_cell_idx_s: (N, 3) i32 cell index at the next hierarchy.
+      next_cell_idx_s: (N, 3) i32 cell index at the next hierarchy,
+      suspect: (N,) bool, rows inside hash-collision runs (host fallback).
     """
     n = positions.shape[0]
     cell_idx, sub_idx, dist = hex_keys(positions, cell_size, sub_cell_radius)
     next_cell_idx = jax_cell_index(positions, next_cell_size)
 
+    cols_cell = tuple(cell_idx[:, i] for i in range(3))
+    cols_all = cols_cell + tuple(sub_idx[:, i] for i in range(3))
+    cell_hash = _hash_cols(cols_cell, _PRIMES_A) & np.int32(0x7FFFFFFE)
+    slot_hash = _hash_cols(cols_all, _PRIMES_B)
+    cell_hash = jnp.where(valid, cell_hash, _I32_MAX)  # padding sorts last
+    slot_hash = jnp.where(valid, slot_hash, np.int32(0))
+
+    # distance as order-preserving int bits (f32 >= 0; inf/nan sort high)
+    dist_bits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+    dist_bits = jnp.where(valid, dist_bits, _I32_MAX)
+
     arrival = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
-
-    # leading key = !valid so padding sorts strictly after every real row
-    # (saturated real indices may equal i32::MAX and must not interleave)
-    (invalid_s, kx, ky, kz, sx, sy, sz, dist_s, perm, nx, ny, nz) = jax.lax.sort(
-        (
-            jnp.logical_not(valid).astype(jnp.int32),
-            cell_idx[:, 0],
-            cell_idx[:, 1],
-            cell_idx[:, 2],
-            sub_idx[:, 0],
-            sub_idx[:, 1],
-            sub_idx[:, 2],
-            dist,
-            arrival,  # tie-break: earliest arrival wins (incumbents first)
-            next_cell_idx[:, 0],
-            next_cell_idx[:, 1],
-            next_cell_idx[:, 2],
-        ),
-        num_keys=9,
+    ch_s, sh_s, _, perm = jax.lax.sort(
+        (cell_hash, slot_hash, dist_bits, arrival),
+        num_keys=3,
+        is_stable=True,
     )
 
-    same_as_prev = (
-        (kx == jnp.roll(kx, 1))
-        & (ky == jnp.roll(ky, 1))
-        & (kz == jnp.roll(kz, 1))
-        & (sx == jnp.roll(sx, 1))
-        & (sy == jnp.roll(sy, 1))
-        & (sz == jnp.roll(sz, 1))
-    )
-    first = jnp.logical_not(same_as_prev).at[0].set(True)
-    valid_s = invalid_s == 0
+    cell_idx_s = cell_idx[perm]
+    sub_idx_s = sub_idx[perm]
+    dist_s = dist[perm]
+    next_cell_idx_s = next_cell_idx[perm]
+    valid_s = valid[perm]
+
+    same_hash = (ch_s == jnp.roll(ch_s, 1)) & (sh_s == jnp.roll(sh_s, 1))
+    first = jnp.logical_not(same_hash).at[0].set(True)
     winner = first & valid_s
 
-    cell_idx_s = jnp.stack([kx, ky, kz], axis=-1)
-    sub_idx_s = jnp.stack([sx, sy, sz], axis=-1)
-    next_cell_idx_s = jnp.stack([nx, ny, nz], axis=-1)
-    return perm, winner, valid_s, cell_idx_s, sub_idx_s, dist_s, next_cell_idx_s
+    # collision audit: a run mixing two real keys has an adjacent mismatch
+    key_s = jnp.concatenate([cell_idx_s, sub_idx_s], axis=1)
+    diff_prev = jnp.any(key_s != jnp.roll(key_s, 1, axis=0), axis=1)
+    mismatch = same_hash & diff_prev & valid_s
+    mismatch = mismatch.at[0].set(False)
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_bad = jnp.zeros(n, jnp.int32).at[seg_id].max(
+        mismatch.astype(jnp.int32)
+    )
+    suspect = (seg_bad[seg_id] > 0) & valid_s
+
+    return (
+        perm, winner, valid_s, cell_idx_s, sub_idx_s, dist_s,
+        next_cell_idx_s, suspect,
+    )
+
+
+def resolve_suspects_host(perm, winner, cell_idx_s, sub_idx_s, dist_s,
+                          suspect) -> np.ndarray:
+    """Exact host-side re-dedup of hash-collision rows (rare).
+
+    Recomputes winner flags for suspect rows with a full-key lexsort; the
+    result is exactly the winner set a collision-free sort would produce.
+    Returns the corrected winner array.
+    """
+    rows = np.nonzero(suspect)[0]
+    if len(rows) == 0:
+        return winner
+    keys = np.concatenate(
+        [cell_idx_s[rows], sub_idx_s[rows]], axis=1
+    )
+    dist = dist_s[rows]
+    arrival = perm[rows]
+    order = np.lexsort(
+        (arrival, dist, keys[:, 5], keys[:, 4], keys[:, 3],
+         keys[:, 2], keys[:, 1], keys[:, 0])
+    )
+    k_sorted = keys[order]
+    is_first = np.ones(len(rows), bool)
+    is_first[1:] = np.any(k_sorted[1:] != k_sorted[:-1], axis=1)
+    winner = winner.copy()
+    winner[rows[order]] = is_first
+    return winner
 
 
 def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
@@ -141,7 +211,12 @@ def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
     """Host wrapper: pad, run :func:`dedup_pass`, return NumPy results.
 
     ``positions`` rows [0, n_valid) are real (incumbents first, then batch
-    arrivals); the rest is padding.
+    arrivals); the rest is padding. Hash-collision runs are corrected
+    exactly via :func:`resolve_suspects_host`.
+
+    NOTE: rows come back grouped by *hash* order — same cell contiguous
+    (up to cell-hash collisions, which the suspect mask also flags), but
+    cells in hash order, not index order.
     """
     n = len(positions) if n_valid is None else n_valid
     n_pad = pad_to_bucket(max(n, 1))
@@ -159,10 +234,12 @@ def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
         jnp.float32(sub_cell_size / np.float32(2.0)),
         jnp.float32(cell_size / np.float32(2.0)),
     )
-    perm, winner, valid_s, cell_idx, sub_idx, dist, next_cell_idx = map(
-        np.asarray, out
+    (perm, winner, valid_s, cell_idx, sub_idx, dist, next_cell_idx,
+     suspect) = map(np.asarray, out)
+    winner = resolve_suspects_host(
+        perm, winner, cell_idx, sub_idx, dist, suspect
     )
-    # padding occupies the tail; truncate to the n valid rows
+    # padding sorts to the tail; truncate to the n valid rows
     return (
         perm[:n],
         winner[:n],

@@ -72,7 +72,9 @@ class TestDedupPass:
             assert len(w) == 1
             assert dist[w[0]] == dist[rows].min()
 
-    def test_sorted_and_grouped(self):
+    def test_grouped_contiguously(self):
+        """Rows of the same cell — and same (cell, slot) — must come back
+        contiguous (cells in hash order)."""
         config = MetadataConfig()
         cell_size = config.cell_size(0)
         sub = config.sub_cell_size(cell_size)
@@ -80,9 +82,45 @@ class TestDedupPass:
         perm, winner, cell_idx, sub_idx, dist, next_idx = dedup_batch_host(
             batch.positions, cell_size, sub
         )
+        for arr in (cell_idx, np.concatenate([cell_idx, sub_idx], axis=1)):
+            # each distinct row value appears in exactly one contiguous run
+            change = np.any(arr[1:] != arr[:-1], axis=1)
+            n_runs = 1 + change.sum()
+            n_distinct = len(np.unique(arr, axis=0))
+            assert n_runs == n_distinct
+
+    def test_suspect_fallback_is_exact(self):
+        """Force hash collisions (monkeypatched 1-bit hashes) and verify the
+        host fallback reproduces the exact winner set."""
+        import point_cloud_tpu.ops.dedup as dd
+
+        config = MetadataConfig()
+        cell_size = config.cell_size(2)
+        sub = config.sub_cell_size(cell_size)
+        batch = random_batch(4_000, seed=10, lo=-40, hi=40)
+
+        orig = dd._hash_cols
+        orig_pass = dd.dedup_pass
+        try:
+            dd._hash_cols = lambda cols, primes: orig(cols, primes) & 1
+            import jax
+
+            dd.dedup_pass = jax.jit(dd.dedup_pass.__wrapped__)
+            perm, winner, cell_idx, sub_idx, dist, next_idx = (
+                dd.dedup_batch_host(batch.positions, cell_size, sub)
+            )
+        finally:
+            dd._hash_cols = orig
+            dd.dedup_pass = orig_pass
+
         keys = np.concatenate([cell_idx, sub_idx], axis=1)
-        order = np.lexsort(keys.T[::-1])
-        np.testing.assert_array_equal(order, np.sort(order))  # already sorted
+        uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+        assert winner.sum() == len(uniq)
+        for g in range(len(uniq)):
+            rows = np.nonzero(inverse == g)[0]
+            w = rows[winner[rows]]
+            assert len(w) == 1
+            assert dist[w[0]] == dist[rows].min()
 
     def test_tie_break_earliest_arrival(self):
         """Duplicate positions: the first arrival must win (incumbent rule)."""

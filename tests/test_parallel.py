@@ -1,0 +1,95 @@
+"""Mesh-sharded conversion tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from point_cloud_tpu.convert.converter import Converter
+from point_cloud_tpu.core.metadata import Metadata, MetadataConfig
+from point_cloud_tpu.core.point import PointBatch
+from point_cloud_tpu.parallel.dedup import ShardedDedup
+from point_cloud_tpu.parallel.mesh import make_mesh
+from point_cloud_tpu.parallel.mesh_converter import MeshConverter
+
+needs_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device platform"
+)
+
+
+def random_batch(n, seed=0, lo=-100, hi=100):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+def store_files(store_dir):
+    return {
+        str(p.relative_to(store_dir)): p.read_bytes()
+        for p in sorted(store_dir.rglob("*"))
+        if p.is_file()
+    }
+
+
+@needs_multidevice
+class TestShardedDedup:
+    def test_global_reductions(self):
+        mesh = make_mesh(8)
+        sharded = ShardedDedup(mesh)
+        batch = random_batch(20_000, seed=31)
+        config = MetadataConfig()
+        cell_size = config.cell_size(0)
+        out = sharded(batch.positions, cell_size, config.sub_cell_size(cell_size))
+        assert out["count"] == 20_000
+        np.testing.assert_array_equal(
+            out["bbox_min"], batch.positions.min(axis=0)
+        )
+        np.testing.assert_array_equal(
+            out["bbox_max"], batch.positions.max(axis=0)
+        )
+
+    def test_winner_superset_and_merge_equivalence(self):
+        """Merging shard winners yields exactly the single-device winner set."""
+        from point_cloud_tpu.ops.dedup import dedup_batch_host
+
+        mesh = make_mesh(8)
+        sharded = ShardedDedup(mesh)
+        batch = random_batch(30_000, seed=32, lo=-3, hi=3)
+        config = MetadataConfig()
+        cell_size = config.cell_size(0)
+        sub = config.sub_cell_size(cell_size)
+
+        out = sharded(batch.positions, cell_size, sub)
+        w = out["winner"] & out["valid"]
+        w_arrival = np.sort(out["global_arrival"][w])
+
+        # stage B: single-device pass over shard winners
+        perm, winner_b, *_ = dedup_batch_host(
+            batch.positions[w_arrival], cell_size, sub
+        )
+        merged = np.sort(w_arrival[perm[winner_b]])
+
+        # oracle: single-device pass over everything
+        perm_o, winner_o, *_ = dedup_batch_host(batch.positions, cell_size, sub)
+        expected = np.sort(perm_o[winner_o])
+        np.testing.assert_array_equal(merged, expected)
+
+
+@needs_multidevice
+class TestMeshConverter:
+    @pytest.mark.parametrize("n,kwargs", [
+        (40_000, dict(lo=-200, hi=200)),
+        (60_000, dict(lo=-3, hi=3)),
+    ])
+    def test_store_byte_identical_to_host(self, tmp_path, n, kwargs):
+        batch = random_batch(n, seed=33, **kwargs)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with MeshConverter(Metadata(), tmp_path / "mesh", n_devices=8) as conv:
+            conv.add_points_batch(batch)
+        host_files = store_files(tmp_path / "host")
+        mesh_files = store_files(tmp_path / "mesh")
+        assert set(host_files) == set(mesh_files)
+        for name, data in host_files.items():
+            assert mesh_files[name] == data, f"mismatch in {name}"
