@@ -56,11 +56,19 @@ def add_points_to_cell(
 
 
 class CellCache:
-    """LRU cell cache; evictions write back to the store directory."""
+    """LRU cell cache; evictions write back to the store directory.
 
-    def __init__(self, working_directory: Path, capacity: int = DEFAULT_CACHE_SIZE):
+    With a ``writer`` (native/), write-back is asynchronous on C++ worker
+    threads; ``flush_path`` is the read barrier for cells that may still
+    be in flight (evicted, then missed again before the write landed).
+    """
+
+    def __init__(self, working_directory: Path,
+                 capacity: int = DEFAULT_CACHE_SIZE, writer=None):
         self.working_directory = Path(working_directory)
         self.capacity = capacity
+        self.writer = writer
+        self._inflight: set[str] = set()
         self._cells: OrderedDict[CellId, Cell] = OrderedDict()
 
     def __len__(self) -> int:
@@ -84,11 +92,31 @@ class CellCache:
 
     def save_cell(self, cell: Cell) -> None:
         path = self.working_directory / cell.id.path()
-        cell.write_to_path(path)
+        if self.writer is not None:
+            key = str(path)
+            if key in self._inflight:
+                self.flush()  # keep per-path write order
+            self.writer.submit(path, cell.to_bytes())
+            self._inflight.add(key)
+        else:
+            cell.write_to_path(path)
+
+    def flush_path(self, path) -> None:
+        """Barrier before reading ``path`` if an async write is queued."""
+        if self.writer is not None and str(path) in self._inflight:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.writer is not None:
+            errors = self.writer.flush()
+            self._inflight.clear()
+            if errors:
+                raise OSError(f"{errors} cell write(s) failed")
 
     def save_all(self) -> None:
         for cell in self._cells.values():
             self.save_cell(cell)
+        self.flush()
 
     def values(self):
         return self._cells.values()
@@ -110,11 +138,18 @@ class Converter:
         metadata: Metadata,
         working_directory,
         cache_size: int = DEFAULT_CACHE_SIZE,
+        async_io: bool = True,
     ):
         self.metadata = metadata
         self.working_directory = Path(working_directory)
         self.working_directory.mkdir(parents=True, exist_ok=True)
-        self.cell_cache = CellCache(self.working_directory, cache_size)
+        writer = None
+        if async_io:
+            from ..native import AsyncStoreWriter
+
+            writer = AsyncStoreWriter(n_threads=4)
+        self._writer = writer
+        self.cell_cache = CellCache(self.working_directory, cache_size, writer)
 
     # --- batch entry point (converter.rs:106-112) ---------------------------
 
@@ -168,6 +203,7 @@ class Converter:
 
     def _load_or_create_cell(self, cell_id: CellId) -> Cell:
         path = self.working_directory / cell_id.path()
+        self.cell_cache.flush_path(path)
         try:
             return Cell.from_path(path)
         except FileNotFoundError:
@@ -193,6 +229,9 @@ class Converter:
     def close(self) -> None:
         self.save_cache()
         self.save_metadata()
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
 
     def __enter__(self) -> "Converter":
         return self

@@ -33,7 +33,11 @@ from ..core.point import PointBatch
 from ..ops.dedup import dedup_batch_host
 from .converter import Converter
 
-DEVICE_BATCH_SIZE = 1 << 20
+# XLA TPU sort compile time scales with shape (~30 s at 2^16, ~2x per
+# doubling); 2^17 balances one-time compile cost against per-chunk host
+# overhead. The persistent compilation cache (ops/runtime.py) makes it a
+# per-machine, not per-process, cost.
+DEVICE_BATCH_SIZE = 1 << 17
 
 
 def _row_boundaries(rows: np.ndarray) -> np.ndarray:

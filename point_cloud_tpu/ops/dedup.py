@@ -206,9 +206,43 @@ def resolve_suspects_host(perm, winner, cell_idx_s, sub_idx_s, dist_s,
     return winner
 
 
+@jax.jit
+def dedup_pass_light(positions, valid, cell_size, sub_cell_radius):
+    """Transfer-minimal variant of :func:`dedup_pass`.
+
+    Returns only (perm, winner, suspect) — 6 bytes/point device-to-host
+    instead of ~47. The remaining per-row data (cell/slot indices,
+    distances) is bit-identical when recomputed on the host from the
+    permuted positions (core/hex.py keeps the NumPy and jnp paths in IEEE
+    lockstep), so callers rebuild it locally. This matters when the host
+    link is thin (the bench environment tunnels the TPU at ~45 MB/s).
+    """
+    out = dedup_pass(
+        positions, valid, cell_size, sub_cell_radius, jnp.float32(1.0)
+    )
+    perm, winner = out[0], out[1]
+    suspect = out[7]
+    return perm, winner, suspect
+
+
+def host_keys(positions, cell_size, sub_cell_size):
+    """NumPy mirror of :func:`hex_keys` (same f32 ops -> same bits)."""
+    from ..core import hex as hexgrid
+    from ..core.metadata import MetadataConfig
+
+    config = MetadataConfig()
+    cell_idx = config.cell_index(positions, np.float32(cell_size))
+    radius = np.float32(sub_cell_size) / np.float32(2.0)
+    sub_idx = hexgrid.offset_from_world(positions, radius)
+    centers = hexgrid.offset_to_world(sub_idx, radius)
+    d = positions - centers
+    dist = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
+    return cell_idx, sub_idx, dist
+
+
 def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
                      n_valid: int | None = None):
-    """Host wrapper: pad, run :func:`dedup_pass`, return NumPy results.
+    """Host wrapper: pad, run the light device pass, rebuild row data.
 
     ``positions`` rows [0, n_valid) are real (incumbents first, then batch
     arrivals); the rest is padding. Hash-collision runs are corrected
@@ -227,24 +261,29 @@ def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
 
     cell_size = np.float32(cell_size)
     sub_cell_size = np.float32(sub_cell_size)
-    out = dedup_pass(
-        jnp.asarray(pos_pad),
-        jnp.asarray(valid),
-        jnp.float32(cell_size),
-        jnp.float32(sub_cell_size / np.float32(2.0)),
-        jnp.float32(cell_size / np.float32(2.0)),
+    perm, winner, suspect = map(
+        np.asarray,
+        dedup_pass_light(
+            jnp.asarray(pos_pad),
+            jnp.asarray(valid),
+            jnp.float32(cell_size),
+            jnp.float32(sub_cell_size / np.float32(2.0)),
+        ),
     )
-    (perm, winner, valid_s, cell_idx, sub_idx, dist, next_cell_idx,
-     suspect) = map(np.asarray, out)
+    # padding sorts to the tail; keep the n valid rows
+    perm = perm[:n]
+    winner = winner[:n]
+    suspect = suspect[:n]
+
+    pos_s = np.asarray(positions[:n], np.float32)[perm]
+    cell_idx, sub_idx, dist = host_keys(pos_s, cell_size, sub_cell_size)
+    next_cell_idx = None  # computed lazily by callers that need it
+    from ..core.metadata import MetadataConfig
+
+    next_cell_idx = MetadataConfig().cell_index(
+        pos_s, np.float32(cell_size / np.float32(2.0))
+    )
     winner = resolve_suspects_host(
         perm, winner, cell_idx, sub_idx, dist, suspect
     )
-    # padding sorts to the tail; truncate to the n valid rows
-    return (
-        perm[:n],
-        winner[:n],
-        cell_idx[:n],
-        sub_idx[:n],
-        dist[:n],
-        next_cell_idx[:n],
-    )
+    return perm, winner, cell_idx, sub_idx, dist, next_cell_idx
