@@ -2,26 +2,30 @@
 
 Produces stores identical to the host :class:`~.converter.Converter` (same
 winner sets, same counters, same metadata — tested in
-tests/test_device_converter.py), but replaces the per-cell NumPy dedup with
-one fused XLA pass per hierarchy level over the *entire* batch plus the
-incumbents of every touched cell (ops/dedup.py). The reference's equivalent
-work is a per-point HashMap insert loop (reference:
-point-converter/src/converter.rs:114-139, cell.rs:70-106).
+tests/test_device_converter.py), but replaces the per-cell batch dedup with
+one fused XLA pass per hierarchy level over the *entire* batch
+(ops/dedup.py). The reference's equivalent work is a per-point HashMap
+insert loop (reference: point-converter/src/converter.rs:114-139,
+cell.rs:70-106).
 
 Per batch, per hierarchy level:
 
-1. host computes the batch's cell indices (exact f32 floor-divide) and
-   loads/creates each touched cell through the LRU cache,
-2. incumbents (current grid points of touched cells) are concatenated ahead
-   of the batch — earliest-arrival tie-breaking then makes stored points win
-   ties, matching sequential insertion (cell.rs:80),
-3. one `dedup_pass` sorts (cell, hex slot, distance, arrival) and flags
-   winners; the sorted output is already grouped by cell, so the host
-   splits it with boundary diffs — no per-point work,
-4. winners replace each touched cell's grid; losers regroup by
-   (cell, next-hierarchy cell) in one lexsort and run the overflow-limit
-   accounting (Cell.add_points_in_overflow, host dict logic); flushed
-   groups become the next level's input.
+1. one ``dedup_pass`` on the device sorts the batch by (cell, hex slot,
+   distance, arrival) and flags the batch-local winner of every slot; only
+   6 bytes/point return to the host (ops/dedup.py ``dedup_pass_light``),
+2. the sorted output is grouped by cell, so the host splits it with
+   boundary diffs — no per-point work,
+3. each touched cell merges its batch winners against its stored grid via
+   the LSM ``Cell.merge_winners`` (searchsorted probes — stored points are
+   never re-uploaded or re-sorted); displaced incumbents come back out,
+4. losers (batch + displaced) regroup by (cell, next-hierarchy cell) in one
+   lexsort and run the overflow-limit accounting
+   (Cell.add_points_in_overflow, host dict logic); flushed groups become
+   the next level's input.
+
+Two-stage dedup (batch argmin, then merge vs incumbents) equals the
+reference's sequential insertion outcome: argmin per slot is associative,
+and ties keep first-arrival/incumbent in both stages (cell.rs:80).
 """
 
 from __future__ import annotations
@@ -34,10 +38,10 @@ from ..ops.dedup import dedup_batch_host
 from .converter import Converter
 
 # XLA TPU sort compile time scales with shape (~30 s at 2^16, ~2x per
-# doubling); 2^17 balances one-time compile cost against per-chunk host
-# overhead. The persistent compilation cache (ops/runtime.py) makes it a
-# per-machine, not per-process, cost.
-DEVICE_BATCH_SIZE = 1 << 17
+# doubling); 2^18 balances one-time compile cost against per-chunk host +
+# transfer overhead. The persistent compilation cache (ops/runtime.py)
+# makes it a per-machine, not per-process, cost.
+DEVICE_BATCH_SIZE = 1 << 18
 
 
 def _row_boundaries(rows: np.ndarray) -> np.ndarray:
@@ -64,11 +68,11 @@ class DeviceConverter(Converter):
 
     def _reduce_batch(self, hierarchy, positions, colors, cell_size,
                       sub_cell_size):
-        """Hook: pre-reduce a level's batch before the merged pass.
+        """Hook: pre-reduce a level's batch before the device pass.
 
         Returns (positions, colors, extra_losers) where extra_losers is
         None or a dict of arrays {positions, colors, cell_idx, next_idx}
-        that joins the merged pass's losers in the overflow staging. The
+        that joins this level's losers in the overflow staging. The
         mesh-sharded converter overrides this to run shard-local dedup
         first (parallel/mesh_converter.py)."""
         return positions, colors, None
@@ -81,68 +85,83 @@ class DeviceConverter(Converter):
             self._create_hierarchy_folder(hierarchy)
             cell_size = config.cell_size(hierarchy)
             sub_cell_size = config.sub_cell_size(cell_size)
+            next_cell_size = np.float32(cell_size) / np.float32(2.0)
 
             positions, colors, extra_losers = self._reduce_batch(
                 hierarchy, positions, colors, cell_size, sub_cell_size
             )
 
-            # --- 1. touched cells + incumbents -----------------------------
-            batch_cells = config.cell_index(positions, cell_size)
-            touched = np.unique(batch_cells, axis=0)
-            cells = [
-                self.get_cell(CellId(hierarchy, tuple(int(v) for v in idx)))
-                for idx in touched
-            ]
-            inc_pos = [c.points.positions for c in cells]
-            inc_col = [c.points.colors for c in cells]
-            n_inc = int(sum(len(p) for p in inc_pos))
+            # --- 1+2. device pass + host-side rebuild -----------------------
+            l_pos_chunks: list[np.ndarray] = []
+            l_col_chunks: list[np.ndarray] = []
+            l_cell_chunks: list[np.ndarray] = []
+            l_next_chunks: list[np.ndarray] = []
 
-            all_pos = np.concatenate(inc_pos + [positions])
-            all_col = np.concatenate(inc_col + [colors])
-
-            # --- 2. fused device pass --------------------------------------
-            perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
-                dedup_batch_host(all_pos, cell_size, sub_cell_size)
-            )
-            pos_s = all_pos[perm]
-            col_s = all_col[perm]
-
-            # --- 3. winners -> cell grids ----------------------------------
-            cell_map = {c.id.index: c for c in cells}
-            starts = _row_boundaries(cell_idx_s)
-            ends = np.append(starts[1:], len(cell_idx_s))
-            # cells come back in hash order; under a (rare) cell-hash
-            # collision one cell's rows can split into multiple spans
-            seen: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
-            for s, e in zip(starts, ends):
-                key = tuple(int(v) for v in cell_idx_s[s])
-                seen.setdefault(key, []).append((int(s), int(e)))
-            for key, spans in seen.items():
-                cell = cell_map[key]
-                rows = np.concatenate(
-                    [np.arange(s, e) for s, e in spans]
+            if len(positions):
+                perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
+                    dedup_batch_host(positions, cell_size, sub_cell_size)
                 )
-                win_rows = rows[winner[rows]]
-                n_old = len(cell.points)
-                cell.points = PointBatch(pos_s[win_rows], col_s[win_rows])
-                cell.sub_indices = sub_idx_s[win_rows]
-                newly = len(win_rows) - n_old
-                cell.total_number_of_points += newly
-                cell.number_of_points += newly
+                pos_s = positions[perm]
+                col_s = colors[perm]
 
-            # --- 4. losers -> overflow accounting --------------------------
-            loser_rows = np.nonzero(~winner)[0]
-            l_pos = pos_s[loser_rows]
-            l_col = col_s[loser_rows]
-            l_cell = cell_idx_s[loser_rows]
-            l_next = next_idx_s[loser_rows]
-            if extra_losers is not None:
-                l_pos = np.concatenate([l_pos, extra_losers["positions"]])
-                l_col = np.concatenate([l_col, extra_losers["colors"]])
-                l_cell = np.concatenate([l_cell, extra_losers["cell_idx"]])
-                l_next = np.concatenate([l_next, extra_losers["next_idx"]])
-            if len(l_pos) == 0:
+                starts = _row_boundaries(cell_idx_s)
+                ends = np.append(starts[1:], len(cell_idx_s))
+                # cells come back in hash order; under a (rare) cell-hash
+                # collision one cell's rows can split into multiple spans
+                seen: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+                for s, e in zip(starts, ends):
+                    key = tuple(int(v) for v in cell_idx_s[s])
+                    seen.setdefault(key, []).append((int(s), int(e)))
+
+                # --- 3. LSM merge per touched cell --------------------------
+                for key, spans in seen.items():
+                    rows = np.concatenate(
+                        [np.arange(s, e) for s, e in spans]
+                    )
+                    win = rows[winner[rows]]
+                    lose = rows[~winner[rows]]
+                    cell = self.get_cell(CellId(hierarchy, key))
+                    displaced = cell.merge_winners(
+                        pos_s[win], col_s[win], sub_idx_s[win], dist_s[win]
+                    )
+                    if len(lose):
+                        l_pos_chunks.append(pos_s[lose])
+                        l_col_chunks.append(col_s[lose])
+                        l_cell_chunks.append(cell_idx_s[lose])
+                        l_next_chunks.append(next_idx_s[lose])
+                    if len(displaced):
+                        l_pos_chunks.append(displaced.positions)
+                        l_col_chunks.append(displaced.colors)
+                        l_cell_chunks.append(
+                            np.broadcast_to(
+                                np.asarray(key, np.int32), (len(displaced), 3)
+                            )
+                        )
+                        l_next_chunks.append(
+                            config.cell_index(
+                                displaced.positions, next_cell_size
+                            )
+                        )
+
+            if extra_losers is not None and len(extra_losers["positions"]):
+                l_pos_chunks.append(extra_losers["positions"])
+                l_col_chunks.append(extra_losers["colors"])
+                l_cell_chunks.append(extra_losers["cell_idx"])
+                l_next_chunks.append(extra_losers["next_idx"])
+                for key in {
+                    tuple(int(v) for v in row)
+                    for row in np.unique(extra_losers["cell_idx"], axis=0)
+                }:
+                    self.get_cell(CellId(hierarchy, key))  # ensure loaded
+
+            if not l_pos_chunks:
                 return
+
+            # --- 4. losers -> overflow accounting ---------------------------
+            l_pos = np.concatenate(l_pos_chunks)
+            l_col = np.concatenate(l_col_chunks)
+            l_cell = np.concatenate(l_cell_chunks)
+            l_next = np.concatenate(l_next_chunks)
             order = np.lexsort(
                 (
                     l_next[:, 2], l_next[:, 1], l_next[:, 0],
@@ -171,7 +190,7 @@ class DeviceConverter(Converter):
                     next_key = tuple(int(v) for v in l_next[s])
                     grouped[next_key] = PointBatch(l_pos[s:e], l_col[s:e])
                     i += 1
-                cell = cell_map[cell_key]
+                cell = self.get_cell(CellId(hierarchy, cell_key))
                 remaining = cell.add_points_in_overflow(grouped, config)
                 for key in sorted(remaining):
                     next_chunks_pos.append(remaining[key].positions)

@@ -13,12 +13,17 @@ Capability parity with the reference's ``Cell`` (point-converter/src/cell.rs):
   (cell.rs:155-229, header at cell.rs:280-335).
 
 TPU-first redesign: the reference inserts points one HashMap entry at a
-time; here a cell is structure-of-arrays (positions/colors/sub-indices) and
-``add_points`` is a single vectorized sort + segmented-argmin pass. Dedup
-outcome parity: for distinct distances the winner set is identical to the
-reference's sequential insertion; on exact distance ties the stored point
-wins (matching cell.rs:80 ``new < old``) and among tied new points the
-earliest in batch order wins (matching sequential arrival).
+time; here a cell is structure-of-arrays and ``add_points`` is one
+vectorized batch-dedup (sort + segmented argmin) followed by an LSM-style
+merge against the stored grid: occupied slots live in sorted, immutable
+*segments* (packed int64 slot keys + validity bitmaps), batch winners probe
+them with ``searchsorted`` (O(batch log stored) — stored points are never
+rescanned or re-sorted per batch, unlike a naive concat+sort), displaced
+incumbents invalidate in place, and segments compact when they pile up.
+Dedup outcome parity: for distinct distances the winner set is identical to
+the reference's sequential insertion; on exact distance ties the stored
+point wins (matching cell.rs:80 ``new < old``) and among tied new points
+the earliest in batch order wins (matching sequential arrival).
 
 Canonical on-disk point order: the reference's order is FxHashMap iteration
 order (non-deterministic across runs); readers re-derive sub-grid indices
@@ -72,6 +77,48 @@ def _distance_sq_to_center(
     return (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
 
 
+_KEY_BIAS = 1 << 20  # packed slot keys cover indices in [-2^20, 2^20)
+_MAX_SEGMENTS = 8
+
+
+def _pack_slot_keys(sub_indices: np.ndarray) -> np.ndarray:
+    """(N, 3) i32 hex slot -> sortable int64 key (21 bits per axis).
+
+    Raises OverflowError outside +/-2^20 hex slots per axis — beyond the
+    spatial range where f32 positions can address distinct slots anyway;
+    callers fall back to the exact lexsort merge.
+    """
+    s = sub_indices.astype(np.int64)
+    if len(s) and (s.min() < -_KEY_BIAS or s.max() >= _KEY_BIAS):
+        raise OverflowError("hex slot index out of packed-key range")
+    return (
+        ((s[:, 0] + _KEY_BIAS) << 42)
+        | ((s[:, 1] + _KEY_BIAS) << 21)
+        | (s[:, 2] + _KEY_BIAS)
+    )
+
+
+class _Segment:
+    """A sorted, immutable run of occupied slots with a validity bitmap."""
+
+    __slots__ = ("keys", "positions", "colors", "sub_indices", "dist", "valid")
+
+    def __init__(self, keys, positions, colors, sub_indices, dist):
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.positions = positions[order]
+        self.colors = colors[order]
+        self.sub_indices = sub_indices[order]
+        self.dist = dist[order]
+        self.valid = np.ones(len(keys), bool)
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def n_valid(self) -> int:
+        return int(self.valid.sum())
+
+
 class Cell:
     def __init__(
         self,
@@ -88,13 +135,45 @@ class Cell:
         self.total_number_of_points = 0
         self.number_of_points = 0
         self.number_of_overflow_points = 0
-        # structure-of-arrays points grid: one point per hex slot
-        self.points = PointBatch.empty()
-        self.sub_indices = np.empty((0, 3), dtype=np.int32)
+        # LSM points grid: one valid row per hex slot across all segments
+        self._segments: list[_Segment] = []
+        self._out_of_range = False  # packed-key fallback latch
         # overflow staging: next-hierarchy cell index -> PointBatch | None
         self.overflow: dict[tuple[int, int, int], PointBatch | None] = {}
 
     # --- queries -----------------------------------------------------------
+
+    def _materialize(self):
+        """(positions, colors, sub_indices, dist) of all valid grid rows."""
+        if not self._segments:
+            return (
+                np.empty((0, 3), np.float32),
+                np.empty((0, 4), np.uint8),
+                np.empty((0, 3), np.int32),
+                np.empty(0, np.float32),
+            )
+        pos, col, sub, dist = [], [], [], []
+        for seg in self._segments:
+            v = seg.valid
+            pos.append(seg.positions[v])
+            col.append(seg.colors[v])
+            sub.append(seg.sub_indices[v])
+            dist.append(seg.dist[v])
+        return (
+            np.concatenate(pos),
+            np.concatenate(col),
+            np.concatenate(sub),
+            np.concatenate(dist),
+        )
+
+    @property
+    def points(self) -> PointBatch:
+        pos, col, _, _ = self._materialize()
+        return PointBatch(pos, col)
+
+    @property
+    def sub_indices(self) -> np.ndarray:
+        return self._materialize()[2]
 
     def overflow_points(self) -> PointBatch:
         return PointBatch.concat(
@@ -116,46 +195,158 @@ class Cell:
         """Insert a batch; returns the displaced/colliding points.
 
         One winner per hex slot, chosen by least squared distance to the
-        slot center; the incumbent stored point wins ties.
+        slot center; the incumbent stored point wins ties. Two stages:
+        batch-local dedup (one lexsort over the batch only), then the LSM
+        merge against stored segments (:meth:`merge_winners`).
         """
         if len(batch) == 0:
             return PointBatch.empty()
 
-        n_old = len(self.points)
         new_sub = self.sub_grid_indices_for(batch.positions)
-        all_pos = np.concatenate([self.points.positions, batch.positions])
-        all_col = np.concatenate([self.points.colors, batch.colors])
-        all_sub = np.concatenate([self.sub_indices, new_sub])
-
         radius = self.sub_cell_size / np.float32(2.0)
-        dist = _distance_sq_to_center(all_pos, all_sub, radius)
-        # priority: incumbents first (0), then batch arrival order
-        priority = np.arange(len(all_pos), dtype=np.int64)
+        dist = _distance_sq_to_center(batch.positions, new_sub, radius)
+        priority = np.arange(len(batch), dtype=np.int64)
 
-        # lexsort: last key is primary. Group by slot, then distance, then
-        # priority (incumbent / earliest arrival wins ties).
         order = np.lexsort(
-            (priority, dist, all_sub[:, 2], all_sub[:, 1], all_sub[:, 0])
+            (priority, dist, new_sub[:, 2], new_sub[:, 1], new_sub[:, 0])
+        )
+        sorted_sub = new_sub[order]
+        is_first = np.empty(len(order), dtype=bool)
+        is_first[0] = True
+        is_first[1:] = np.any(sorted_sub[1:] != sorted_sub[:-1], axis=1)
+        winner_rows = order[is_first]
+        loser_rows = order[~is_first]
+
+        displaced = self.merge_winners(
+            batch.positions[winner_rows],
+            batch.colors[winner_rows],
+            new_sub[winner_rows],
+            dist[winner_rows],
+        )
+        return PointBatch.concat(
+            [displaced, PointBatch(batch.positions[np.sort(loser_rows)],
+                                   batch.colors[np.sort(loser_rows)])]
+        )
+
+    def merge_winners(
+        self,
+        positions: np.ndarray,
+        colors: np.ndarray,
+        sub_indices: np.ndarray,
+        dist: np.ndarray,
+    ) -> PointBatch:
+        """LSM merge of pre-deduped batch winners (unique slots) into the
+        grid; returns losers (displaced incumbents + batch rows that lost).
+
+        Each winner probes the sorted segments with one ``searchsorted``
+        per segment; a strictly closer newcomer invalidates the incumbent
+        in place (cell.rs:80: ties keep the stored point).
+        """
+        n = len(positions)
+        if n == 0:
+            return PointBatch.empty()
+        if self._out_of_range:
+            return self._merge_winners_exact_fallback(
+                positions, colors, sub_indices, dist
+            )
+        try:
+            keys = _pack_slot_keys(sub_indices)
+        except OverflowError:
+            return self._merge_winners_exact_fallback(
+                positions, colors, sub_indices, dist
+            )
+
+        inc_dist = np.full(n, np.inf, np.float32)
+        inc_seg = np.full(n, -1, np.int32)
+        inc_loc = np.zeros(n, np.int64)
+        for si, seg in enumerate(self._segments):
+            loc = np.searchsorted(seg.keys, keys)
+            locc = np.minimum(loc, len(seg) - 1)
+            hit = (loc < len(seg)) & (seg.keys[locc] == keys) & seg.valid[locc]
+            # invariant: at most one valid row per key across segments
+            inc_dist = np.where(hit, seg.dist[locc], inc_dist)
+            inc_seg = np.where(hit, si, inc_seg)
+            inc_loc = np.where(hit, locc, inc_loc)
+
+        has_inc = inc_seg >= 0
+        new_wins = ~has_inc | (dist < inc_dist)  # strict: cell.rs:80
+
+        displaced_chunks = []
+        displace = has_inc & new_wins
+        if displace.any():
+            for si in np.unique(inc_seg[displace]):
+                seg = self._segments[si]
+                locs = inc_loc[displace & (inc_seg == si)]
+                displaced_chunks.append(
+                    PointBatch(seg.positions[locs], seg.colors[locs])
+                )
+                seg.valid[locs] = False
+
+        enter = new_wins
+        if enter.any():
+            self._segments.append(
+                _Segment(
+                    keys[enter], np.ascontiguousarray(positions[enter]),
+                    np.ascontiguousarray(colors[enter]),
+                    np.ascontiguousarray(sub_indices[enter]),
+                    np.ascontiguousarray(dist[enter]),
+                )
+            )
+            if len(self._segments) > _MAX_SEGMENTS:
+                self._compact()
+
+        newly_occupied = int((~has_inc).sum())
+        self.total_number_of_points += newly_occupied
+        self.number_of_points += newly_occupied
+
+        lost_batch = PointBatch(
+            np.ascontiguousarray(positions[~new_wins]),
+            np.ascontiguousarray(colors[~new_wins]),
+        )
+        return PointBatch.concat(displaced_chunks + [lost_batch])
+
+    def _merge_winners_exact_fallback(self, positions, colors, sub_indices,
+                                      dist) -> PointBatch:
+        """Exact merge for slot indices beyond the packed-key range:
+        compact everything, then one lexsort over stored + new rows."""
+        s_pos, s_col, s_sub, s_dist = self._materialize()
+        all_pos = np.concatenate([s_pos, positions])
+        all_col = np.concatenate([s_col, colors])
+        all_sub = np.concatenate([s_sub, sub_indices])
+        all_dist = np.concatenate([s_dist, dist])
+        priority = np.arange(len(all_pos), dtype=np.int64)
+        order = np.lexsort(
+            (priority, all_dist, all_sub[:, 2], all_sub[:, 1], all_sub[:, 0])
         )
         sorted_sub = all_sub[order]
         is_first = np.empty(len(order), dtype=bool)
         is_first[0] = True
         is_first[1:] = np.any(sorted_sub[1:] != sorted_sub[:-1], axis=1)
+        winner_rows = np.sort(order[is_first])
+        loser_rows = np.sort(order[~is_first])
 
-        winner_rows = order[is_first]
-        loser_rows = order[~is_first]
-        # preserve arrival order among losers (cascade determinism)
-        loser_rows = np.sort(loser_rows)
-
-        n_slots = int(is_first.sum())
-        newly_occupied = n_slots - n_old  # incumbents had unique slots
-        self.total_number_of_points += newly_occupied
-        self.number_of_points += newly_occupied
-
-        winner_rows = np.sort(winner_rows)
-        self.points = PointBatch(all_pos[winner_rows], all_col[winner_rows])
-        self.sub_indices = all_sub[winner_rows]
+        newly = int(is_first.sum()) - len(s_pos)
+        self.total_number_of_points += newly
+        self.number_of_points += newly
+        seg = _Segment.__new__(_Segment)
+        seg.keys = np.arange(len(winner_rows), dtype=np.int64)  # placeholder
+        # rebuild via constructor path to keep key order consistent: store
+        # with clipped keys is unusable, so keep a single unsorted-keys
+        # segment and force future merges through this fallback again
+        seg.positions = all_pos[winner_rows]
+        seg.colors = all_col[winner_rows]
+        seg.sub_indices = all_sub[winner_rows]
+        seg.dist = all_dist[winner_rows]
+        seg.valid = np.ones(len(winner_rows), bool)
+        self._segments = [seg]
+        self._out_of_range = True
         return PointBatch(all_pos[loser_rows], all_col[loser_rows])
+
+    def _compact(self) -> None:
+        """Merge all segments into one (amortized; keeps probes O(log n))."""
+        pos, col, sub, dist = self._materialize()
+        keys = _pack_slot_keys(sub)
+        self._segments = [_Segment(keys, pos, col, sub, dist)]
 
     # --- overflow cascade (cell.rs:108-153, exact accounting) ---------------
 
@@ -236,11 +427,10 @@ class Cell:
             )
         ]
         # canonical order: sort by sub-grid index
-        if len(self.points):
-            order = np.lexsort(
-                (self.sub_indices[:, 2], self.sub_indices[:, 1], self.sub_indices[:, 0])
-            )
-            out.append(self.points[order].to_bytes())
+        pos, col, sub, _ = self._materialize()
+        if len(pos):
+            order = np.lexsort((sub[:, 2], sub[:, 1], sub[:, 0]))
+            out.append(PointBatch(pos[order], col[order]).to_bytes())
 
         overflow_keys = sorted(self.overflow.keys())
         out.append(struct.pack("<B", len(overflow_keys)))
@@ -286,8 +476,25 @@ class Cell:
         points = PointBatch.from_bytes(mv[offset : offset + n_points * POINT_DTYPE.itemsize])
         offset += n_points * POINT_DTYPE.itemsize
         # re-derive sub-grid indices from positions, like cell.rs:189-195
-        cell.points = points
-        cell.sub_indices = cell.sub_grid_indices_for(points.positions)
+        if len(points):
+            sub = cell.sub_grid_indices_for(points.positions)
+            radius = cell.sub_cell_size / np.float32(2.0)
+            dist = _distance_sq_to_center(points.positions, sub, radius)
+            try:
+                keys = _pack_slot_keys(sub)
+                cell._segments = [
+                    _Segment(keys, points.positions, points.colors, sub, dist)
+                ]
+            except OverflowError:
+                cell._out_of_range = True
+                seg = _Segment.__new__(_Segment)
+                seg.keys = np.arange(len(points), dtype=np.int64)
+                seg.positions = points.positions
+                seg.colors = points.colors
+                seg.sub_indices = sub
+                seg.dist = dist
+                seg.valid = np.ones(len(points), bool)
+                cell._segments = [seg]
 
         (overflow_len,) = struct.unpack_from("<B", mv, offset)
         offset += 1
