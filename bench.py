@@ -24,8 +24,8 @@ import time
 
 import numpy as np
 
-N_POINTS = 4 << 20  # 4 Mi points
-BATCH = 1 << 17
+N_POINTS = 2 << 20  # 2 Mi points
+BATCH = 1 << 18
 TARGET_PER_CHIP = 12.5e6  # BASELINE.json: 100 Mpts/s on 8 chips
 
 
@@ -77,10 +77,17 @@ def main() -> None:
     try:
         t0 = time.perf_counter()
         with DeviceConverter(Metadata(), out_dir) as conv:
+            pending = None  # read-ahead: overlap device sort with host work
             for i in range(0, N_POINTS, BATCH):
-                conv.add_points_batch(
-                    PointBatch(positions[i : i + BATCH], colors[i : i + BATCH])
+                batch = PointBatch(
+                    positions[i : i + BATCH], colors[i : i + BATCH]
                 )
+                conv.prefetch(batch)
+                if pending is not None:
+                    conv.add_points_batch(pending)
+                pending = batch
+            if pending is not None:
+                conv.add_points_batch(pending)
         elapsed = time.perf_counter() - t0
         n_converted = conv.metadata.number_of_points
     finally:

@@ -284,9 +284,23 @@ def convert_from_paths(
 
             log.info("Converting %d points", reader.total_points())
             t_log = time.monotonic()
-            while reader.remaining_points() > 0:
+            can_prefetch = hasattr(converter, "prefetch")
+            pending = None  # read-ahead batch (device work already dispatched)
+            while reader.remaining_points() > 0 or pending is not None:
                 try:
-                    converter.add_points_batch(reader.get_batch(batch_size))
+                    batch = (
+                        reader.get_batch(batch_size)
+                        if reader.remaining_points() > 0
+                        else None
+                    )
+                    if batch is not None and can_prefetch:
+                        converter.prefetch(batch)
+                    if can_prefetch:
+                        if pending is not None:
+                            converter.add_points_batch(pending)
+                        pending = batch
+                    elif batch is not None:
+                        converter.add_points_batch(batch)
                 except OSError as err:
                     log.error("%s", err)
                     break

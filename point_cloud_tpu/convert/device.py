@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.cell import CellId
 from ..core.point import PointBatch
-from ..ops.dedup import dedup_batch_host
+from ..ops.dedup import collect_dedup, dispatch_dedup
 from .converter import Converter
 
 # XLA TPU sort compile time scales with shape (~30 s at 2^16, ~2x per
@@ -54,6 +54,22 @@ def _row_boundaries(rows: np.ndarray) -> np.ndarray:
 
 class DeviceConverter(Converter):
     """Drop-in converter whose dedup math runs on the JAX default device."""
+
+    _prefetched: tuple | None = None
+
+    def prefetch(self, batch: PointBatch) -> None:
+        """Dispatch the next batch's level-0 device pass asynchronously.
+
+        Callers that can read ahead (convert_from_paths, bench) overlap the
+        upload + sort of batch k+1 with the host-side processing of batch
+        k. ``add_points_batch`` picks the result up by array identity.
+        """
+        config = self.metadata.config
+        cell_size = config.cell_size(0)
+        handle = dispatch_dedup(
+            batch.positions, cell_size, config.sub_cell_size(cell_size)
+        )
+        self._prefetched = (batch.positions, handle)
 
     def add_points_batch(self, batch: PointBatch) -> None:
         self._update_bounding_box(batch)
@@ -98,8 +114,18 @@ class DeviceConverter(Converter):
             l_next_chunks: list[np.ndarray] = []
 
             if len(positions):
+                if (
+                    self._prefetched is not None
+                    and self._prefetched[0] is positions
+                ):
+                    handle = self._prefetched[1]
+                    self._prefetched = None
+                else:
+                    handle = dispatch_dedup(
+                        positions, cell_size, sub_cell_size
+                    )
                 perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
-                    dedup_batch_host(positions, cell_size, sub_cell_size)
+                    collect_dedup(handle, positions, cell_size, sub_cell_size)
                 )
                 pos_s = positions[perm]
                 col_s = colors[perm]

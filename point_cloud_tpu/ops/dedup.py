@@ -210,19 +210,25 @@ def resolve_suspects_host(perm, winner, cell_idx_s, sub_idx_s, dist_s,
 def dedup_pass_light(positions, valid, cell_size, sub_cell_radius):
     """Transfer-minimal variant of :func:`dedup_pass`.
 
-    Returns only (perm, winner, suspect) — 6 bytes/point device-to-host
-    instead of ~47. The remaining per-row data (cell/slot indices,
-    distances) is bit-identical when recomputed on the host from the
-    permuted positions (core/hex.py keeps the NumPy and jnp paths in IEEE
-    lockstep), so callers rebuild it locally. This matters when the host
-    link is thin (the bench environment tunnels the TPU at ~45 MB/s).
+    Returns ONE int32 array packing (perm | winner << 30 | suspect << 29)
+    — 4 bytes/point and a single device-to-host transfer instead of ~47
+    bytes over several (the tunnel in the bench environment costs ~30 ms
+    latency per transfer at ~45 MB/s). The remaining per-row data
+    (cell/slot indices, distances) is bit-identical when recomputed on the
+    host from the permuted positions (core/hex.py keeps the NumPy and jnp
+    paths in IEEE lockstep), so callers rebuild it locally. Batches are
+    capped at 2^29 rows by the packing (far above any practical bucket).
     """
     out = dedup_pass(
         positions, valid, cell_size, sub_cell_radius, jnp.float32(1.0)
     )
     perm, winner = out[0], out[1]
     suspect = out[7]
-    return perm, winner, suspect
+    return (
+        perm
+        | (winner.astype(jnp.int32) << 30)
+        | (suspect.astype(jnp.int32) << 29)
+    )
 
 
 def host_keys(positions, cell_size, sub_cell_size):
@@ -240,44 +246,46 @@ def host_keys(positions, cell_size, sub_cell_size):
     return cell_idx, sub_idx, dist
 
 
-def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
-                     n_valid: int | None = None):
-    """Host wrapper: pad, run the light device pass, rebuild row data.
+def dispatch_dedup(positions: np.ndarray, cell_size, sub_cell_size,
+                   n_valid: int | None = None) -> dict:
+    """Start the device pass asynchronously; returns a handle for
+    :func:`collect_dedup`.
 
-    ``positions`` rows [0, n_valid) are real (incumbents first, then batch
-    arrivals); the rest is padding. Hash-collision runs are corrected
-    exactly via :func:`resolve_suspects_host`.
-
-    NOTE: rows come back grouped by *hash* order — same cell contiguous
-    (up to cell-hash collisions, which the suspect mask also flags), but
-    cells in hash order, not index order.
+    JAX dispatch is non-blocking, so the host-to-device upload and the
+    sort overlap whatever host work happens before collection — the
+    cross-batch pipelining hook used by DeviceConverter.prefetch.
     """
     n = len(positions) if n_valid is None else n_valid
-    n_pad = pad_to_bucket(max(n, 1))
+    # bucket floor 2^15: fewer distinct shapes = fewer expensive TPU sort
+    # compiles; padded rows cost ~nothing at run time
+    n_pad = pad_to_bucket(max(n, 1), minimum=1 << 15)
     pos_pad = np.zeros((n_pad, 3), np.float32)
     pos_pad[:n] = positions[:n]
     valid = np.zeros(n_pad, bool)
     valid[:n] = True
 
+    packed = dedup_pass_light(
+        jnp.asarray(pos_pad),
+        jnp.asarray(valid),
+        jnp.float32(np.float32(cell_size)),
+        jnp.float32(np.float32(sub_cell_size) / np.float32(2.0)),
+    )
+    return {"n": n, "packed": packed}
+
+
+def collect_dedup(handle: dict, positions: np.ndarray, cell_size,
+                  sub_cell_size):
+    """Block on a dispatched pass and rebuild the per-row data host-side."""
+    n = handle["n"]
+    packed = np.asarray(handle["packed"])[:n]  # padding sorts to the tail
+    perm = packed & ((1 << 29) - 1)
+    winner = (packed >> 30) & 1 == 1
+    suspect = (packed >> 29) & 1 == 1
+
     cell_size = np.float32(cell_size)
     sub_cell_size = np.float32(sub_cell_size)
-    perm, winner, suspect = map(
-        np.asarray,
-        dedup_pass_light(
-            jnp.asarray(pos_pad),
-            jnp.asarray(valid),
-            jnp.float32(cell_size),
-            jnp.float32(sub_cell_size / np.float32(2.0)),
-        ),
-    )
-    # padding sorts to the tail; keep the n valid rows
-    perm = perm[:n]
-    winner = winner[:n]
-    suspect = suspect[:n]
-
     pos_s = np.asarray(positions[:n], np.float32)[perm]
     cell_idx, sub_idx, dist = host_keys(pos_s, cell_size, sub_cell_size)
-    next_cell_idx = None  # computed lazily by callers that need it
     from ..core.metadata import MetadataConfig
 
     next_cell_idx = MetadataConfig().cell_index(
@@ -287,3 +295,19 @@ def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
         perm, winner, cell_idx, sub_idx, dist, suspect
     )
     return perm, winner, cell_idx, sub_idx, dist, next_cell_idx
+
+
+def dedup_batch_host(positions: np.ndarray, cell_size, sub_cell_size,
+                     n_valid: int | None = None):
+    """Pad, run the light device pass, rebuild row data on the host.
+
+    ``positions`` rows [0, n_valid) are real; the rest is padding.
+    Hash-collision runs are corrected exactly via
+    :func:`resolve_suspects_host`.
+
+    NOTE: rows come back grouped by *hash* order — same cell contiguous
+    (up to cell-hash collisions, which the suspect mask also flags), but
+    cells in hash order, not index order.
+    """
+    handle = dispatch_dedup(positions, cell_size, sub_cell_size, n_valid)
+    return collect_dedup(handle, positions, cell_size, sub_cell_size)
