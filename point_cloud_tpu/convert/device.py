@@ -43,6 +43,11 @@ from .converter import Converter
 # makes it a per-machine, not per-process, cost.
 DEVICE_BATCH_SIZE = 1 << 18
 
+# cascade tails below this size run on the host NumPy path: a device pass
+# costs a fixed ~100 ms of dispatch+transfer latency through a thin host
+# link, which small levels never amortize
+HOST_CASCADE_THRESHOLD = 1 << 14
+
 
 def _row_boundaries(rows: np.ndarray) -> np.ndarray:
     """Start offsets of equal-row runs in a row-sorted (N, K) array."""
@@ -98,6 +103,20 @@ class DeviceConverter(Converter):
     ) -> None:
         config = self.metadata.config
         while len(positions):
+            has_prefetch = (
+                self._prefetched is not None
+                and self._prefetched[0] is positions
+            )
+            if len(positions) < HOST_CASCADE_THRESHOLD and not has_prefetch:
+                # small tail: finish the cascade host-side (same semantics,
+                # Cell.add_points shares the dedup + merge code)
+                from .pipeline import group_points_host
+
+                grouped = group_points_host(
+                    PointBatch(positions, colors), hierarchy, config
+                )
+                Converter._add_points_in_hierarchy(self, hierarchy, grouped)
+                return
             self._create_hierarchy_folder(hierarchy)
             cell_size = config.cell_size(hierarchy)
             sub_cell_size = config.sub_cell_size(cell_size)
@@ -105,6 +124,12 @@ class DeviceConverter(Converter):
 
             positions, colors, extra_losers = self._reduce_batch(
                 hierarchy, positions, colors, cell_size, sub_cell_size
+            )
+            # _reduce_batch may replace the arrays (mesh path): re-verify
+            # the prefetch handle still matches by identity
+            has_prefetch = (
+                self._prefetched is not None
+                and self._prefetched[0] is positions
             )
 
             # --- 1+2. device pass + host-side rebuild -----------------------
@@ -114,10 +139,7 @@ class DeviceConverter(Converter):
             l_next_chunks: list[np.ndarray] = []
 
             if len(positions):
-                if (
-                    self._prefetched is not None
-                    and self._prefetched[0] is positions
-                ):
+                if has_prefetch:
                     handle = self._prefetched[1]
                     self._prefetched = None
                 else:
