@@ -1,0 +1,180 @@
+"""Store server: serve a converted cloud over HTTP + remote render API.
+
+The reference ships a WASM/WebGPU build whose viewer streams cells over
+HTTP from any static host (reference: src/web.rs, src/plugins/asset/
+source.rs URL loading, index.html). The TPU-native equivalent serves both
+halves:
+
+- static store streaming — GET /metadata.json and /h_<n>/c_x_y_z.bin serve
+  the raw files, so any :class:`~point_cloud_tpu.utils.source.UrlSource`
+  viewer (including another machine running :class:`Viewer`) streams cells
+  exactly like the reference's web viewer does,
+- server-side rendering — GET /render?yaw=..&pitch=..&dist=..&w=..&h=..
+  returns a PNG rendered on this host's accelerator, which is the
+  TPU-deployment story: the heavy frame kernel runs next to the data and
+  thin clients receive images.
+
+Run: ``python -m point_cloud_tpu.serve <store_dir> [--port 8080]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class StoreServer:
+    def __init__(self, store_dir, width=640, height=480):
+        from .core.cell import Cell
+        from .core.metadata import Metadata
+        from .render.camera import Camera
+        from .render.frustums import update_streaming_frustums
+        from .render.renderer import PointRenderer, RenderSettings
+        from .render.streaming import CellStreamer
+
+        self.store_dir = Path(store_dir)
+        self.metadata = Metadata.from_path(self.store_dir / "metadata.json")
+        self._render_lock = threading.Lock()
+        self._settings = RenderSettings(width=width, height=height)
+        self._renderer = PointRenderer(self.metadata, self._settings)
+
+        def loader(cell_id):
+            path = self.store_dir / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        self._streamer = CellStreamer(self.metadata, loader=loader)
+        self._camera_factory = Camera
+        self._update_streaming = update_streaming_frustums
+
+    def render_png(self, yaw=0.0, pitch=-0.4, dist=None) -> bytes:
+        """Stream the view's cells in and render one frame server-side."""
+        from .viewer.offscreen import write_png
+
+        with self._render_lock:
+            camera = self._camera_factory()
+            camera.projection.far = float(
+                self.metadata.config.max_cell_size * 5.0
+            )
+            bbox = self.metadata.bounding_box
+            center = bbox.center()
+            extent = float(np.linalg.norm(bbox.extends()))
+            d = dist if dist is not None else extent * 2.0
+            pos = center + np.array(
+                [
+                    d * np.cos(yaw) * np.cos(pitch),
+                    d * np.sin(yaw) * np.cos(pitch),
+                    -d * np.sin(pitch),
+                ],
+                np.float32,
+            )
+            camera.transform.translation = pos.astype(np.float32)
+            camera.transform.look_at(
+                center, np.array([0.0, 0.0, 1.0], np.float32)
+            )
+
+            frustums = self._update_streaming(
+                self.metadata, camera.transform, camera.projection,
+                camera.frustum(),
+            )
+            self._streamer.update(frustums, camera.transform)
+            for _ in range(10_000):
+                if not self._streamer.fill_load_slots():
+                    break
+            rgb, _, _ = self._renderer.render(
+                self._streamer, camera, frustums
+            )
+            buf = io.BytesIO()
+            write_png(buf, rgb)
+            return buf.getvalue()
+
+
+def make_handler(server: StoreServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            path = url.path.lstrip("/")
+            if path in ("", "index.html"):
+                stats = {
+                    "name": server.metadata.name,
+                    "number_of_points": server.metadata.number_of_points,
+                    "hierarchies": server.metadata.hierarchies,
+                    "endpoints": ["/metadata.json", "/h_<n>/c_x_y_z.bin",
+                                   "/render?yaw=&pitch=&dist="],
+                }
+                self._send(200, json.dumps(stats).encode(), "application/json")
+                return
+            if path == "render":
+                q = parse_qs(url.query)
+                try:
+                    png = server.render_png(
+                        yaw=float(q.get("yaw", ["0"])[0]),
+                        pitch=float(q.get("pitch", ["-0.4"])[0]),
+                        dist=float(q["dist"][0]) if "dist" in q else None,
+                    )
+                except Exception as err:  # pragma: no cover - defensive
+                    self._send(500, str(err).encode(), "text/plain")
+                    return
+                self._send(200, png, "image/png")
+                return
+            # static store files, escape-safe
+            rel = Path(path)
+            if rel.is_absolute() or ".." in rel.parts:
+                self._send(403, b"forbidden", "text/plain")
+                return
+            target = server.store_dir / rel
+            if not target.is_file():
+                self._send(404, b"not found", "text/plain")
+                return
+            ctype = (
+                "application/json" if target.suffix == ".json"
+                else "application/octet-stream"
+            )
+            self._send(200, target.read_bytes(), ctype)
+
+    return Handler
+
+
+def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480):
+    """Build and return the HTTP server (call serve_forever on it)."""
+    server = StoreServer(store_dir, width=width, height=height)
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    return httpd
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="point-cloud-serve",
+        description="Serve a converted point-cloud store over HTTP.",
+    )
+    parser.add_argument("store", type=Path)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--height", type=int, default=480)
+    args = parser.parse_args(argv)
+    httpd = serve(args.store, args.host, args.port, args.width, args.height)
+    print(f"serving {args.store} on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

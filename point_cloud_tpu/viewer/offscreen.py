@@ -38,11 +38,17 @@ def write_png(path, image: np.ndarray) -> None:
         )
 
     header = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", header))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", header)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    if hasattr(path, "write"):  # file-like
+        path.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
 
 
 def render_orbit(viewer, out_dir, n_frames: int = 24,

@@ -1,0 +1,96 @@
+"""Store HTTP server tests: static streaming + remote render, plus a
+remote Viewer streaming from the server (the web-viewer-over-HTTP parity)."""
+
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from point_cloud_tpu.convert.converter import Converter
+from point_cloud_tpu.core.metadata import Metadata
+from point_cloud_tpu.core.point import PointBatch
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("servestore")
+    rng = np.random.default_rng(20)
+    pos = rng.uniform(-40, 40, (15_000, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (15_000, 4), dtype=np.uint8)
+    with Converter(Metadata(), tmp) as conv:
+        conv.add_points_batch(PointBatch(pos, col))
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def server(store):
+    from point_cloud_tpu.serve import serve
+
+    httpd = serve(store, host="127.0.0.1", port=0, width=96, height=64)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def get(url):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return resp.status, resp.read()
+
+
+class TestStoreServer:
+    def test_metadata_served_verbatim(self, server, store):
+        status, body = get(f"{server}/metadata.json")
+        assert status == 200
+        assert body == (store / "metadata.json").read_bytes()
+
+    def test_cell_files_served(self, server, store):
+        cell = next((store / "h_0").iterdir())
+        status, body = get(f"{server}/h_0/{cell.name}")
+        assert status == 200
+        assert body == cell.read_bytes()
+
+    def test_missing_cell_404(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{server}/h_0/c_999_999_999.bin")
+        assert err.value.code == 404
+
+    def test_path_escape_rejected(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{server}/h_0/..%2f..%2fetc%2fpasswd")
+        assert err.value.code in (400, 403, 404)
+
+    def test_remote_render_returns_png(self, server):
+        status, body = get(f"{server}/render?yaw=0.5&pitch=-0.5")
+        assert status == 200
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        assert len(body) > 100
+
+    def test_remote_viewer_streams_over_http(self, server):
+        """A Viewer on 'another machine' streams cells via UrlSource."""
+        from point_cloud_tpu.render.renderer import RenderSettings
+        from point_cloud_tpu.viewer import Viewer
+
+        viewer = Viewer(RenderSettings(width=96, height=64))
+        viewer.load_metadata(f"{server}/metadata.json")
+        assert viewer.metadata.number_of_points == 15_000
+        import time
+
+        for _ in range(400):
+            viewer.update()
+            if (
+                not viewer.streamer.loading
+                and len(viewer.streamer.should_load) == 0
+                and not viewer.cell_assets._loading
+            ):
+                break
+            time.sleep(0.005)
+        assert viewer.stats()["cells"]["loaded"] > 0
+        rgb, depth, _ = viewer.render()
+        assert (depth < 1.0).sum() > 0
+        viewer.close()
