@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--mesh", type=int, default=0, metavar="N",
         help="Shard conversion over an N-device mesh (implies --device).",
     )
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="Print a per-stage timing summary after conversion.",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     return parser
 
@@ -97,8 +101,24 @@ def main(argv=None) -> int:
     else:
         batch_size = batch_size or DEFAULT_BATCH_SIZE
 
-    convert_from_paths(files, output, batch_size=batch_size,
-                       converter_factory=factory)
+    if args.device or args.mesh:
+        from ..ops.runtime import setup_jax_cache
+
+        setup_jax_cache()
+
+    if args.profile:
+        from ..utils.tracing import StageTimer
+
+        with StageTimer() as timer:
+            metadata = convert_from_paths(
+                files, output, batch_size=batch_size,
+                converter_factory=factory,
+            )
+        print(timer.summary(points=metadata.number_of_points),
+              file=sys.stderr)
+    else:
+        convert_from_paths(files, output, batch_size=batch_size,
+                           converter_factory=factory)
     return 0
 
 

@@ -35,6 +35,7 @@ import numpy as np
 from ..core.cell import CellId
 from ..core.point import PointBatch
 from ..ops.dedup import collect_dedup, dispatch_dedup
+from ..utils.tracing import stage
 from .converter import Converter
 
 # XLA TPU sort compile time scales with shape (~30 s at 2^16, ~2x per
@@ -146,9 +147,12 @@ class DeviceConverter(Converter):
                     handle = dispatch_dedup(
                         positions, cell_size, sub_cell_size
                     )
-                perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
-                    collect_dedup(handle, positions, cell_size, sub_cell_size)
-                )
+                with stage("device_dedup+rebuild"):
+                    perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
+                        collect_dedup(
+                            handle, positions, cell_size, sub_cell_size
+                        )
+                    )
                 pos_s = positions[perm]
                 col_s = colors[perm]
 
@@ -162,34 +166,37 @@ class DeviceConverter(Converter):
                     seen.setdefault(key, []).append((int(s), int(e)))
 
                 # --- 3. LSM merge per touched cell --------------------------
-                for key, spans in seen.items():
-                    rows = np.concatenate(
-                        [np.arange(s, e) for s, e in spans]
-                    )
-                    win = rows[winner[rows]]
-                    lose = rows[~winner[rows]]
-                    cell = self.get_cell(CellId(hierarchy, key))
-                    displaced = cell.merge_winners(
-                        pos_s[win], col_s[win], sub_idx_s[win], dist_s[win]
-                    )
-                    if len(lose):
-                        l_pos_chunks.append(pos_s[lose])
-                        l_col_chunks.append(col_s[lose])
-                        l_cell_chunks.append(cell_idx_s[lose])
-                        l_next_chunks.append(next_idx_s[lose])
-                    if len(displaced):
-                        l_pos_chunks.append(displaced.positions)
-                        l_col_chunks.append(displaced.colors)
-                        l_cell_chunks.append(
-                            np.broadcast_to(
-                                np.asarray(key, np.int32), (len(displaced), 3)
-                            )
+                with stage("lsm_merge"):
+                    for key, spans in seen.items():
+                        rows = np.concatenate(
+                            [np.arange(s, e) for s, e in spans]
                         )
-                        l_next_chunks.append(
-                            config.cell_index(
-                                displaced.positions, next_cell_size
-                            )
+                        win = rows[winner[rows]]
+                        lose = rows[~winner[rows]]
+                        cell = self.get_cell(CellId(hierarchy, key))
+                        displaced = cell.merge_winners(
+                            pos_s[win], col_s[win], sub_idx_s[win],
+                            dist_s[win],
                         )
+                        if len(lose):
+                            l_pos_chunks.append(pos_s[lose])
+                            l_col_chunks.append(col_s[lose])
+                            l_cell_chunks.append(cell_idx_s[lose])
+                            l_next_chunks.append(next_idx_s[lose])
+                        if len(displaced):
+                            l_pos_chunks.append(displaced.positions)
+                            l_col_chunks.append(displaced.colors)
+                            l_cell_chunks.append(
+                                np.broadcast_to(
+                                    np.asarray(key, np.int32),
+                                    (len(displaced), 3),
+                                )
+                            )
+                            l_next_chunks.append(
+                                config.cell_index(
+                                    displaced.positions, next_cell_size
+                                )
+                            )
 
             if extra_losers is not None and len(extra_losers["positions"]):
                 l_pos_chunks.append(extra_losers["positions"])
