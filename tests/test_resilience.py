@@ -1,0 +1,128 @@
+"""Failure handling / crash-resume tests (SURVEY.md section 5).
+
+The store itself is the checkpoint: conversion is resumable because the
+converter merges into whatever is on disk (reference:
+point-converter/src/lib.rs:86-101); readers skip corrupt cells (own.rs
+error paths); the renderer negative-caches missing cells and survives
+load errors.
+"""
+
+import numpy as np
+import pytest
+
+from point_cloud_tpu.convert.converter import Converter, load_metadata
+from point_cloud_tpu.core.cell import Cell
+from point_cloud_tpu.core.metadata import Metadata
+from point_cloud_tpu.core.point import PointBatch
+
+
+def random_batch(n, seed=0, lo=-50, hi=50):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+class TestCrashResume:
+    def test_interrupted_conversion_resumes_by_merge(self, tmp_path):
+        """Simulate a crash mid-conversion: first half saved, then a new
+        converter merges the second half into the existing store."""
+        batch = random_batch(10_000, seed=40)
+        conv = Converter(Metadata(), tmp_path)
+        conv.add_points_batch(batch[:5_000])
+        conv.close()  # flush ("crash" after this point)
+
+        # resume: load existing metadata, merge the rest
+        with Converter(load_metadata(tmp_path), tmp_path) as conv2:
+            conv2.add_points_batch(batch[5_000:])
+
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+        assert metadata.number_of_points == 10_000
+        total = 0
+        for h in range(metadata.hierarchies):
+            hdir = tmp_path / f"h_{h}"
+            if hdir.exists():
+                for p in hdir.iterdir():
+                    total += Cell.from_path(p).total_number_of_points
+        assert total == 10_000
+
+    def test_async_writer_leaves_no_partial_files(self, tmp_path):
+        """Atomic tmp+rename writes: no .tmp leftovers after close and all
+        cell files parse."""
+        with Converter(Metadata(), tmp_path, cache_size=2) as conv:
+            for i in range(4):
+                conv.add_points_batch(
+                    random_batch(3_000, seed=41 + i, lo=-200, hi=200)
+                )
+        leftovers = list(tmp_path.rglob("*.tmp"))
+        assert leftovers == []
+        for h_dir in tmp_path.glob("h_*"):
+            for p in h_dir.iterdir():
+                Cell.from_path(p)  # must parse
+
+
+class TestReaderFaults:
+    def test_own_reader_skips_corrupt_cells(self, tmp_path):
+        from point_cloud_tpu.io.own import PointCloudPointReader
+
+        with Converter(Metadata(), tmp_path) as conv:
+            conv.add_points_batch(random_batch(5_000, seed=42))
+        # corrupt one cell file
+        victim = next((tmp_path / "h_0").iterdir())
+        victim.write_bytes(b"\x00\x01garbage")
+        reader = PointCloudPointReader(tmp_path / "metadata.json")
+        got = 0
+        while reader.remaining_points() > 0:
+            batch = reader.get_batch(1_000)
+            if len(batch) == 0:
+                break
+            got += len(batch)
+        # the corrupt cell's points are lost but reading continues
+        assert 0 < got <= 5_000
+
+    def test_truncated_las_header_raises_cleanly(self, tmp_path):
+        from point_cloud_tpu.io.las import LasPointReader
+
+        bad = tmp_path / "bad.las"
+        bad.write_bytes(b"LASF" + b"\x00" * 50)
+        with pytest.raises(Exception):
+            LasPointReader(bad)
+
+    def test_non_ply_magic_rejected(self, tmp_path):
+        from point_cloud_tpu.io.ply import PlyPointReader
+
+        bad = tmp_path / "bad.ply"
+        bad.write_bytes(b"nope\n")
+        with pytest.raises(ValueError):
+            PlyPointReader(bad)
+
+
+class TestViewerFaults:
+    def test_corrupt_cell_load_does_not_crash_streaming(self, tmp_path):
+        from point_cloud_tpu.render.renderer import RenderSettings
+        from point_cloud_tpu.viewer import Viewer
+
+        with Converter(Metadata(), tmp_path) as conv:
+            conv.add_points_batch(random_batch(10_000, seed=43))
+        # corrupt every other h_0 cell
+        cells = sorted((tmp_path / "h_0").iterdir())
+        for p in cells[::2]:
+            p.write_bytes(b"bad")
+
+        viewer = Viewer(RenderSettings(width=48, height=48))
+        viewer.load_metadata(tmp_path / "metadata.json")
+        import time
+
+        for _ in range(400):
+            viewer.update()
+            if (
+                not viewer.streamer.loading
+                and len(viewer.streamer.should_load) == 0
+                and not viewer.cell_assets._loading
+            ):
+                break
+            time.sleep(0.005)
+        rgb, depth, _ = viewer.render()  # must not raise
+        assert rgb.shape == (48, 48, 3)
+        viewer.close()
