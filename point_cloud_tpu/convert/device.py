@@ -166,18 +166,42 @@ class DeviceConverter(Converter):
                     seen.setdefault(key, []).append((int(s), int(e)))
 
                 # --- 3. LSM merge per touched cell --------------------------
-                with stage("lsm_merge"):
-                    for key, spans in seen.items():
-                        rows = np.concatenate(
+                # cells are independent: merges run on a thread pool (NumPy
+                # releases the GIL in sort/searchsorted/gather kernels)
+                cells = {
+                    key: self.get_cell(CellId(hierarchy, key))
+                    for key in seen
+                }
+
+                def merge_one(item):
+                    key, spans = item
+                    rows = (
+                        np.arange(spans[0][0], spans[0][1])
+                        if len(spans) == 1
+                        else np.concatenate(
                             [np.arange(s, e) for s, e in spans]
                         )
-                        win = rows[winner[rows]]
-                        lose = rows[~winner[rows]]
-                        cell = self.get_cell(CellId(hierarchy, key))
-                        displaced = cell.merge_winners(
-                            pos_s[win], col_s[win], sub_idx_s[win],
-                            dist_s[win],
+                    )
+                    win = rows[winner[rows]]
+                    lose = rows[~winner[rows]]
+                    displaced = cells[key].merge_winners(
+                        pos_s[win], col_s[win], sub_idx_s[win], dist_s[win]
+                    )
+                    return key, lose, displaced
+
+                with stage("lsm_merge"):
+                    if len(seen) >= 4:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        if not hasattr(self, "_merge_pool"):
+                            self._merge_pool = ThreadPoolExecutor(8)
+                        results = list(
+                            self._merge_pool.map(merge_one, seen.items())
                         )
+                    else:
+                        results = [merge_one(item) for item in seen.items()]
+
+                    for key, lose, displaced in results:
                         if len(lose):
                             l_pos_chunks.append(pos_s[lose])
                             l_col_chunks.append(col_s[lose])
@@ -213,43 +237,55 @@ class DeviceConverter(Converter):
                 return
 
             # --- 4. losers -> overflow accounting ---------------------------
-            l_pos = np.concatenate(l_pos_chunks)
-            l_col = np.concatenate(l_col_chunks)
-            l_cell = np.concatenate(l_cell_chunks)
-            l_next = np.concatenate(l_next_chunks)
-            order = np.lexsort(
-                (
-                    l_next[:, 2], l_next[:, 1], l_next[:, 0],
-                    l_cell[:, 2], l_cell[:, 1], l_cell[:, 0],
+            with stage("overflow_staging"):
+                l_pos = np.ascontiguousarray(np.concatenate(l_pos_chunks))
+                l_col = np.ascontiguousarray(np.concatenate(l_col_chunks))
+                l_cell = np.concatenate(l_cell_chunks)
+                l_next = np.concatenate(l_next_chunks)
+                # one global sort orders groups by (cell, next) AND leaves
+                # every group in canonical record order (matching
+                # Cell._canonical_overflow_order, so staging is presorted)
+                pos_bits = l_pos.view(np.int32)
+                color_key = l_col.view(np.uint32)[:, 0]
+                order = np.lexsort(
+                    (
+                        color_key,
+                        pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0],
+                        l_next[:, 2], l_next[:, 1], l_next[:, 0],
+                        l_cell[:, 2], l_cell[:, 1], l_cell[:, 0],
+                    )
                 )
-            )
-            l_pos = l_pos[order]
-            l_col = l_col[order]
-            l_cell = l_cell[order]
-            l_next = l_next[order]
+                l_pos = l_pos[order]
+                l_col = l_col[order]
+                l_cell = l_cell[order]
+                l_next = l_next[order]
 
-            next_chunks_pos: list[np.ndarray] = []
-            next_chunks_col: list[np.ndarray] = []
-            g_starts = _row_boundaries(np.concatenate([l_cell, l_next], axis=1))
-            g_ends = np.append(g_starts[1:], len(l_pos))
-            # group the (cell, next-cell) runs per cell, then apply the
-            # overflow-limit accounting one cell at a time
-            i = 0
-            while i < len(g_starts):
-                cell_key = tuple(int(v) for v in l_cell[g_starts[i]])
-                grouped: dict[tuple[int, int, int], PointBatch] = {}
-                while i < len(g_starts) and (
-                    tuple(int(v) for v in l_cell[g_starts[i]]) == cell_key
-                ):
-                    s, e = g_starts[i], g_ends[i]
-                    next_key = tuple(int(v) for v in l_next[s])
-                    grouped[next_key] = PointBatch(l_pos[s:e], l_col[s:e])
-                    i += 1
-                cell = self.get_cell(CellId(hierarchy, cell_key))
-                remaining = cell.add_points_in_overflow(grouped, config)
-                for key in sorted(remaining):
-                    next_chunks_pos.append(remaining[key].positions)
-                    next_chunks_col.append(remaining[key].colors)
+                next_chunks_pos: list[np.ndarray] = []
+                next_chunks_col: list[np.ndarray] = []
+                g_starts = _row_boundaries(
+                    np.concatenate([l_cell, l_next], axis=1)
+                )
+                g_ends = np.append(g_starts[1:], len(l_pos))
+                # group the (cell, next-cell) runs per cell, then apply the
+                # overflow-limit accounting one cell at a time
+                i = 0
+                while i < len(g_starts):
+                    cell_key = tuple(int(v) for v in l_cell[g_starts[i]])
+                    grouped: dict[tuple[int, int, int], PointBatch] = {}
+                    while i < len(g_starts) and (
+                        tuple(int(v) for v in l_cell[g_starts[i]]) == cell_key
+                    ):
+                        s, e = g_starts[i], g_ends[i]
+                        next_key = tuple(int(v) for v in l_next[s])
+                        grouped[next_key] = PointBatch(l_pos[s:e], l_col[s:e])
+                        i += 1
+                    cell = self.get_cell(CellId(hierarchy, cell_key))
+                    remaining = cell.add_points_in_overflow(
+                        grouped, config, presorted=True
+                    )
+                    for key in sorted(remaining):
+                        next_chunks_pos.append(remaining[key].positions)
+                        next_chunks_col.append(remaining[key].colors)
 
             if next_chunks_pos:
                 positions = np.concatenate(next_chunks_pos)

@@ -360,15 +360,16 @@ class Cell:
         which produce losers in different orders — stage byte-identical
         overflow buffers. Bit patterns (not float values) are the keys so
         -0.0/0.0 and NaNs order deterministically; fully identical records
-        are interchangeable.
+        are interchangeable. Key order: position x/y/z bits, then the RGBA
+        bytes as one little-endian u32 (the same keys the device pipeline
+        uses for its presorted global staging order, convert/device.py).
         """
         if len(points) <= 1:
             return points
         pos_bits = points.positions.view(np.int32)
-        c = points.colors
+        color_key = np.ascontiguousarray(points.colors).view(np.uint32)[:, 0]
         order = np.lexsort(
-            (c[:, 3], c[:, 2], c[:, 1], c[:, 0],
-             pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0])
+            (color_key, pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0])
         )
         return points[order]
 
@@ -376,13 +377,19 @@ class Cell:
         self,
         grouped: dict[tuple[int, int, int], PointBatch],
         config: MetadataConfig,
+        presorted: bool = False,
     ) -> dict[tuple[int, int, int], PointBatch]:
-        """Stage loser points per next-hierarchy cell; return flushed groups."""
+        """Stage loser points per next-hierarchy cell; return flushed groups.
+
+        ``presorted=True`` promises each group is already in canonical
+        record order (the device pipeline sorts all losers globally once).
+        """
         limit = int(config.cell_point_overflow_limit)
         remaining: dict[tuple[int, int, int], PointBatch] = {}
 
         for cell_index, points in grouped.items():
-            points = self._canonical_overflow_order(points)
+            if not presorted:
+                points = self._canonical_overflow_order(points)
             if cell_index not in self.overflow:
                 if len(points) <= limit:
                     self.total_number_of_points += len(points)

@@ -276,24 +276,28 @@ def dispatch_dedup(positions: np.ndarray, cell_size, sub_cell_size,
 def collect_dedup(handle: dict, positions: np.ndarray, cell_size,
                   sub_cell_size):
     """Block on a dispatched pass and rebuild the per-row data host-side."""
+    from ..utils.tracing import stage
+
     n = handle["n"]
-    packed = np.asarray(handle["packed"])[:n]  # padding sorts to the tail
-    perm = packed & ((1 << 29) - 1)
-    winner = (packed >> 30) & 1 == 1
-    suspect = (packed >> 29) & 1 == 1
+    with stage("d2h_wait"):
+        packed = np.asarray(handle["packed"])[:n]  # padding sorts last
+    with stage("host_rebuild"):
+        perm = packed & ((1 << 29) - 1)
+        winner = (packed >> 30) & 1 == 1
+        suspect = (packed >> 29) & 1 == 1
 
-    cell_size = np.float32(cell_size)
-    sub_cell_size = np.float32(sub_cell_size)
-    pos_s = np.asarray(positions[:n], np.float32)[perm]
-    cell_idx, sub_idx, dist = host_keys(pos_s, cell_size, sub_cell_size)
-    from ..core.metadata import MetadataConfig
+        cell_size = np.float32(cell_size)
+        sub_cell_size = np.float32(sub_cell_size)
+        pos_s = np.asarray(positions[:n], np.float32)[perm]
+        cell_idx, sub_idx, dist = host_keys(pos_s, cell_size, sub_cell_size)
+        from ..core.metadata import MetadataConfig
 
-    next_cell_idx = MetadataConfig().cell_index(
-        pos_s, np.float32(cell_size / np.float32(2.0))
-    )
-    winner = resolve_suspects_host(
-        perm, winner, cell_idx, sub_idx, dist, suspect
-    )
+        next_cell_idx = MetadataConfig().cell_index(
+            pos_s, np.float32(cell_size / np.float32(2.0))
+        )
+        winner = resolve_suspects_host(
+            perm, winner, cell_idx, sub_idx, dist, suspect
+        )
     return perm, winner, cell_idx, sub_idx, dist, next_cell_idx
 
 
