@@ -173,15 +173,20 @@ class Converter:
     def _add_points_in_hierarchy(
         self, hierarchy: int, grouped: dict[tuple[int, int, int], PointBatch]
     ) -> None:
+        from ..utils.tracing import stage
+
         config = self.metadata.config
         while grouped:
             self._create_hierarchy_folder(hierarchy)
             next_level: dict[tuple[int, int, int], PointBatch] = {}
             # canonical processing order (see module docstring)
-            for cell_index in sorted(grouped):
-                cell = self.get_cell(CellId(hierarchy, cell_index))
-                remaining = add_points_to_cell(config, grouped[cell_index], cell)
-                merge_point_maps(next_level, remaining)
+            with stage("host_cascade"):
+                for cell_index in sorted(grouped):
+                    cell = self.get_cell(CellId(hierarchy, cell_index))
+                    remaining = add_points_to_cell(
+                        config, grouped[cell_index], cell
+                    )
+                    merge_point_maps(next_level, remaining)
             grouped = next_level
             hierarchy += 1
 

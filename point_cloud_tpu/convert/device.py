@@ -45,9 +45,14 @@ from .converter import Converter
 DEVICE_BATCH_SIZE = 1 << 18
 
 # cascade tails below this size run on the host NumPy path: a device pass
-# costs a fixed ~100 ms of dispatch+transfer latency through a thin host
-# link, which small levels never amortize
-HOST_CASCADE_THRESHOLD = 1 << 14
+# costs a fixed dispatch+transfer latency (~150 ms through the bench
+# environment's tunnel; ~1 ms on a co-located TPU host), which small levels
+# never amortize. Override with PCT_HOST_CASCADE_THRESHOLD (log2).
+import os as _os
+
+HOST_CASCADE_THRESHOLD = 1 << int(
+    _os.environ.get("PCT_HOST_CASCADE_THRESHOLD", "14")
+)
 
 
 def _row_boundaries(rows: np.ndarray) -> np.ndarray:
@@ -247,14 +252,39 @@ class DeviceConverter(Converter):
                 # Cell._canonical_overflow_order, so staging is presorted)
                 pos_bits = l_pos.view(np.int32)
                 color_key = l_col.view(np.uint32)[:, 0]
-                order = np.lexsort(
-                    (
-                        color_key,
-                        pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0],
-                        l_next[:, 2], l_next[:, 1], l_next[:, 0],
-                        l_cell[:, 2], l_cell[:, 1], l_cell[:, 0],
+                # pack the two index triples into int64 keys when in range
+                # (the common case) — 6-key lexsort instead of 10
+                bias = np.int64(1) << 20
+                lo, hi = -(1 << 20), (1 << 20) - 1
+                if (
+                    l_cell.min(initial=0) >= lo and l_cell.max(initial=0) <= hi
+                    and l_next.min(initial=0) >= lo
+                    and l_next.max(initial=0) <= hi
+                ):
+                    def pack3(a):
+                        a64 = a.astype(np.int64)
+                        return (
+                            ((a64[:, 0] + bias) << 42)
+                            | ((a64[:, 1] + bias) << 21)
+                            | (a64[:, 2] + bias)
+                        )
+
+                    order = np.lexsort(
+                        (
+                            color_key,
+                            pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0],
+                            pack3(l_next), pack3(l_cell),
+                        )
                     )
-                )
+                else:
+                    order = np.lexsort(
+                        (
+                            color_key,
+                            pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0],
+                            l_next[:, 2], l_next[:, 1], l_next[:, 0],
+                            l_cell[:, 2], l_cell[:, 1], l_cell[:, 0],
+                        )
+                    )
                 l_pos = l_pos[order]
                 l_col = l_col[order]
                 l_cell = l_cell[order]
