@@ -7,3 +7,12 @@ from .converter import (  # noqa: F401
     load_metadata,
 )
 from .pipeline import group_points_host, merge_point_maps  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: importing DeviceConverter pulls in jax
+    if name == "DeviceConverter":
+        from .device import DeviceConverter
+
+        return DeviceConverter
+    raise AttributeError(name)

@@ -251,6 +251,30 @@ class TestConvertFromPaths:
         assert main(["-o", str(tmp_path)]) == 0
         assert not (tmp_path / "metadata.json").exists()
 
+    def test_cli_device_path_matches_host(self, tmp_path):
+        from point_cloud_tpu.convert.cli import main
+
+        src = tmp_path / "c.ply"
+        write_ply(src, random_batch(3_000, seed=7))
+        # same batch size both ways: flush granularity is batch-dependent
+        assert main(
+            ["-o", str(tmp_path / "host"), "-f", str(src),
+             "--batch-size", "10000"]
+        ) == 0
+        assert main(
+            ["-o", str(tmp_path / "dev"), "-f", str(src), "--device",
+             "--batch-size", "10000", "--profile"]
+        ) == 0
+        host_files = {
+            p.relative_to(tmp_path / "host"): p.read_bytes()
+            for p in sorted((tmp_path / "host").rglob("*")) if p.is_file()
+        }
+        dev_files = {
+            p.relative_to(tmp_path / "dev"): p.read_bytes()
+            for p in sorted((tmp_path / "dev").rglob("*")) if p.is_file()
+        }
+        assert host_files == dev_files
+
 
 class TestOverflowCascade:
     def test_overflow_limit_flushes_and_tombstones(self, tmp_path):
