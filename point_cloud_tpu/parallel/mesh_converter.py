@@ -37,6 +37,11 @@ class MeshConverter(DeviceConverter):
         self.mesh = make_mesh(n_devices)
         self.sharded = ShardedDedup(self.mesh)
 
+    def prefetch(self, batch) -> None:
+        """No-op: the mesh path reduces batches through the sharded pass
+        (whose dispatch is already asynchronous inside jax), so the
+        single-device prefetch would be discarded work."""
+
     def _reduce_batch(self, hierarchy, positions, colors, cell_size,
                       sub_cell_size):
         if len(positions) < MESH_MIN_ROWS:
