@@ -190,3 +190,141 @@ uint8_t* pc_read_file(const char* path, int64_t* out_len) {
 void pc_free(void* ptr) { std::free(ptr); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host staging kernels for the conversion pipeline.
+//
+// These mirror the NumPy staging math bit-for-bit (core/hex.py,
+// core/metadata.py both follow IEEE f32 semantics, which plain C++ floats
+// give without -ffast-math) and replace the per-batch NumPy passes with
+// multi-threaded loops. Parity is enforced by tests/test_native.py.
+
+#include <algorithm>
+#include <cmath>
+
+namespace {
+
+constexpr float kSqrt3 = 1.73205080757f;
+
+inline int32_t sat_i32(float v) {
+    // Rust `as i32`: NaN -> 0, saturate at the type bounds. Must match
+    // core/hex.py _np_saturating_i32 exactly (same bound constants).
+    if (std::isnan(v)) return 0;
+    if (v >= 2147483648.0f) return INT32_MAX;
+    if (v <= -2147483904.0f) return INT32_MIN;
+    return static_cast<int32_t>(v);  // in-range: exact (floored inputs)
+}
+
+struct HexJob {
+    const float* positions;  // (n, 3)
+    int64_t n;
+    float cell_size;
+    float sub_radius;      // sub_cell_size / 2
+    float next_cell_size;  // cell_size / 2
+    int32_t* cell_idx;     // (n, 3)
+    int32_t* sub_idx;      // (n, 3)
+    float* dist;           // (n,)
+    int32_t* next_idx;     // (n, 3)
+};
+
+void hex_keys_range(const HexJob& job, int64_t lo, int64_t hi) {
+    const float radius = job.sub_radius;
+    const float inv_qx = radius * kSqrt3;       // divisor for x
+    const float neg_qy = -radius * kSqrt3;      // divisor for y
+    const float half_sqrt3 = kSqrt3 / 2.0f;
+    for (int64_t i = lo; i < hi; ++i) {
+        const float px = job.positions[3 * i + 0];
+        const float py = job.positions[3 * i + 1];
+        const float pz = job.positions[3 * i + 2];
+
+        // cell index: floor(pos / cell_size) (core/metadata.py cell_index)
+        job.cell_idx[3 * i + 0] = sat_i32(std::floor(px / job.cell_size));
+        job.cell_idx[3 * i + 1] = sat_i32(std::floor(py / job.cell_size));
+        job.cell_idx[3 * i + 2] = sat_i32(std::floor(pz / job.cell_size));
+        job.next_idx[3 * i + 0] = sat_i32(std::floor(px / job.next_cell_size));
+        job.next_idx[3 * i + 1] = sat_i32(std::floor(py / job.next_cell_size));
+        job.next_idx[3 * i + 2] = sat_i32(std::floor(pz / job.next_cell_size));
+
+        // axial_from_world (core/hex.py, same f32 op order)
+        const float x = px / inv_qx;
+        const float y = py / neg_qy;
+        const float t = kSqrt3 * y + 1.0f;
+        const float temp1 = std::floor(t + x);
+        const float temp2 = t - x;
+        const float temp3 = 2.0f * x + 1.0f;
+        const float qf = (temp1 + temp3) / 3.0f;
+        const float rf = (temp1 + temp2) / 3.0f;
+        const int32_t q = sat_i32(std::floor(qf));
+        const int32_t r = -sat_i32(std::floor(rf));
+        const int32_t h = sat_i32(std::trunc(pz / radius));
+
+        // axial -> offset (hex.rs:45-51; operands even so / == floor-div)
+        const int64_t xq = static_cast<int64_t>(q) +
+                           ((static_cast<int64_t>(r) -
+                             (static_cast<int64_t>(r) & 1)) / 2);
+        job.sub_idx[3 * i + 0] = static_cast<int32_t>(xq);
+        job.sub_idx[3 * i + 1] = r;
+        job.sub_idx[3 * i + 2] = h;
+
+        // offset -> axial -> world center (core/hex.py offset_to_world)
+        const int64_t q2 = xq - ((static_cast<int64_t>(r) -
+                                  (static_cast<int64_t>(r) & 1)) / 2);
+        const float qc = static_cast<float>(q2);
+        const float rc = static_cast<float>(r);
+        const float hc = static_cast<float>(h);
+        const float cx = radius * (kSqrt3 * qc + half_sqrt3 * rc);
+        const float cy = radius * 3.0f / 2.0f * rc;
+        const float cz = hc * radius;
+
+        const float dx = px - cx;
+        const float dy = py - cy;
+        const float dz = pz - cz;
+        job.dist[i] = (dx * dx + dy * dy) + dz * dz;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void pc_hex_keys(const float* positions, int64_t n, float cell_size,
+                 float sub_radius, float next_cell_size, int32_t* cell_idx,
+                 int32_t* sub_idx, float* dist, int32_t* next_idx,
+                 int n_threads) {
+    HexJob job{positions, n,       cell_size, sub_radius,
+               next_cell_size, cell_idx, sub_idx,  dist, next_idx};
+    if (n_threads <= 1 || n < (1 << 14)) {
+        hex_keys_range(job, 0, n);
+        return;
+    }
+    std::vector<std::thread> workers;
+    const int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        workers.emplace_back([&job, lo, hi] { hex_keys_range(job, lo, hi); });
+    }
+    for (auto& w : workers) w.join();
+}
+
+// Sort row indices by (cell_key, next_key, pos bits x/y/z, rgba) — the
+// device converter's overflow-staging order (convert/device.py step 4).
+void pc_staging_sort(const int64_t* cell_key, const int64_t* next_key,
+                     const int32_t* pos_bits,  // (n, 3) f32 bit patterns
+                     const uint32_t* color_key, int64_t n, int64_t* order) {
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::sort(order, order + n, [&](int64_t a, int64_t b) {
+        if (cell_key[a] != cell_key[b]) return cell_key[a] < cell_key[b];
+        if (next_key[a] != next_key[b]) return next_key[a] < next_key[b];
+        if (pos_bits[3 * a] != pos_bits[3 * b])
+            return pos_bits[3 * a] < pos_bits[3 * b];
+        if (pos_bits[3 * a + 1] != pos_bits[3 * b + 1])
+            return pos_bits[3 * a + 1] < pos_bits[3 * b + 1];
+        if (pos_bits[3 * a + 2] != pos_bits[3 * b + 2])
+            return pos_bits[3 * a + 2] < pos_bits[3 * b + 2];
+        return color_key[a] < color_key[b];
+    });
+}
+
+}  // extern "C"

@@ -42,7 +42,11 @@ from .pipeline import group_points_host, merge_point_maps
 log = logging.getLogger(__name__)
 
 DEFAULT_BATCH_SIZE = 10_000  # lib.rs:32
-DEFAULT_CACHE_SIZE = 1_024
+# The reference keeps 100 cells in RAM (converter.rs:92) because it targets
+# desktop heaps; deep hierarchies of dense clouds touch thousands of cells
+# per batch and an undersized cache turns into load/evict churn. Cells are
+# compact (SoA arrays), so default to a large cache and let users shrink it.
+DEFAULT_CACHE_SIZE = 65_536
 
 
 def add_points_to_cell(

@@ -269,13 +269,22 @@ class DeviceConverter(Converter):
                             | (a64[:, 2] + bias)
                         )
 
-                    order = np.lexsort(
-                        (
-                            color_key,
-                            pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0],
-                            pack3(l_next), pack3(l_cell),
-                        )
+                    cell_key = pack3(l_cell)
+                    next_key = pack3(l_next)
+                    from ..native import staging_sort_native
+
+                    order = staging_sort_native(
+                        cell_key, next_key, pos_bits, color_key
                     )
+                    if order is None:
+                        order = np.lexsort(
+                            (
+                                color_key,
+                                pos_bits[:, 2], pos_bits[:, 1],
+                                pos_bits[:, 0],
+                                next_key, cell_key,
+                            )
+                        )
                 else:
                     order = np.lexsort(
                         (

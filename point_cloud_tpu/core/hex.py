@@ -32,9 +32,22 @@ _I32_MAX = 2**31 - 1
 
 
 def _np_saturating_i32(v: np.ndarray) -> np.ndarray:
-    """Rust `as i32` on an already-integral float: saturate, NaN -> 0."""
-    v = np.where(np.isnan(v), 0.0, v)
-    return np.clip(v, _I32_MIN, _I32_MAX).astype(np.int32)
+    """Rust `as i32` on an already-integral float: saturate, NaN -> 0.
+
+    Explicit bounds comparisons (not clip+cast): 2^31-1 is not
+    representable in f32, so a clipped value of 2^31 would wrap in the
+    cast. The in-range cast is exact because callers pass floor/trunc
+    results. The C++ (native/pc_native.cpp sat_i32) and jnp versions
+    implement the identical rule.
+    """
+    v = np.asarray(v, dtype=np.float32)
+    nan = np.isnan(v)
+    hi = v >= np.float32(2147483648.0)
+    lo = v <= np.float32(-2147483904.0)  # first f32 below i32::MIN
+    safe = np.where(nan | hi | lo, 0.0, v).astype(np.int32)
+    out = np.where(hi, np.int32(_I32_MAX), safe)
+    out = np.where(lo, np.int32(_I32_MIN), out)
+    return np.where(nan, np.int32(0), out)
 
 
 def offset_to_axial(offset: np.ndarray) -> np.ndarray:
@@ -119,9 +132,13 @@ def _jax_saturating_i32(v):
     """Device version of Rust ``as i32``: saturate, NaN -> 0 (matches
     :func:`_np_saturating_i32` so device and host quantize identically)."""
     jnp = _jax_ops()
-    v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
-    v = jnp.clip(v, jnp.float32(_I32_MIN), jnp.float32(_I32_MAX))
-    return v.astype(jnp.int32)
+    nan = jnp.isnan(v)
+    hi = v >= jnp.float32(2147483648.0)
+    lo = v <= jnp.float32(-2147483904.0)
+    safe = jnp.where(nan | hi | lo, jnp.float32(0.0), v).astype(jnp.int32)
+    out = jnp.where(hi, jnp.int32(_I32_MAX), safe)
+    out = jnp.where(lo, jnp.int32(_I32_MIN), out)
+    return jnp.where(nan, jnp.int32(0), out)
 
 
 def jax_axial_from_world(pos, cell_radius):

@@ -55,9 +55,10 @@ class MetadataConfig:
         kernel must use the same formula (the reference keeps the WGSL copy
         in sync by comment, compute.wgsl:80-83 — we keep it in sync by test).
         """
+        from .hex import _np_saturating_i32
+
         v = np.floor(np.asarray(pos, dtype=np.float32) / np.float32(cell_size))
-        v = np.where(np.isnan(v), 0.0, v)
-        return np.clip(v, _I32_MIN, _I32_MAX).astype(np.int32)
+        return _np_saturating_i32(v)
 
     def cell_pos(self, cell_index: np.ndarray, cell_size: float) -> np.ndarray:
         """Cell center world position (metadata.rs:104-106)."""

@@ -72,8 +72,67 @@ def load_native():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.pc_free.argtypes = [ctypes.c_void_p]
+        lib.pc_hex_keys.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.pc_staging_sort.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
+
+
+def _ptr(arr):
+    import numpy as np
+
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def hex_keys_native(positions, cell_size, sub_cell_radius, next_cell_size,
+                    n_threads: int = 8):
+    """C++ hex quantization pass; returns (cell_idx, sub_idx, dist,
+    next_idx) bit-identical to the NumPy path, or None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    import numpy as np
+
+    positions = np.ascontiguousarray(positions, np.float32)
+    n = len(positions)
+    cell_idx = np.empty((n, 3), np.int32)
+    sub_idx = np.empty((n, 3), np.int32)
+    dist = np.empty(n, np.float32)
+    next_idx = np.empty((n, 3), np.int32)
+    lib.pc_hex_keys(
+        _ptr(positions), n, ctypes.c_float(cell_size),
+        ctypes.c_float(sub_cell_radius), ctypes.c_float(next_cell_size),
+        _ptr(cell_idx), _ptr(sub_idx), _ptr(dist), _ptr(next_idx), n_threads,
+    )
+    return cell_idx, sub_idx, dist, next_idx
+
+
+def staging_sort_native(cell_key, next_key, pos_bits, color_key):
+    """C++ comparison sort of the overflow-staging order; None if
+    unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = len(cell_key)
+    cell_key = np.ascontiguousarray(cell_key, np.int64)
+    next_key = np.ascontiguousarray(next_key, np.int64)
+    pos_bits = np.ascontiguousarray(pos_bits, np.int32)
+    color_key = np.ascontiguousarray(color_key, np.uint32)
+    order = np.empty(n, np.int64)
+    lib.pc_staging_sort(
+        _ptr(cell_key), _ptr(next_key), _ptr(pos_bits), _ptr(color_key),
+        n, _ptr(order),
+    )
+    return order
 
 
 class AsyncStoreWriter:

@@ -246,6 +246,27 @@ def host_keys(positions, cell_size, sub_cell_size):
     return cell_idx, sub_idx, dist
 
 
+def host_keys_full(positions, cell_size, sub_cell_size):
+    """(cell_idx, sub_idx, dist, next_cell_idx) — C++ kernel when built
+    (bit-identical, multi-threaded), NumPy otherwise."""
+    cell_size = np.float32(cell_size)
+    sub_cell_size = np.float32(sub_cell_size)
+    next_cell_size = np.float32(cell_size / np.float32(2.0))
+    from ..native import hex_keys_native
+
+    out = hex_keys_native(
+        positions, cell_size,
+        np.float32(sub_cell_size / np.float32(2.0)), next_cell_size,
+    )
+    if out is not None:
+        return out
+    cell_idx, sub_idx, dist = host_keys(positions, cell_size, sub_cell_size)
+    from ..core.metadata import MetadataConfig
+
+    next_idx = MetadataConfig().cell_index(positions, next_cell_size)
+    return cell_idx, sub_idx, dist, next_idx
+
+
 def dispatch_dedup(positions: np.ndarray, cell_size, sub_cell_size,
                    n_valid: int | None = None) -> dict:
     """Start the device pass asynchronously; returns a handle for
@@ -286,14 +307,9 @@ def collect_dedup(handle: dict, positions: np.ndarray, cell_size,
         winner = (packed >> 30) & 1 == 1
         suspect = (packed >> 29) & 1 == 1
 
-        cell_size = np.float32(cell_size)
-        sub_cell_size = np.float32(sub_cell_size)
         pos_s = np.asarray(positions[:n], np.float32)[perm]
-        cell_idx, sub_idx, dist = host_keys(pos_s, cell_size, sub_cell_size)
-        from ..core.metadata import MetadataConfig
-
-        next_cell_idx = MetadataConfig().cell_index(
-            pos_s, np.float32(cell_size / np.float32(2.0))
+        cell_idx, sub_idx, dist, next_cell_idx = host_keys_full(
+            pos_s, cell_size, sub_cell_size
         )
         winner = resolve_suspects_host(
             perm, winner, cell_idx, sub_idx, dist, suspect
