@@ -201,6 +201,7 @@ void pc_free(void* ptr) { std::free(ptr); }
 
 #include <algorithm>
 #include <cmath>
+#include <limits>
 
 namespace {
 
@@ -325,6 +326,64 @@ void pc_staging_sort(const int64_t* cell_key, const int64_t* next_key,
             return pos_bits[3 * a + 2] < pos_bits[3 * b + 2];
         return color_key[a] < color_key[b];
     });
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Probe LSM segments for incumbent slots (core/cell.py merge_winners):
+// for each query key, search every segment's sorted key array; at most one
+// valid row per key exists across segments (the LSM invariant). Outputs
+// the incumbent's distance (+inf when absent), segment ordinal and row.
+void pc_lsm_probe(const int64_t* seg_keys,     // concatenated sorted keys
+                  const uint8_t* seg_valid,    // concatenated bitmaps
+                  const float* seg_dist,       // concatenated distances
+                  const int64_t* seg_offsets,  // (n_segments + 1,)
+                  int64_t n_segments,
+                  const int64_t* queries, int64_t n_queries,
+                  float* inc_dist, int32_t* inc_seg, int64_t* inc_loc,
+                  int n_threads) {
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const int64_t key = queries[i];
+            float best = std::numeric_limits<float>::infinity();
+            int32_t best_seg = -1;
+            int64_t best_loc = 0;
+            for (int64_t s = 0; s < n_segments; ++s) {
+                const int64_t begin = seg_offsets[s];
+                const int64_t end = seg_offsets[s + 1];
+                const int64_t* first = seg_keys + begin;
+                const int64_t* last = seg_keys + end;
+                const int64_t* it = std::lower_bound(first, last, key);
+                if (it != last && *it == key) {
+                    const int64_t loc = it - seg_keys;
+                    if (seg_valid[loc]) {
+                        best = seg_dist[loc];
+                        best_seg = static_cast<int32_t>(s);
+                        best_loc = loc - begin;
+                        break;  // LSM invariant: only one valid row per key
+                    }
+                }
+            }
+            inc_dist[i] = best;
+            inc_seg[i] = best_seg;
+            inc_loc[i] = best_loc;
+        }
+    };
+    if (n_threads <= 1 || n_queries < (1 << 13)) {
+        worker(0, n_queries);
+        return;
+    }
+    std::vector<std::thread> workers;
+    const int64_t chunk = (n_queries + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min(n_queries, lo + chunk);
+        if (lo >= hi) break;
+        workers.emplace_back([&worker, lo, hi] { worker(lo, hi); });
+    }
+    for (auto& w : workers) w.join();
 }
 
 }  // extern "C"

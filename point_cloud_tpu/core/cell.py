@@ -256,17 +256,38 @@ class Cell:
                 positions, colors, sub_indices, dist
             )
 
-        inc_dist = np.full(n, np.inf, np.float32)
-        inc_seg = np.full(n, -1, np.int32)
-        inc_loc = np.zeros(n, np.int64)
-        for si, seg in enumerate(self._segments):
-            loc = np.searchsorted(seg.keys, keys)
-            locc = np.minimum(loc, len(seg) - 1)
-            hit = (loc < len(seg)) & (seg.keys[locc] == keys) & seg.valid[locc]
-            # invariant: at most one valid row per key across segments
-            inc_dist = np.where(hit, seg.dist[locc], inc_dist)
-            inc_seg = np.where(hit, si, inc_seg)
-            inc_loc = np.where(hit, locc, inc_loc)
+        probed = None
+        if self._segments and n >= 4096:
+            from ..native import lsm_probe_native
+
+            seg_offsets = np.cumsum(
+                [0] + [len(s) for s in self._segments], dtype=np.int64
+            )
+            probed = lsm_probe_native(
+                np.concatenate([s.keys for s in self._segments]),
+                np.concatenate([s.valid for s in self._segments]),
+                np.concatenate([s.dist for s in self._segments]),
+                seg_offsets,
+                keys,
+            )
+        if probed is not None:
+            inc_dist, inc_seg, inc_loc = probed
+        else:
+            inc_dist = np.full(n, np.inf, np.float32)
+            inc_seg = np.full(n, -1, np.int32)
+            inc_loc = np.zeros(n, np.int64)
+            for si, seg in enumerate(self._segments):
+                loc = np.searchsorted(seg.keys, keys)
+                locc = np.minimum(loc, len(seg) - 1)
+                hit = (
+                    (loc < len(seg))
+                    & (seg.keys[locc] == keys)
+                    & seg.valid[locc]
+                )
+                # invariant: at most one valid row per key across segments
+                inc_dist = np.where(hit, seg.dist[locc], inc_dist)
+                inc_seg = np.where(hit, si, inc_seg)
+                inc_loc = np.where(hit, locc, inc_loc)
 
         has_inc = inc_seg >= 0
         new_wins = ~has_inc | (dist < inc_dist)  # strict: cell.rs:80

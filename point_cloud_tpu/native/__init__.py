@@ -81,6 +81,12 @@ def load_native():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.pc_lsm_probe.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -112,6 +118,32 @@ def hex_keys_native(positions, cell_size, sub_cell_radius, next_cell_size,
         _ptr(cell_idx), _ptr(sub_idx), _ptr(dist), _ptr(next_idx), n_threads,
     )
     return cell_idx, sub_idx, dist, next_idx
+
+
+def lsm_probe_native(seg_keys, seg_valid, seg_dist, seg_offsets, queries,
+                     n_threads: int = 8):
+    """C++ multi-segment incumbent probe (core/cell.py merge_winners);
+    returns (inc_dist, inc_seg, inc_loc) or None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = len(queries)
+    seg_keys = np.ascontiguousarray(seg_keys, np.int64)
+    seg_valid = np.ascontiguousarray(seg_valid, np.uint8)
+    seg_dist = np.ascontiguousarray(seg_dist, np.float32)
+    seg_offsets = np.ascontiguousarray(seg_offsets, np.int64)
+    queries = np.ascontiguousarray(queries, np.int64)
+    inc_dist = np.empty(n, np.float32)
+    inc_seg = np.empty(n, np.int32)
+    inc_loc = np.empty(n, np.int64)
+    lib.pc_lsm_probe(
+        _ptr(seg_keys), _ptr(seg_valid), _ptr(seg_dist), _ptr(seg_offsets),
+        len(seg_offsets) - 1, _ptr(queries), n,
+        _ptr(inc_dist), _ptr(inc_seg), _ptr(inc_loc), n_threads,
+    )
+    return inc_dist, inc_seg, inc_loc
 
 
 def staging_sort_native(cell_key, next_key, pos_bits, color_key):
