@@ -246,13 +246,11 @@ class InteractiveConverter:
                 self.metadata.hierarchies, cell_id.hierarchy + 1
             )
         if self.auto_save:
-            self._lru.put(cell_id, None)
-            while len(self._cells) > RAM_CACHE_LRU:
-                victim = next(iter(self._lru.keys()))
-                self._lru.remove(victim)
-                evicted = self._cells.pop(victim, None)
-                if evicted is not None:
-                    self._write_cell(evicted)
+            evicted_pair = self._lru.put(cell_id, None)
+            if evicted_pair is not None:
+                victim = self._cells.pop(evicted_pair[0], None)
+                if victim is not None:
+                    self._write_cell(victim)
         return cell
 
     def _load_or_create(self, cell_id: CellId) -> Cell:
