@@ -158,6 +158,14 @@ class DeviceConverter(Converter):
                             handle, positions, cell_size, sub_cell_size
                         )
                     )
+                if self._prefetched is not None:
+                    # the next batch's level-0 result is (or soon will be)
+                    # ready on device: stream it to the host in the
+                    # background while we merge this level
+                    try:
+                        self._prefetched[1]["packed"].copy_to_host_async()
+                    except AttributeError:
+                        pass
                 pos_s = positions[perm]
                 col_s = colors[perm]
 
