@@ -42,6 +42,13 @@ from ..core.hex import jax_axial_from_world, jax_axial_to_offset, jax_cell_index
 
 _I32_MAX = np.int32(2**31 - 1)
 
+# sort backend: "bitonic" (ops/bitonic.py — seconds to compile at any
+# shape, ~same run time) or "xla" (lax.sort — slightly faster at small
+# shapes but compile time grows with shape: ~36 s at 2^18, see PERF.md)
+import os as _os
+
+_SORT_BACKEND = _os.environ.get("PCT_SORT", "bitonic")
+
 def _i32(v: int) -> np.int32:
     """Python int (as u32 bit pattern) -> i32 constant."""
     return np.int32(v - 2**32 if v >= 2**31 else v)
@@ -145,11 +152,24 @@ def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
     dist_bits = jnp.where(valid, dist_bits, _I32_MAX)
 
     arrival = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
-    ch_s, sh_s, _, perm = jax.lax.sort(
-        (cell_hash, slot_hash, dist_bits, arrival),
-        num_keys=3,
-        is_stable=True,
-    )
+    # under shard_map the fori_loop carry must have uniform varying-axis
+    # types; mixing an unvarying iota with varying keys trips the check, so
+    # tie arrival to a varying operand (no-op arithmetic)
+    arrival = arrival + (cell_hash & jnp.int32(0))
+    if _SORT_BACKEND == "xla":
+        ch_s, sh_s, _, perm = jax.lax.sort(
+            (cell_hash, slot_hash, dist_bits, arrival),
+            num_keys=3,
+            is_stable=True,
+        )
+    else:
+        # O(1)-compile bitonic network (ops/bitonic.py); arrival as the
+        # 4th key makes the order total, which equals the stable 3-key sort
+        from .bitonic import bitonic_sort4
+
+        ch_s, sh_s, _, perm = bitonic_sort4(
+            cell_hash, slot_hash, dist_bits, arrival
+        )
 
     cell_idx_s = cell_idx[perm]
     sub_idx_s = sub_idx[perm]

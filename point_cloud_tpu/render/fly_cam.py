@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .transform import Transform, quat_from_axis_angle, quat_mul, quat_rotate
+from .transform import Transform, quat_from_axis_angle, quat_mul
 
 SPEED_MIN = 5.0
 SPEED_MAX = 1000.0

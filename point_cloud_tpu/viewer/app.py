@@ -30,7 +30,7 @@ from pathlib import Path
 import numpy as np
 
 from ..core.cell import Cell, CellId
-from ..core.metadata import FILE_NAME, EXTENSION, Metadata
+from ..core.metadata import Metadata
 from ..render.camera import Camera
 from ..render.fly_cam import FlyCam
 from ..render.frustums import SCALE_DEFAULT, update_streaming_frustums
@@ -38,7 +38,7 @@ from ..render.lines import frustum_lines, line_box, rasterize_lines
 from ..render.renderer import PointRenderer, RenderSettings
 from ..render.streaming import CellStreamer
 from ..utils.assets import AssetManager
-from ..utils.source import Directory, NoSource
+from ..utils.source import Directory
 from ..utils.thread_pool import ThreadPool
 
 

@@ -29,13 +29,13 @@ from pathlib import Path
 import numpy as np
 
 from ..convert.converter import add_points_to_cell
-from ..convert.pipeline import group_points_host, merge_point_maps
+from ..convert.pipeline import group_points_host
 from ..core.aabb import Aabb
 from ..core.cell import Cell, CellId
 from ..core.metadata import FILE_NAME, EXTENSION, Metadata
 from ..core.point import PointBatch
 from ..utils.lru import LruCache
-from ..utils.source import Directory, PathSource
+from ..utils.source import Directory
 
 DEFAULT_BATCH_SIZE = 50_000  # converter.rs:600-606
 BATCH_SIZE_MIN = 10_000
