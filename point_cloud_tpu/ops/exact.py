@@ -1,8 +1,9 @@
 """Correctly-rounded float32 arithmetic on TPU.
 
 The TPU VPU's f32 divide is reciprocal-based and returns results 1-2 ulp off
-the IEEE correctly-rounded quotient for ~10% of operands (measured on v5e).
-Add/sub/mul are exact. The hex-grid quantization and cell indexing used by
+the IEEE correctly-rounded quotient for ~35% of random operands (measured on
+v5e over 1M samples; exact_div matched host IEEE on 100.0000% of the same
+samples). Add/sub/mul are exact. The hex-grid quantization and cell indexing used by
 the converter (core/hex.py, core/metadata.py) are defined in terms of IEEE
 f32 semantics — the same semantics the reference's Rust/CPU build gets for
 free — so the device pipeline needs a correctly-rounded division.
