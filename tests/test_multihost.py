@@ -1,0 +1,87 @@
+"""Multi-host build tests: shard -> partial stores -> merged store."""
+
+import numpy as np
+
+from point_cloud_tpu.core.cell import Cell
+from point_cloud_tpu.core.metadata import Metadata
+from point_cloud_tpu.core.point import PointBatch
+from point_cloud_tpu.io.ply import write_ply
+from point_cloud_tpu.parallel.multihost import (
+    convert_sharded,
+    merge_stores,
+    worker_file_shard,
+)
+
+
+def random_batch(n, seed):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-80, 80, (n, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+def store_point_count(store):
+    metadata = Metadata.from_path(store / "metadata.json")
+    total = 0
+    for h in range(metadata.hierarchies):
+        hdir = store / f"h_{h}"
+        if hdir.exists():
+            for p in hdir.iterdir():
+                total += Cell.from_path(p).total_number_of_points
+    return metadata, total
+
+
+class TestMultiHost:
+    def test_shard_partition_is_complete_and_disjoint(self, tmp_path):
+        paths = [tmp_path / f"f{i}.ply" for i in range(7)]
+        shards = [worker_file_shard(paths, i, 3) for i in range(3)]
+        all_files = sorted(p for s in shards for p in s)
+        assert all_files == sorted(paths)
+        assert sum(len(s) for s in shards) == 7
+
+    def test_sharded_build_and_merge(self, tmp_path):
+        # 4 input files, 2 workers, tree-merged into one store
+        batches = [random_batch(2_000, seed=60 + i) for i in range(4)]
+        files = []
+        for i, b in enumerate(batches):
+            f = tmp_path / f"cloud{i}.ply"
+            write_ply(f, b)
+            files.append(f)
+
+        staging = tmp_path / "staging"
+        stores = [
+            convert_sharded(files, staging, w, 2, batch_size=3_000)
+            for w in range(2)
+        ]
+        for s in stores:
+            assert (s / "metadata.json").exists()
+
+        dest = tmp_path / "final"
+        merge_stores(stores, dest, batch_size=3_000)
+        metadata, total = store_point_count(dest)
+        assert metadata.number_of_points == 8_000
+        assert total == 8_000
+        # merged bbox covers all points
+        all_pos = np.concatenate([b.positions for b in batches])
+        np.testing.assert_array_equal(
+            metadata.bounding_box.min, all_pos.min(axis=0)
+        )
+        np.testing.assert_array_equal(
+            metadata.bounding_box.max, all_pos.max(axis=0)
+        )
+
+    def test_merge_is_resumable(self, tmp_path):
+        a = random_batch(1_500, seed=70)
+        b = random_batch(1_500, seed=71)
+        fa, fb = tmp_path / "a.ply", tmp_path / "b.ply"
+        write_ply(fa, a)
+        write_ply(fb, b)
+        sa = convert_sharded([fa, fb], tmp_path / "st", 0, 2)
+        sb = convert_sharded([fa, fb], tmp_path / "st", 1, 2)
+        dest = tmp_path / "final"
+        merge_stores([sa], dest)  # "crash" between merges
+        merge_stores([sb], dest)  # resume with the second store
+        metadata, total = store_point_count(dest)
+        assert metadata.number_of_points == 3_000
+        assert total == 3_000
