@@ -185,6 +185,18 @@ class Transform:
         point = np.asarray(point, np.float32) * self.scale
         return quat_rotate(self.rotation, point) + self.translation
 
+    def mul_transform(self, other: "Transform") -> "Transform":
+        """Compose transforms (transform.rs:116-125): translation through
+        self, rotations multiplied, scales componentwise."""
+        return Transform(
+            translation=self.transform_point(other.translation),
+            rotation=quat_mul(self.rotation, other.rotation),
+            scale=self.scale * other.scale,
+        )
+
+    def __mul__(self, other: "Transform") -> "Transform":
+        return self.mul_transform(other)
+
     def compute_matrix(self) -> np.ndarray:
         """Column-major SRT affine (transform.rs:134-136)."""
         m = np.eye(4, dtype=np.float32)

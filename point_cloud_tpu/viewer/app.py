@@ -103,6 +103,11 @@ class Viewer:
         self.metadata = Metadata()  # placeholder "Unknown" cloud
         self.working_directory: Directory | None = None
         self.camera = Camera()
+        # aspect ratio follows the surface (src/plugins/camera.rs
+        # update_aspect_ratio on WindowResized)
+        self.camera.projection.aspect_ratio = (
+            self.settings.width / self.settings.height
+        )
         self.fly_cam = FlyCam.from_transform(self.camera.transform)
         self.streaming_scale = SCALE_DEFAULT
         self.stream_enabled = True
@@ -148,6 +153,18 @@ class Viewer:
         )
         self.camera.look_at_aabb(metadata.bounding_box)
         self.fly_cam = FlyCam.from_transform(self.camera.transform)
+        self._camera_dirty = True
+
+    def resize(self, width: int, height: int) -> None:
+        """Resize the render surface (WindowResized handling:
+        src/plugins/winit.rs + camera aspect + depth texture recreation —
+        the framebuffer here is per-frame, so only settings change)."""
+        self.settings.width = max(1, int(width))
+        self.settings.height = max(1, int(height))
+        self.camera.projection.aspect_ratio = (
+            self.settings.width / self.settings.height
+        )
+        self.renderer = PointRenderer(self.metadata, self.settings)
         self._camera_dirty = True
 
     # --- per-frame update ------------------------------------------------------

@@ -181,3 +181,34 @@ class TestStreamingFrustums:
         for f in frustums:
             np.testing.assert_array_equal(f.near, frustum.near)
             np.testing.assert_array_equal(f.planes[0], frustum.planes[0])
+
+
+class TestTransformCompose:
+    def test_mul_transform_matches_matrix_product(self):
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        a = Transform.from_xyz(*rng.normal(size=3))
+        q = rng.normal(size=4).astype(np.float32)
+        a.rotation = q / np.linalg.norm(q)
+        b = Transform.from_xyz(*rng.normal(size=3))
+        q = rng.normal(size=4).astype(np.float32)
+        b.rotation = q / np.linalg.norm(q)
+        c = a * b
+        np.testing.assert_allclose(
+            c.compute_matrix(), a.compute_matrix() @ b.compute_matrix(),
+            atol=1e-5,
+        )
+
+
+class TestViewerResize:
+    def test_aspect_ratio_follows_surface(self):
+        from point_cloud_tpu.render.renderer import RenderSettings
+        from point_cloud_tpu.viewer import Viewer
+
+        viewer = Viewer(RenderSettings(width=200, height=100))
+        assert viewer.camera.projection.aspect_ratio == 2.0
+        viewer.resize(100, 400)
+        assert viewer.camera.projection.aspect_ratio == 0.25
+        assert viewer.settings.height == 400
+        viewer.close()
