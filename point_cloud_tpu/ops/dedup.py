@@ -162,6 +162,20 @@ def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
             num_keys=3,
             is_stable=True,
         )
+    elif _SORT_BACKEND == "pallas":
+        # experimental VMEM-resident kernel (see ops/sort_pallas.py STATUS)
+        from .sort_pallas import MAX_PALLAS_ROWS, pallas_bitonic_sort4
+
+        if 1024 <= n <= MAX_PALLAS_ROWS:
+            ch_s, sh_s, _, perm = pallas_bitonic_sort4(
+                cell_hash, slot_hash, dist_bits, arrival
+            )
+        else:
+            from .bitonic import bitonic_sort4
+
+            ch_s, sh_s, _, perm = bitonic_sort4(
+                cell_hash, slot_hash, dist_bits, arrival
+            )
     else:
         # O(1)-compile bitonic network (ops/bitonic.py); arrival as the
         # 4th key makes the order total, which equals the stable 3-key sort
