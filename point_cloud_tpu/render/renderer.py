@@ -124,8 +124,23 @@ class PointRenderer:
             positions = np.concatenate(pos_chunks)
             colors = np.concatenate(col_chunks)
             point_hier = np.concatenate(hier_chunks)
-            n = len(positions)
-            total_in += n
+            n_real = len(positions)
+            total_in += n_real
+            # pad to pow2 buckets: per-frame point counts vary every frame
+            # and each unique shape would recompile the kernels (~seconds
+            # on TPU); the valid mask drops the padding
+            from ..ops.dedup import pad_to_bucket
+
+            n = pad_to_bucket(max(n_real, 1), minimum=1 << 12)
+            if n != n_real:
+                positions = np.concatenate(
+                    [positions, np.zeros((n - n_real, 3), np.float32)]
+                )
+                point_hier = np.concatenate(
+                    [point_hier, np.zeros(n - n_real, np.int32)]
+                )
+            valid = np.zeros(n, bool)
+            valid[:n_real] = True
 
             use_occ = s.occlusion and not paused
             depth_now = (
@@ -137,7 +152,7 @@ class PointRenderer:
             keep, hierarchy, ndc = cull_lod_pass(
                 jnp.asarray(positions),
                 jnp.asarray(point_hier),
-                jnp.ones(n, bool),
+                jnp.asarray(valid),
                 jnp.asarray(view),
                 jnp.asarray(proj),
                 jnp.asarray(cam_pos),
@@ -157,7 +172,10 @@ class PointRenderer:
             )
             view_pos = hpos @ view.T
             radius = spacings[np.asarray(hierarchy)]
-            point_ids = np.arange(id_base, id_base + n, dtype=np.int32)
+            point_ids = np.zeros(n, np.int32)
+            point_ids[:n_real] = np.arange(
+                id_base, id_base + n_real, dtype=np.int32
+            )
 
             framebuffer = rasterize_splats(
                 framebuffer,
@@ -174,7 +192,7 @@ class PointRenderer:
             )
             total_visible += int(np.asarray(keep).sum())
             all_colors.append(colors)
-            id_base += n
+            id_base += n_real
 
         color_table = np.concatenate(all_colors)
         rgb, depth = resolve_framebuffer(

@@ -96,6 +96,8 @@ class FrameDiagnostics:
 
 
 class Viewer:
+    streaming_scale: float  # property below: changes re-stream immediately
+
     def __init__(self, settings: RenderSettings | None = None,
                  pool: ThreadPool | None = None):
         self.settings = settings or RenderSettings()
@@ -109,7 +111,7 @@ class Viewer:
             self.settings.width / self.settings.height
         )
         self.fly_cam = FlyCam.from_transform(self.camera.transform)
-        self.streaming_scale = SCALE_DEFAULT
+        self._streaming_scale = SCALE_DEFAULT
         self.stream_enabled = True
         self.debug = DebugSettings()
         self.diagnostics = FrameDiagnostics()
@@ -153,6 +155,19 @@ class Viewer:
         )
         self.camera.look_at_aabb(metadata.bounding_box)
         self.fly_cam = FlyCam.from_transform(self.camera.transform)
+        self._camera_dirty = True
+
+    @property
+    def streaming_scale(self) -> float:
+        return self._streaming_scale
+
+    @streaming_scale.setter
+    def streaming_scale(self, value: float) -> None:
+        """Load-distance scale slider (frustums.rs:13-25): streaming
+        frustums rebuild on change, like the is_changed() reactivity."""
+        from ..render.frustums import SCALE_MAX, SCALE_MIN
+
+        self._streaming_scale = float(np.clip(value, SCALE_MIN, SCALE_MAX))
         self._camera_dirty = True
 
     def resize(self, width: int, height: int) -> None:
