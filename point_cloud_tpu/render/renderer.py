@@ -90,6 +90,19 @@ class PointRenderer:
 
         sizes, spacings = hierarchy_tables(self.metadata)
         loaded_table = streamer.loaded_cells_table()
+        # pad the table to pow2 rows: its length changes as cells stream in
+        # and out, and every new shape would recompile the cull kernel.
+        # i32::MAX rows sort after every real key, so the lexicographic
+        # binary search never matches them
+        from ..ops.dedup import pad_to_bucket
+
+        m = pad_to_bucket(max(len(loaded_table), 1), minimum=256)
+        if m != len(loaded_table):
+            pad = np.full((m - len(loaded_table), 4), np.iinfo(np.int32).max,
+                          np.int32)
+            loaded_table = np.concatenate(
+                [loaded_table.reshape(-1, 4).astype(np.int32), pad]
+            )
 
         far_distances = np.zeros(MAX_HIERARCHIES, np.float32)
         if streaming_frustums is not None:
