@@ -35,7 +35,8 @@ def server(store):
 
 
 def get(url):
-    with urllib.request.urlopen(url, timeout=30) as resp:
+    # generous timeout: the first /render compiles kernels
+    with urllib.request.urlopen(url, timeout=180) as resp:
         return resp.status, resp.read()
 
 
