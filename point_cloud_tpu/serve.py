@@ -53,11 +53,14 @@ class StoreServer:
         self._camera_factory = Camera
         self._update_streaming = update_streaming_frustums
 
-    def render_png(self, yaw=0.0, pitch=-0.4, dist=None) -> bytes:
+    def render_png(self, yaw=0.0, pitch=-0.4, dist=None,
+                   voronoi=None) -> bytes:
         """Stream the view's cells in and render one frame server-side."""
         from .viewer.offscreen import write_png
 
         with self._render_lock:
+            if voronoi is not None:
+                self._settings.voronoi = bool(voronoi)
             camera = self._camera_factory()
             camera.projection.far = float(
                 self.metadata.config.max_cell_size * 5.0
@@ -128,6 +131,11 @@ def make_handler(server: StoreServer):
                         yaw=float(q.get("yaw", ["0"])[0]),
                         pitch=float(q.get("pitch", ["-0.4"])[0]),
                         dist=float(q["dist"][0]) if "dist" in q else None,
+                        voronoi=(
+                            q["voronoi"][0] not in ("0", "false")
+                            if "voronoi" in q
+                            else None
+                        ),
                     )
                 except Exception as err:  # pragma: no cover - defensive
                     self._send(500, str(err).encode(), "text/plain")

@@ -85,3 +85,28 @@ class TestLruCache:
         c.put("b", 2)
         c.purge()
         assert len(c) == 0
+
+
+class TestEventBus:
+    def test_send_drain_by_type(self):
+        from dataclasses import dataclass
+
+        from point_cloud_tpu.utils.events import EventBus
+
+        @dataclass
+        class Resized:
+            w: int
+
+        @dataclass
+        class KeyDown:
+            key: str
+
+        bus = EventBus()
+        bus.dispatch(Resized(10), KeyDown("w"), Resized(20))
+        assert [e.w for e in bus.drain(Resized)] == [10, 20]
+        assert bus.drain(Resized) == []  # drained
+        assert bus.peek(KeyDown)[0].key == "w"
+        assert [e.key for e in bus.drain(KeyDown)] == ["w"]
+        bus.send(Resized(1))
+        bus.clear()
+        assert bus.drain(Resized) == []
