@@ -66,8 +66,6 @@ def _row_boundaries(rows: np.ndarray) -> np.ndarray:
 class DeviceConverter(Converter):
     """Drop-in converter whose dedup math runs on the JAX default device."""
 
-    _prefetched: tuple | None = None
-
     def prefetch(self, batch: PointBatch) -> None:
         """Dispatch the next batch's level-0 device pass asynchronously.
 
@@ -80,7 +78,21 @@ class DeviceConverter(Converter):
         handle = dispatch_dedup(
             batch.positions, cell_size, config.sub_cell_size(cell_size)
         )
-        self._prefetched = (batch.positions, handle)
+        handles = getattr(self, "_prefetch_handles", None)
+        if handles is None:
+            handles = self._prefetch_handles = {}
+        handles[id(batch.positions)] = (batch.positions, handle)
+        while len(handles) > 4:  # bound stale entries
+            handles.pop(next(iter(handles)))
+
+    def _take_prefetch(self, positions):
+        handles = getattr(self, "_prefetch_handles", None)
+        if not handles:
+            return None
+        entry = handles.pop(id(positions), None)
+        if entry is not None and entry[0] is positions:
+            return entry[1]
+        return None
 
     def add_points_batch(self, batch: PointBatch) -> None:
         self._update_bounding_box(batch)
@@ -109,11 +121,11 @@ class DeviceConverter(Converter):
     ) -> None:
         config = self.metadata.config
         while len(positions):
-            has_prefetch = (
-                self._prefetched is not None
-                and self._prefetched[0] is positions
-            )
-            if len(positions) < HOST_CASCADE_THRESHOLD and not has_prefetch:
+            prefetch_handle = self._take_prefetch(positions)
+            if (
+                len(positions) < HOST_CASCADE_THRESHOLD
+                and prefetch_handle is None
+            ):
                 # small tail: finish the cascade host-side (same semantics,
                 # Cell.add_points shares the dedup + merge code)
                 from .pipeline import group_points_host
@@ -123,221 +135,229 @@ class DeviceConverter(Converter):
                 )
                 Converter._add_points_in_hierarchy(self, hierarchy, grouped)
                 return
-            self._create_hierarchy_folder(hierarchy)
-            cell_size = config.cell_size(hierarchy)
-            sub_cell_size = config.sub_cell_size(cell_size)
-            next_cell_size = np.float32(cell_size) / np.float32(2.0)
-
-            positions, colors, extra_losers = self._reduce_batch(
-                hierarchy, positions, colors, cell_size, sub_cell_size
+            positions, colors = self._cascade_level(
+                positions, colors, hierarchy, prefetch_handle
             )
-            # _reduce_batch may replace the arrays (mesh path): re-verify
-            # the prefetch handle still matches by identity
-            has_prefetch = (
-                self._prefetched is not None
-                and self._prefetched[0] is positions
+            hierarchy += 1
+
+    def _cascade_level(
+        self, positions: np.ndarray, colors: np.ndarray, hierarchy: int,
+        prefetch_handle: dict | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Process one hierarchy level; returns the next level's input."""
+        config = self.metadata.config
+        self._create_hierarchy_folder(hierarchy)
+        cell_size = config.cell_size(hierarchy)
+        sub_cell_size = config.sub_cell_size(cell_size)
+        next_cell_size = np.float32(cell_size) / np.float32(2.0)
+
+        original_positions = positions
+        positions, colors, extra_losers = self._reduce_batch(
+            hierarchy, positions, colors, cell_size, sub_cell_size
+        )
+        if positions is not original_positions:
+            prefetch_handle = None  # mesh path replaced the arrays
+
+        # --- 1+2. device pass + host-side rebuild -----------------------
+        l_pos_chunks: list[np.ndarray] = []
+        l_col_chunks: list[np.ndarray] = []
+        l_cell_chunks: list[np.ndarray] = []
+        l_next_chunks: list[np.ndarray] = []
+
+        if len(positions):
+            handle = prefetch_handle or dispatch_dedup(
+                positions, cell_size, sub_cell_size
+            )
+            with stage("device_dedup+rebuild"):
+                perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
+                    collect_dedup(
+                        handle, positions, cell_size, sub_cell_size
+                    )
+                )
+            handles = getattr(self, "_prefetch_handles", None)
+            if handles:
+                # the next batch's level-0 result is (or soon will be)
+                # ready on device: stream it to the host in the
+                # background while we merge this level
+                try:
+                    next(iter(handles.values()))[1][
+                        "packed"
+                    ].copy_to_host_async()
+                except (AttributeError, StopIteration):
+                    pass
+            pos_s = positions[perm]
+            col_s = colors[perm]
+
+            starts = _row_boundaries(cell_idx_s)
+            ends = np.append(starts[1:], len(cell_idx_s))
+            # cells come back in hash order; under a (rare) cell-hash
+            # collision one cell's rows can split into multiple spans
+            seen: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+            for s, e in zip(starts, ends):
+                key = tuple(int(v) for v in cell_idx_s[s])
+                seen.setdefault(key, []).append((int(s), int(e)))
+
+            # --- 3. LSM merge per touched cell --------------------------
+            # cells are independent: merges run on a thread pool (NumPy
+            # releases the GIL in sort/searchsorted/gather kernels)
+            cells = {
+                key: self.get_cell(CellId(hierarchy, key))
+                for key in seen
+            }
+
+            def merge_one(item):
+                key, spans = item
+                rows = (
+                    np.arange(spans[0][0], spans[0][1])
+                    if len(spans) == 1
+                    else np.concatenate(
+                        [np.arange(s, e) for s, e in spans]
+                    )
+                )
+                win = rows[winner[rows]]
+                lose = rows[~winner[rows]]
+                displaced = cells[key].merge_winners(
+                    pos_s[win], col_s[win], sub_idx_s[win], dist_s[win]
+                )
+                return key, lose, displaced
+
+            with stage("lsm_merge"):
+                if len(seen) >= 4:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    if not hasattr(self, "_merge_pool"):
+                        self._merge_pool = ThreadPoolExecutor(8)
+                    results = list(
+                        self._merge_pool.map(merge_one, seen.items())
+                    )
+                else:
+                    results = [merge_one(item) for item in seen.items()]
+
+                for key, lose, displaced in results:
+                    if len(lose):
+                        l_pos_chunks.append(pos_s[lose])
+                        l_col_chunks.append(col_s[lose])
+                        l_cell_chunks.append(cell_idx_s[lose])
+                        l_next_chunks.append(next_idx_s[lose])
+                    if len(displaced):
+                        l_pos_chunks.append(displaced.positions)
+                        l_col_chunks.append(displaced.colors)
+                        l_cell_chunks.append(
+                            np.broadcast_to(
+                                np.asarray(key, np.int32),
+                                (len(displaced), 3),
+                            )
+                        )
+                        l_next_chunks.append(
+                            config.cell_index(
+                                displaced.positions, next_cell_size
+                            )
+                        )
+
+        if extra_losers is not None and len(extra_losers["positions"]):
+            l_pos_chunks.append(extra_losers["positions"])
+            l_col_chunks.append(extra_losers["colors"])
+            l_cell_chunks.append(extra_losers["cell_idx"])
+            l_next_chunks.append(extra_losers["next_idx"])
+            for key in {
+                tuple(int(v) for v in row)
+                for row in np.unique(extra_losers["cell_idx"], axis=0)
+            }:
+                self.get_cell(CellId(hierarchy, key))  # ensure loaded
+
+        if not l_pos_chunks:
+            return (
+                np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8)
             )
 
-            # --- 1+2. device pass + host-side rebuild -----------------------
-            l_pos_chunks: list[np.ndarray] = []
-            l_col_chunks: list[np.ndarray] = []
-            l_cell_chunks: list[np.ndarray] = []
-            l_next_chunks: list[np.ndarray] = []
-
-            if len(positions):
-                if has_prefetch:
-                    handle = self._prefetched[1]
-                    self._prefetched = None
-                else:
-                    handle = dispatch_dedup(
-                        positions, cell_size, sub_cell_size
+        # --- 4. losers -> overflow accounting ---------------------------
+        with stage("overflow_staging"):
+            l_pos = np.ascontiguousarray(np.concatenate(l_pos_chunks))
+            l_col = np.ascontiguousarray(np.concatenate(l_col_chunks))
+            l_cell = np.concatenate(l_cell_chunks)
+            l_next = np.concatenate(l_next_chunks)
+            # one global sort orders groups by (cell, next) AND leaves
+            # every group in canonical record order (matching
+            # Cell._canonical_overflow_order, so staging is presorted)
+            pos_bits = l_pos.view(np.int32)
+            color_key = l_col.view(np.uint32)[:, 0]
+            # pack the two index triples into int64 keys when in range
+            # (the common case) — 6-key lexsort instead of 10
+            bias = np.int64(1) << 20
+            lo, hi = -(1 << 20), (1 << 20) - 1
+            if (
+                l_cell.min(initial=0) >= lo and l_cell.max(initial=0) <= hi
+                and l_next.min(initial=0) >= lo
+                and l_next.max(initial=0) <= hi
+            ):
+                def pack3(a):
+                    a64 = a.astype(np.int64)
+                    return (
+                        ((a64[:, 0] + bias) << 42)
+                        | ((a64[:, 1] + bias) << 21)
+                        | (a64[:, 2] + bias)
                     )
-                with stage("device_dedup+rebuild"):
-                    perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
-                        collect_dedup(
-                            handle, positions, cell_size, sub_cell_size
-                        )
-                    )
-                if self._prefetched is not None:
-                    # the next batch's level-0 result is (or soon will be)
-                    # ready on device: stream it to the host in the
-                    # background while we merge this level
-                    try:
-                        self._prefetched[1]["packed"].copy_to_host_async()
-                    except AttributeError:
-                        pass
-                pos_s = positions[perm]
-                col_s = colors[perm]
 
-                starts = _row_boundaries(cell_idx_s)
-                ends = np.append(starts[1:], len(cell_idx_s))
-                # cells come back in hash order; under a (rare) cell-hash
-                # collision one cell's rows can split into multiple spans
-                seen: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
-                for s, e in zip(starts, ends):
-                    key = tuple(int(v) for v in cell_idx_s[s])
-                    seen.setdefault(key, []).append((int(s), int(e)))
+                cell_key = pack3(l_cell)
+                next_key = pack3(l_next)
+                from ..native import staging_sort_native
 
-                # --- 3. LSM merge per touched cell --------------------------
-                # cells are independent: merges run on a thread pool (NumPy
-                # releases the GIL in sort/searchsorted/gather kernels)
-                cells = {
-                    key: self.get_cell(CellId(hierarchy, key))
-                    for key in seen
-                }
-
-                def merge_one(item):
-                    key, spans = item
-                    rows = (
-                        np.arange(spans[0][0], spans[0][1])
-                        if len(spans) == 1
-                        else np.concatenate(
-                            [np.arange(s, e) for s, e in spans]
-                        )
-                    )
-                    win = rows[winner[rows]]
-                    lose = rows[~winner[rows]]
-                    displaced = cells[key].merge_winners(
-                        pos_s[win], col_s[win], sub_idx_s[win], dist_s[win]
-                    )
-                    return key, lose, displaced
-
-                with stage("lsm_merge"):
-                    if len(seen) >= 4:
-                        from concurrent.futures import ThreadPoolExecutor
-
-                        if not hasattr(self, "_merge_pool"):
-                            self._merge_pool = ThreadPoolExecutor(8)
-                        results = list(
-                            self._merge_pool.map(merge_one, seen.items())
-                        )
-                    else:
-                        results = [merge_one(item) for item in seen.items()]
-
-                    for key, lose, displaced in results:
-                        if len(lose):
-                            l_pos_chunks.append(pos_s[lose])
-                            l_col_chunks.append(col_s[lose])
-                            l_cell_chunks.append(cell_idx_s[lose])
-                            l_next_chunks.append(next_idx_s[lose])
-                        if len(displaced):
-                            l_pos_chunks.append(displaced.positions)
-                            l_col_chunks.append(displaced.colors)
-                            l_cell_chunks.append(
-                                np.broadcast_to(
-                                    np.asarray(key, np.int32),
-                                    (len(displaced), 3),
-                                )
-                            )
-                            l_next_chunks.append(
-                                config.cell_index(
-                                    displaced.positions, next_cell_size
-                                )
-                            )
-
-            if extra_losers is not None and len(extra_losers["positions"]):
-                l_pos_chunks.append(extra_losers["positions"])
-                l_col_chunks.append(extra_losers["colors"])
-                l_cell_chunks.append(extra_losers["cell_idx"])
-                l_next_chunks.append(extra_losers["next_idx"])
-                for key in {
-                    tuple(int(v) for v in row)
-                    for row in np.unique(extra_losers["cell_idx"], axis=0)
-                }:
-                    self.get_cell(CellId(hierarchy, key))  # ensure loaded
-
-            if not l_pos_chunks:
-                return
-
-            # --- 4. losers -> overflow accounting ---------------------------
-            with stage("overflow_staging"):
-                l_pos = np.ascontiguousarray(np.concatenate(l_pos_chunks))
-                l_col = np.ascontiguousarray(np.concatenate(l_col_chunks))
-                l_cell = np.concatenate(l_cell_chunks)
-                l_next = np.concatenate(l_next_chunks)
-                # one global sort orders groups by (cell, next) AND leaves
-                # every group in canonical record order (matching
-                # Cell._canonical_overflow_order, so staging is presorted)
-                pos_bits = l_pos.view(np.int32)
-                color_key = l_col.view(np.uint32)[:, 0]
-                # pack the two index triples into int64 keys when in range
-                # (the common case) — 6-key lexsort instead of 10
-                bias = np.int64(1) << 20
-                lo, hi = -(1 << 20), (1 << 20) - 1
-                if (
-                    l_cell.min(initial=0) >= lo and l_cell.max(initial=0) <= hi
-                    and l_next.min(initial=0) >= lo
-                    and l_next.max(initial=0) <= hi
-                ):
-                    def pack3(a):
-                        a64 = a.astype(np.int64)
-                        return (
-                            ((a64[:, 0] + bias) << 42)
-                            | ((a64[:, 1] + bias) << 21)
-                            | (a64[:, 2] + bias)
-                        )
-
-                    cell_key = pack3(l_cell)
-                    next_key = pack3(l_next)
-                    from ..native import staging_sort_native
-
-                    order = staging_sort_native(
-                        cell_key, next_key, pos_bits, color_key
-                    )
-                    if order is None:
-                        order = np.lexsort(
-                            (
-                                color_key,
-                                pos_bits[:, 2], pos_bits[:, 1],
-                                pos_bits[:, 0],
-                                next_key, cell_key,
-                            )
-                        )
-                else:
+                order = staging_sort_native(
+                    cell_key, next_key, pos_bits, color_key
+                )
+                if order is None:
                     order = np.lexsort(
                         (
                             color_key,
-                            pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0],
-                            l_next[:, 2], l_next[:, 1], l_next[:, 0],
-                            l_cell[:, 2], l_cell[:, 1], l_cell[:, 0],
+                            pos_bits[:, 2], pos_bits[:, 1],
+                            pos_bits[:, 0],
+                            next_key, cell_key,
                         )
                     )
-                l_pos = l_pos[order]
-                l_col = l_col[order]
-                l_cell = l_cell[order]
-                l_next = l_next[order]
-
-                next_chunks_pos: list[np.ndarray] = []
-                next_chunks_col: list[np.ndarray] = []
-                g_starts = _row_boundaries(
-                    np.concatenate([l_cell, l_next], axis=1)
-                )
-                g_ends = np.append(g_starts[1:], len(l_pos))
-                # group the (cell, next-cell) runs per cell, then apply the
-                # overflow-limit accounting one cell at a time
-                i = 0
-                while i < len(g_starts):
-                    cell_key = tuple(int(v) for v in l_cell[g_starts[i]])
-                    grouped: dict[tuple[int, int, int], PointBatch] = {}
-                    while i < len(g_starts) and (
-                        tuple(int(v) for v in l_cell[g_starts[i]]) == cell_key
-                    ):
-                        s, e = g_starts[i], g_ends[i]
-                        next_key = tuple(int(v) for v in l_next[s])
-                        grouped[next_key] = PointBatch(l_pos[s:e], l_col[s:e])
-                        i += 1
-                    cell = self.get_cell(CellId(hierarchy, cell_key))
-                    remaining = cell.add_points_in_overflow(
-                        grouped, config, presorted=True
-                    )
-                    for key in sorted(remaining):
-                        next_chunks_pos.append(remaining[key].positions)
-                        next_chunks_col.append(remaining[key].colors)
-
-            if next_chunks_pos:
-                positions = np.concatenate(next_chunks_pos)
-                colors = np.concatenate(next_chunks_col)
             else:
-                positions = np.empty((0, 3), np.float32)
-                colors = np.empty((0, 4), np.uint8)
-            hierarchy += 1
+                order = np.lexsort(
+                    (
+                        color_key,
+                        pos_bits[:, 2], pos_bits[:, 1], pos_bits[:, 0],
+                        l_next[:, 2], l_next[:, 1], l_next[:, 0],
+                        l_cell[:, 2], l_cell[:, 1], l_cell[:, 0],
+                    )
+                )
+            l_pos = l_pos[order]
+            l_col = l_col[order]
+            l_cell = l_cell[order]
+            l_next = l_next[order]
+
+            next_chunks_pos: list[np.ndarray] = []
+            next_chunks_col: list[np.ndarray] = []
+            g_starts = _row_boundaries(
+                np.concatenate([l_cell, l_next], axis=1)
+            )
+            g_ends = np.append(g_starts[1:], len(l_pos))
+            # group the (cell, next-cell) runs per cell, then apply the
+            # overflow-limit accounting one cell at a time
+            i = 0
+            while i < len(g_starts):
+                cell_key = tuple(int(v) for v in l_cell[g_starts[i]])
+                grouped: dict[tuple[int, int, int], PointBatch] = {}
+                while i < len(g_starts) and (
+                    tuple(int(v) for v in l_cell[g_starts[i]]) == cell_key
+                ):
+                    s, e = g_starts[i], g_ends[i]
+                    next_key = tuple(int(v) for v in l_next[s])
+                    grouped[next_key] = PointBatch(l_pos[s:e], l_col[s:e])
+                    i += 1
+                cell = self.get_cell(CellId(hierarchy, cell_key))
+                remaining = cell.add_points_in_overflow(
+                    grouped, config, presorted=True
+                )
+                for key in sorted(remaining):
+                    next_chunks_pos.append(remaining[key].positions)
+                    next_chunks_col.append(remaining[key].colors)
+
+        if next_chunks_pos:
+            return (
+                np.concatenate(next_chunks_pos),
+                np.concatenate(next_chunks_col),
+            )
+        return np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8)
