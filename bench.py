@@ -56,7 +56,7 @@ def main() -> None:
 
     setup_jax_cache()
 
-    from point_cloud_tpu.convert.device import DeviceConverter
+    from point_cloud_tpu.convert.pipelined import PipelinedConverter
     from point_cloud_tpu.core.metadata import Metadata
     from point_cloud_tpu.core.point import PointBatch
 
@@ -69,18 +69,13 @@ def main() -> None:
         out_dir = tempfile.mkdtemp(prefix="pct_bench_")
         try:
             t0 = time.perf_counter()
-            with DeviceConverter(Metadata(), out_dir) as conv:
-                pending = None  # read-ahead: overlap device + host work
+            with PipelinedConverter(Metadata(), out_dir) as conv:
                 for i in range(0, N_POINTS, BATCH):
-                    batch = PointBatch(
-                        positions[i : i + BATCH], colors[i : i + BATCH]
+                    conv.add_points_batch(
+                        PointBatch(
+                            positions[i : i + BATCH], colors[i : i + BATCH]
+                        )
                     )
-                    conv.prefetch(batch)
-                    if pending is not None:
-                        conv.add_points_batch(pending)
-                    pending = batch
-                if pending is not None:
-                    conv.add_points_batch(pending)
             return time.perf_counter() - t0, conv.metadata.number_of_points
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)

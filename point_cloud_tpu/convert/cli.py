@@ -94,10 +94,10 @@ def main(argv=None) -> int:
         factory = make_mesh_converter_factory(args.mesh)
         batch_size = batch_size or 1 << 20
     elif args.device:
-        from .device import DeviceConverter
+        from .pipelined import PipelinedConverter
 
-        factory = DeviceConverter
-        batch_size = batch_size or 1 << 20
+        factory = PipelinedConverter
+        batch_size = batch_size or 1 << 18
     else:
         batch_size = batch_size or DEFAULT_BATCH_SIZE
 
