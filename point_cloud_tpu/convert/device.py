@@ -335,17 +335,23 @@ class DeviceConverter(Converter):
             )
             g_ends = np.append(g_starts[1:], len(l_pos))
             # group the (cell, next-cell) runs per cell, then apply the
-            # overflow-limit accounting one cell at a time
+            # overflow-limit accounting one cell at a time. Bulk-convert
+            # boundary rows once (per-element int() in the loop is the
+            # GIL hotspot under the wavefront pipeline)
+            cell_keys = [tuple(r) for r in l_cell[g_starts].tolist()]
+            next_keys = [tuple(r) for r in l_next[g_starts].tolist()]
+            starts_list = g_starts.tolist()
+            ends_list = g_ends.tolist()
+            n_groups = len(starts_list)
             i = 0
-            while i < len(g_starts):
-                cell_key = tuple(int(v) for v in l_cell[g_starts[i]])
+            while i < n_groups:
+                cell_key = cell_keys[i]
                 grouped: dict[tuple[int, int, int], PointBatch] = {}
-                while i < len(g_starts) and (
-                    tuple(int(v) for v in l_cell[g_starts[i]]) == cell_key
-                ):
-                    s, e = g_starts[i], g_ends[i]
-                    next_key = tuple(int(v) for v in l_next[s])
-                    grouped[next_key] = PointBatch(l_pos[s:e], l_col[s:e])
+                while i < n_groups and cell_keys[i] == cell_key:
+                    s, e = starts_list[i], ends_list[i]
+                    grouped[next_keys[i]] = PointBatch._wrap(
+                        l_pos[s:e], l_col[s:e]
+                    )
                     i += 1
                 cell = self.get_cell(CellId(hierarchy, cell_key))
                 remaining = cell.add_points_in_overflow(

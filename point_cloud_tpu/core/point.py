@@ -49,6 +49,15 @@ class PointBatch:
         return PointBatch(np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8))
 
     @staticmethod
+    def _wrap(positions: np.ndarray, colors: np.ndarray) -> "PointBatch":
+        """Unchecked fast constructor for hot loops: caller guarantees
+        contiguous (N, 3) f32 / (N, 4) u8 arrays."""
+        batch = PointBatch.__new__(PointBatch)
+        batch.positions = positions
+        batch.colors = colors
+        return batch
+
+    @staticmethod
     def concat(batches: list["PointBatch"]) -> "PointBatch":
         batches = [b for b in batches if len(b)]
         if not batches:

@@ -23,13 +23,17 @@ from collections import defaultdict
 _current_timer: contextvars.ContextVar["StageTimer | None"] = (
     contextvars.ContextVar("pct_stage_timer", default=None)
 )
+_global_timer: "StageTimer | None" = None  # worker threads fall back here
 
 
 class StageTimer:
     def __init__(self):
+        import threading
+
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
         self._token = None
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def __call__(self, name: str):
@@ -37,17 +41,24 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     # --- installation --------------------------------------------------------
 
     def __enter__(self) -> "StageTimer":
+        global _global_timer
         self._token = _current_timer.set(self)
+        _global_timer = self  # contextvars don't reach executor threads
         return self
 
     def __exit__(self, *exc) -> None:
+        global _global_timer
         _current_timer.reset(self._token)
+        if _global_timer is self:
+            _global_timer = None
 
     # --- reporting ------------------------------------------------------------
 
@@ -82,7 +93,7 @@ class StageTimer:
 @contextlib.contextmanager
 def stage(name: str):
     """Time a stage on the context's active timer (no-op without one)."""
-    timer = _current_timer.get()
+    timer = _current_timer.get() or _global_timer
     if timer is None:
         yield
     else:
