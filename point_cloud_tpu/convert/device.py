@@ -191,11 +191,13 @@ class DeviceConverter(Converter):
             starts = _row_boundaries(cell_idx_s)
             ends = np.append(starts[1:], len(cell_idx_s))
             # cells come back in hash order; under a (rare) cell-hash
-            # collision one cell's rows can split into multiple spans
+            # collision one cell's rows can split into multiple spans.
+            # bulk tolist: per-element int() is a GIL hotspot when the
+            # wavefront pipeline runs two cascades concurrently
+            run_keys = [tuple(r) for r in cell_idx_s[starts].tolist()]
             seen: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
-            for s, e in zip(starts, ends):
-                key = tuple(int(v) for v in cell_idx_s[s])
-                seen.setdefault(key, []).append((int(s), int(e)))
+            for key, s, e in zip(run_keys, starts.tolist(), ends.tolist()):
+                seen.setdefault(key, []).append((s, e))
 
             # --- 3. LSM merge per touched cell --------------------------
             # cells are independent: merges run on a thread pool (NumPy
