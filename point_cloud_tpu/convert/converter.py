@@ -295,13 +295,24 @@ def convert_from_paths(
             t_log = time.monotonic()
             can_prefetch = hasattr(converter, "prefetch")
             pending = None  # read-ahead batch (device work already dispatched)
-            while reader.remaining_points() > 0 or pending is not None:
+            source_dry = False
+            while (
+                reader.remaining_points() > 0 and not source_dry
+            ) or pending is not None:
                 try:
-                    batch = (
-                        reader.get_batch(batch_size)
-                        if reader.remaining_points() > 0
-                        else None
-                    )
+                    batch = None
+                    if reader.remaining_points() > 0 and not source_dry:
+                        batch = reader.get_batch(batch_size)
+                        if len(batch) == 0:
+                            # a truncated/corrupt source can under-deliver
+                            # while still reporting remaining points
+                            log.error(
+                                "reader returned no points with %d reported "
+                                "remaining; stopping this file",
+                                reader.remaining_points(),
+                            )
+                            batch = None
+                            source_dry = True
                     if batch is not None and can_prefetch:
                         converter.prefetch(batch)
                     if can_prefetch:

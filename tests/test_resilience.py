@@ -126,3 +126,25 @@ class TestViewerFaults:
         rgb, depth, _ = viewer.render()  # must not raise
         assert rgb.shape == (48, 48, 3)
         viewer.close()
+
+
+class TestUnderDeliveringSource:
+    def test_convert_from_paths_does_not_spin(self, tmp_path):
+        """A store whose metadata over-counts points must not hang the
+        converter driver (truncated/corrupt store)."""
+        from point_cloud_tpu.convert.converter import convert_from_paths
+        from point_cloud_tpu.core.metadata import Metadata as Md
+
+        with Converter(Metadata(), tmp_path / "src") as conv:
+            conv.add_points_batch(random_batch(2_000, seed=90))
+        # corrupt the count upward: reader will under-deliver
+        metadata = Md.from_path(tmp_path / "src" / "metadata.json")
+        metadata.number_of_points = 5_000
+        metadata.write_to_path(tmp_path / "src" / "metadata.json")
+
+        convert_from_paths(
+            [tmp_path / "src" / "metadata.json"], tmp_path / "out",
+            batch_size=1_000,
+        )  # must terminate
+        out_meta = Md.from_path(tmp_path / "out" / "metadata.json")
+        assert out_meta.number_of_points == 2_000
