@@ -23,3 +23,36 @@ Layer map (mirrors SURVEY.md section 1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (importing the package stays light)."""
+    if name in ("Converter", "convert_from_paths", "load_metadata"):
+        from . import convert
+
+        return getattr(convert, name)
+    if name == "DeviceConverter":
+        from .convert.device import DeviceConverter
+
+        return DeviceConverter
+    if name == "PipelinedConverter":
+        from .convert.pipelined import PipelinedConverter
+
+        return PipelinedConverter
+    if name == "MeshConverter":
+        from .parallel.mesh_converter import MeshConverter
+
+        return MeshConverter
+    if name in ("Viewer", "ViewerInput"):
+        from . import viewer
+
+        return getattr(viewer, name)
+    if name == "Metadata":
+        from .core.metadata import Metadata
+
+        return Metadata
+    if name == "PointBatch":
+        from .core.point import PointBatch
+
+        return PointBatch
+    raise AttributeError(name)

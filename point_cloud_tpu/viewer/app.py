@@ -302,6 +302,14 @@ class Viewer:
         self.debug.frozen_frustum = self.camera.frustum()
         self.debug.show_frustum = True
 
+    def screenshot(self, path) -> dict:
+        """Render the current view and save it as a PNG; returns stats."""
+        from .offscreen import write_png
+
+        rgb, _, stats = self.render()
+        write_png(path, rgb)
+        return stats
+
     # --- stats (the egui side panel's numbers) ------------------------------------
 
     def stats(self) -> dict:

@@ -176,3 +176,42 @@ class TestInteractiveConverter:
         rgb, depth, _ = viewer.render()
         assert (depth < 1.0).sum() > 0
         viewer.close()
+
+
+class TestStopResume:
+    def test_stop_pauses_and_start_resumes(self, tmp_path):
+        src = tmp_path / "c.ply"
+        write_ply(src, random_batch(30_000, seed=18))
+        conv = InteractiveConverter(batch_size=10_000)
+        conv.choose_files([src])
+        conv.save_at(tmp_path / "store")
+        conv.start()
+        for _ in range(3):
+            conv.update()
+        conv.stop()
+        points_at_stop = conv.metadata.number_of_points
+        for _ in range(20):
+            conv.update()  # paused: no progress
+        assert conv.metadata.number_of_points == points_at_stop
+        conv.start()
+        for _ in range(20_000):
+            conv.update()
+            if conv.state == ConversionState.FINISHED:
+                break
+        assert conv.state == ConversionState.FINISHED
+        assert conv.metadata.number_of_points == 30_000
+
+
+class TestScreenshot:
+    def test_screenshot_writes_png(self, tmp_path):
+        make_store(tmp_path / "store", n=5_000)
+        from point_cloud_tpu import Viewer  # top-level export
+
+        viewer = Viewer(RenderSettings(width=64, height=48))
+        viewer.load_metadata(tmp_path / "store" / "metadata.json")
+        pump(viewer, frames=100)
+        out = tmp_path / "shot.png"
+        stats = viewer.screenshot(out)
+        assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+        assert stats["points_in"] > 0
+        viewer.close()
