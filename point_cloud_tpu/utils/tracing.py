@@ -51,6 +51,7 @@ class StageTimer:
     def __enter__(self) -> "StageTimer":
         global _global_timer
         self._token = _current_timer.set(self)
+        self._prev_global = _global_timer
         _global_timer = self  # contextvars don't reach executor threads
         return self
 
@@ -58,7 +59,7 @@ class StageTimer:
         global _global_timer
         _current_timer.reset(self._token)
         if _global_timer is self:
-            _global_timer = None
+            _global_timer = self._prev_global
 
     # --- reporting ------------------------------------------------------------
 
