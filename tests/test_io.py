@@ -177,3 +177,31 @@ class TestDispatch:
         assert isinstance(get_batched_point_reader(las), LasPointReader)
         assert isinstance(get_batched_point_reader(ply), PlyPointReader)
         assert get_batched_point_reader(tmp_path / "x.xyz") is None
+
+
+class TestLas14:
+    def test_las_1_4_u64_count_wins(self, tmp_path):
+        """LAS 1.4 headers carry the point count at offset 247 (u64); it
+        overrides the legacy u32 field when nonzero."""
+        import struct
+
+        batch = random_batch(50, seed=9)
+        path = tmp_path / "v14.las"
+        write_las(path, batch, point_format=2)
+        raw = bytearray(path.read_bytes())
+        # upgrade the header: version 1.4, header size 375, data offset 375
+        body = raw[227:]
+        header = bytearray(375)
+        header[: 227] = raw[:227]
+        header[24], header[25] = 1, 4
+        struct.pack_into("<H", header, 94, 375)
+        struct.pack_into("<I", header, 96, 375)
+        struct.pack_into("<I", header, 107, 0)      # legacy count zeroed
+        struct.pack_into("<Q", header, 247, 50)     # 1.4 count
+        path.write_bytes(bytes(header) + bytes(body))
+
+        reader = LasPointReader(path)
+        assert reader.total_points() == 50
+        out = reader.get_batch(100)
+        assert len(out) == 50
+        np.testing.assert_allclose(out.positions, batch.positions, atol=2e-3)
