@@ -73,14 +73,17 @@ class DeviceConverter(Converter):
         upload + sort of batch k+1 with the host-side processing of batch
         k. ``add_points_batch`` picks the result up by array identity.
         """
+        handles = getattr(self, "_prefetch_handles", None)
+        if handles is None:
+            handles = self._prefetch_handles = {}
+        if id(batch.positions) in handles:
+            return  # already dispatched (idempotent: the stored entry keeps
+            # the array alive, so its id cannot be recycled while present)
         config = self.metadata.config
         cell_size = config.cell_size(0)
         handle = dispatch_dedup(
             batch.positions, cell_size, config.sub_cell_size(cell_size)
         )
-        handles = getattr(self, "_prefetch_handles", None)
-        if handles is None:
-            handles = self._prefetch_handles = {}
         handles[id(batch.positions)] = (batch.positions, handle)
         while len(handles) > 4:  # bound stale entries
             handles.pop(next(iter(handles)))
