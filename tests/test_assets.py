@@ -246,3 +246,25 @@ class TestFlyCam:
         np.testing.assert_allclose(
             cam.transform.translation, [0, 0, 10], atol=1e-5
         )
+
+
+class TestUrlErrors:
+    def test_server_error_is_source_error_not_missing(self):
+        import http.server
+        import threading
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_error(500)
+
+            def log_message(self, *args):
+                pass
+
+        server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            port = server.server_address[1]
+            with pytest.raises(SourceError):
+                UrlSource(f"http://127.0.0.1:{port}/x").load()
+        finally:
+            server.shutdown()
