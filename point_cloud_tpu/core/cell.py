@@ -98,6 +98,38 @@ def _pack_slot_keys(sub_indices: np.ndarray) -> np.ndarray:
     )
 
 
+class _OverflowBuffer:
+    """Staged overflow chunks: O(1) append, concat deferred to first read
+    (the hot path appends one group per batch; eager concatenation made
+    staging O(buffer) per append)."""
+
+    __slots__ = ("chunks", "n")
+
+    def __init__(self, first: PointBatch):
+        self.chunks: list[PointBatch] = [first]
+        self.n = len(first)
+
+    def append(self, batch: PointBatch) -> None:
+        self.chunks.append(batch)
+        self.n += len(batch)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def to_batch(self) -> PointBatch:
+        if len(self.chunks) > 1:
+            self.chunks = [PointBatch.concat(self.chunks)]
+        return self.chunks[0]
+
+    @property
+    def positions(self) -> np.ndarray:
+        return self.to_batch().positions
+
+    @property
+    def colors(self) -> np.ndarray:
+        return self.to_batch().colors
+
+
 class _Segment:
     """A sorted, immutable run of occupied slots with a validity bitmap."""
 
@@ -138,8 +170,8 @@ class Cell:
         # LSM points grid: one valid row per hex slot across all segments
         self._segments: list[_Segment] = []
         self._out_of_range = False  # packed-key fallback latch
-        # overflow staging: next-hierarchy cell index -> PointBatch | None
-        self.overflow: dict[tuple[int, int, int], PointBatch | None] = {}
+        # overflow staging: next-hierarchy cell index -> buffer | None
+        self.overflow: dict[tuple[int, int, int], _OverflowBuffer | None] = {}
 
     # --- queries -----------------------------------------------------------
 
@@ -415,7 +447,7 @@ class Cell:
                 if len(points) <= limit:
                     self.total_number_of_points += len(points)
                     self.number_of_overflow_points += len(points)
-                    self.overflow[cell_index] = points
+                    self.overflow[cell_index] = _OverflowBuffer(points)
                 else:
                     remaining[cell_index] = points
                     self.overflow[cell_index] = None  # tombstone
@@ -426,16 +458,17 @@ class Cell:
                 else:
                     old_len = len(slot)
                     new_len = len(points)
-                    merged = PointBatch.concat([slot, points])
-                    if len(merged) < limit:
+                    if old_len + new_len < limit:
                         self.total_number_of_points += new_len
                         self.number_of_overflow_points += new_len
-                        self.overflow[cell_index] = merged
+                        slot.append(points)
                     else:
                         self.total_number_of_points -= old_len
                         self.number_of_overflow_points -= old_len
                         self.overflow[cell_index] = None
-                        remaining[cell_index] = merged
+                        remaining[cell_index] = PointBatch.concat(
+                            slot.chunks + [points]
+                        )
 
         return remaining
 
@@ -469,7 +502,7 @@ class Cell:
                 out.append(struct.pack("<I", 0))  # 0 encodes the tombstone
             else:
                 out.append(struct.pack("<I", len(points)))
-                out.append(points.to_bytes())
+                out.append(points.to_batch().to_bytes())
         return b"".join(out)
 
     @staticmethod
@@ -532,8 +565,10 @@ class Cell:
             if count == 0:
                 cell.overflow[(kx, ky, kz)] = None
             else:
-                cell.overflow[(kx, ky, kz)] = PointBatch.from_bytes(
-                    mv[offset : offset + count * POINT_DTYPE.itemsize]
+                cell.overflow[(kx, ky, kz)] = _OverflowBuffer(
+                    PointBatch.from_bytes(
+                        mv[offset : offset + count * POINT_DTYPE.itemsize]
+                    )
                 )
                 offset += count * POINT_DTYPE.itemsize
         return cell
