@@ -27,7 +27,8 @@ MESH_MIN_ROWS = 16_384  # below this the single-device pass is faster
 
 class MeshConverter(DeviceConverter):
     def __init__(self, metadata, working_directory, n_devices=None,
-                 cache_size=None, **kwargs):
+                 cache_size=None, min_mesh_rows: int | None = None,
+                 **kwargs):
         from ..convert.converter import DEFAULT_CACHE_SIZE
 
         super().__init__(
@@ -36,6 +37,11 @@ class MeshConverter(DeviceConverter):
         )
         self.mesh = make_mesh(n_devices)
         self.sharded = ShardedDedup(self.mesh)
+        # below this many rows the single-device pass is faster; 0 forces
+        # the sharded path (dry runs / tests on tiny shapes)
+        self.min_mesh_rows = (
+            MESH_MIN_ROWS if min_mesh_rows is None else min_mesh_rows
+        )
 
     def prefetch(self, batch) -> None:
         """No-op: the mesh path reduces batches through the sharded pass
@@ -44,7 +50,7 @@ class MeshConverter(DeviceConverter):
 
     def _reduce_batch(self, hierarchy, positions, colors, cell_size,
                       sub_cell_size):
-        if len(positions) < MESH_MIN_ROWS:
+        if len(positions) < self.min_mesh_rows:
             return positions, colors, None
 
         out = self.sharded(positions, cell_size, sub_cell_size)
