@@ -97,8 +97,15 @@ class Pool {
             if (!write_file(job)) {
                 errors_.fetch_add(1, std::memory_order_relaxed);
             }
-            if (pending_.fetch_sub(1, std::memory_order_acq_rel) == 1) {
-                done_cv_.notify_all();
+            // decrement under mu_ and notify while holding it: a bare
+            // decrement+notify can land between flush()'s predicate check
+            // and its block (missed wakeup -> flush sleeps forever)
+            {
+                std::unique_lock<std::mutex> lock(mu_);
+                pending_.fetch_sub(1, std::memory_order_acq_rel);
+                if (pending_.load(std::memory_order_acquire) == 0) {
+                    done_cv_.notify_all();
+                }
             }
         }
     }

@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Shard conversion over an N-device mesh (implies --device).",
     )
     parser.add_argument(
+        "--cache-size", type=int, default=None, metavar="N",
+        help="Cells kept in RAM before evicting to disk (default 65536; "
+             "the reference keeps 100, converter.rs:92 — results are "
+             "identical at any size, only disk traffic changes).",
+    )
+    parser.add_argument(
         "--profile", action="store_true",
         help="Print a per-stage timing summary after conversion.",
     )
@@ -106,19 +112,22 @@ def main(argv=None) -> int:
 
         setup_jax_cache()
 
+    from .converter import DEFAULT_CACHE_SIZE
+
+    cache_size = args.cache_size or DEFAULT_CACHE_SIZE
     if args.profile:
         from ..utils.tracing import StageTimer
 
         with StageTimer() as timer:
             metadata = convert_from_paths(
                 files, output, batch_size=batch_size,
-                converter_factory=factory,
+                cache_size=cache_size, converter_factory=factory,
             )
         print(timer.summary(points=metadata.number_of_points),
               file=sys.stderr)
     else:
         convert_from_paths(files, output, batch_size=batch_size,
-                           converter_factory=factory)
+                           cache_size=cache_size, converter_factory=factory)
     return 0
 
 

@@ -65,6 +65,13 @@ class CellCache:
     With a ``writer`` (native/), write-back is asynchronous on C++ worker
     threads; ``flush_path`` is the read barrier for cells that may still
     be in flight (evicted, then missed again before the write landed).
+
+    **Pinning**: a converter level that holds direct references to cells
+    while mutating them (the device cascade collects every touched cell
+    up front, then merges on worker threads) must pin them; a pinned cell
+    is never evicted, so the cache can't write pre-merge bytes to disk and
+    then reload that stale copy over the mutated object. Unpinning evicts
+    any excess accumulated while pins held entries over capacity.
     """
 
     def __init__(self, working_directory: Path,
@@ -74,6 +81,10 @@ class CellCache:
         self.writer = writer
         self._inflight: set[str] = set()
         self._cells: OrderedDict[CellId, Cell] = OrderedDict()
+        import threading
+
+        self._pins: dict[CellId, int] = {}
+        self._pin_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._cells)
@@ -81,18 +92,49 @@ class CellCache:
     def __contains__(self, cell_id: CellId) -> bool:
         return cell_id in self._cells
 
-    def get(self, cell_id: CellId) -> Cell | None:
+    def get(self, cell_id: CellId, pin: bool = False) -> Cell | None:
         cell = self._cells.get(cell_id)
         if cell is not None:
             self._cells.move_to_end(cell_id)
+            if pin:
+                self.pin(cell_id)
         return cell
 
-    def put(self, cell: Cell) -> None:
+    def put(self, cell: Cell, pin: bool = False) -> None:
         self._cells[cell.id] = cell
         self._cells.move_to_end(cell.id)
-        while len(self._cells) > self.capacity:
-            _, evicted = self._cells.popitem(last=False)
-            self.save_cell(evicted)
+        if pin:
+            self.pin(cell.id)
+        self._evict_over_capacity()
+
+    def pin(self, cell_id: CellId) -> None:
+        with self._pin_lock:
+            self._pins[cell_id] = self._pins.get(cell_id, 0) + 1
+
+    def unpin(self, cell_ids) -> None:
+        """Release pins; caller must serialize with get/put (the converter's
+        shared lock) because excess entries may evict here."""
+        with self._pin_lock:
+            for cell_id in cell_ids:
+                n = self._pins.get(cell_id, 0) - 1
+                if n <= 0:
+                    self._pins.pop(cell_id, None)
+                else:
+                    self._pins[cell_id] = n
+        self._evict_over_capacity()
+
+    def _evict_over_capacity(self) -> None:
+        # pinned entries requeue at the MRU end (they are hot by
+        # definition); len - skipped strictly decreases, so this
+        # terminates even when pins alone exceed capacity
+        skipped = 0
+        while len(self._cells) - skipped > self.capacity:
+            cell_id, cell = self._cells.popitem(last=False)
+            if self._pins.get(cell_id):
+                self._cells[cell_id] = cell
+                skipped += 1
+                continue
+            self.save_cell(cell)
 
     def save_cell(self, cell: Cell) -> None:
         path = self.working_directory / cell.id.path()
@@ -203,12 +245,15 @@ class Converter:
 
     # --- cell access (converter.rs:160-207) ---------------------------------
 
-    def get_cell(self, cell_id: CellId) -> Cell:
-        cell = self.cell_cache.get(cell_id)
+    def get_cell(self, cell_id: CellId, pin: bool = False) -> Cell:
+        cell = self.cell_cache.get(cell_id, pin=pin)
         if cell is None:
             cell = self._load_or_create_cell(cell_id)
-            self.cell_cache.put(cell)
+            self.cell_cache.put(cell, pin=pin)
         return cell
+
+    def unpin_cells(self, cell_ids) -> None:
+        self.cell_cache.unpin(cell_ids)
 
     def _load_or_create_cell(self, cell_id: CellId) -> Cell:
         path = self.working_directory / cell_id.path()

@@ -148,6 +148,22 @@ class DeviceConverter(Converter):
         prefetch_handle: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Process one hierarchy level; returns the next level's input."""
+        # every cell this level touches is pinned until the level completes:
+        # an LRU eviction between get_cell and the merge/staging mutation
+        # would write pre-merge bytes and later reload that stale copy over
+        # the mutated in-memory object (silent store corruption)
+        pinned: list = []
+        try:
+            return self._cascade_level_pinned(
+                positions, colors, hierarchy, prefetch_handle, pinned
+            )
+        finally:
+            if pinned:
+                self.unpin_cells(pinned)
+
+    def _cascade_level_pinned(
+        self, positions, colors, hierarchy, prefetch_handle, pinned
+    ) -> tuple[np.ndarray, np.ndarray]:
         config = self.metadata.config
         self._create_hierarchy_folder(hierarchy)
         cell_size = config.cell_size(hierarchy)
@@ -186,7 +202,9 @@ class DeviceConverter(Converter):
                     next(iter(handles.values()))[1][
                         "packed"
                     ].copy_to_host_async()
-                except (AttributeError, StopIteration):
+                except (AttributeError, StopIteration, RuntimeError):
+                    # RuntimeError: the dict can resize mid-iteration when
+                    # another thread prefetches (this is a best-effort hint)
                     pass
             pos_s = positions[perm]
             col_s = colors[perm]
@@ -205,10 +223,11 @@ class DeviceConverter(Converter):
             # --- 3. LSM merge per touched cell --------------------------
             # cells are independent: merges run on a thread pool (NumPy
             # releases the GIL in sort/searchsorted/gather kernels)
-            cells = {
-                key: self.get_cell(CellId(hierarchy, key))
-                for key in seen
-            }
+            cells = {}
+            for key in seen:
+                cell_id = CellId(hierarchy, key)
+                cells[key] = self.get_cell(cell_id, pin=True)
+                pinned.append(cell_id)
 
             def merge_one(item):
                 key, spans = item
@@ -268,7 +287,9 @@ class DeviceConverter(Converter):
                 tuple(int(v) for v in row)
                 for row in np.unique(extra_losers["cell_idx"], axis=0)
             }:
-                self.get_cell(CellId(hierarchy, key))  # ensure loaded
+                cell_id = CellId(hierarchy, key)
+                self.get_cell(cell_id, pin=True)  # ensure loaded + kept
+                pinned.append(cell_id)
 
         if not l_pos_chunks:
             return (
@@ -358,7 +379,9 @@ class DeviceConverter(Converter):
                         l_pos[s:e], l_col[s:e]
                     )
                     i += 1
-                cell = self.get_cell(CellId(hierarchy, cell_key))
+                overflow_id = CellId(hierarchy, cell_key)
+                cell = self.get_cell(overflow_id, pin=True)
+                pinned.append(overflow_id)
                 remaining = cell.add_points_in_overflow(
                     grouped, config, presorted=True
                 )

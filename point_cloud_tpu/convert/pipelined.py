@@ -75,9 +75,15 @@ class PipelinedConverter(DeviceConverter):
 
     # --- lock-protected shared state --------------------------------------------
 
-    def get_cell(self, cell_id):
+    def get_cell(self, cell_id, pin: bool = False):
         with self._shared_lock:
-            return super().get_cell(cell_id)
+            return super().get_cell(cell_id, pin=pin)
+
+    def unpin_cells(self, cell_ids) -> None:
+        # unpinning may evict excess entries (cell.to_bytes + write), so it
+        # needs the same serialization as get_cell
+        with self._shared_lock:
+            super().unpin_cells(cell_ids)
 
     def _create_hierarchy_folder(self, hierarchy: int) -> None:
         with self._shared_lock:

@@ -28,8 +28,14 @@ _build_failed = False
 
 def _build() -> bool:
     _BUILD_DIR.mkdir(exist_ok=True)
+    # -ffp-contract=off: GCC defaults to contracting mul+add into FMA on
+    # targets where FMA is baseline (e.g. aarch64), which changes rounding
+    # of kSqrt3*y+1.0f / dx*dx+dy*dy in pc_hex_keys and silently breaks the
+    # bit-for-bit IEEE f32 lockstep with the NumPy/jnp paths (CLAUDE.md
+    # invariant #2). -fno-fast-math guards against toolchain defaults.
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-ffp-contract=off", "-fno-fast-math",
         str(_SRC), "-o", str(_LIB),
     ]
     try:
@@ -97,12 +103,76 @@ def _ptr(arr):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
+_hex_lockstep_ok: bool | None = None
+
+
+def _check_hex_lockstep(lib) -> bool:
+    """One-time probe: the C++ hex pass must be bit-identical to the NumPy
+    oracle (CLAUDE.md invariant #2). A toolchain that contracts mul+add
+    into FMA (or any other rounding divergence) fails here and the
+    converter silently falls back to NumPy instead of corrupting stores.
+    """
+    import numpy as np
+
+    from ..core import hex as hexgrid
+    from ..core.metadata import MetadataConfig
+
+    rng = np.random.default_rng(0x5EED)
+    pos = np.concatenate([
+        rng.uniform(-1000, 1000, (2048, 3)),
+        rng.uniform(-0.01, 0.01, (512, 3)),
+        rng.normal(0, 1e6, (512, 3)),
+    ]).astype(np.float32)
+    config = MetadataConfig()
+    cell_size = np.float32(config.max_cell_size)
+    radius = np.float32(config.sub_cell_size(cell_size)) / np.float32(2.0)
+    next_cell_size = cell_size / np.float32(2.0)
+
+    n = len(pos)
+    cell_idx = np.empty((n, 3), np.int32)
+    sub_idx = np.empty((n, 3), np.int32)
+    dist = np.empty(n, np.float32)
+    next_idx = np.empty((n, 3), np.int32)
+    lib.pc_hex_keys(
+        _ptr(pos), n, ctypes.c_float(cell_size), ctypes.c_float(radius),
+        ctypes.c_float(next_cell_size), _ptr(cell_idx), _ptr(sub_idx),
+        _ptr(dist), _ptr(next_idx), 2,
+    )
+
+    ref_cell = config.cell_index(pos, cell_size)
+    ref_next = config.cell_index(pos, next_cell_size)
+    ref_sub = hexgrid.offset_from_world(pos, radius)
+    centers = hexgrid.offset_to_world(ref_sub, radius)
+    d = pos - centers
+    ref_dist = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
+    ok = (
+        np.array_equal(cell_idx, ref_cell)
+        and np.array_equal(next_idx, ref_next)
+        and np.array_equal(sub_idx, ref_sub)
+        and np.array_equal(
+            dist.view(np.uint32), ref_dist.astype(np.float32).view(np.uint32)
+        )
+    )
+    if not ok:
+        log.warning(
+            "native hex kernel diverges from the NumPy IEEE-f32 oracle on "
+            "this toolchain; falling back to NumPy for hex quantization"
+        )
+    return ok
+
+
 def hex_keys_native(positions, cell_size, sub_cell_radius, next_cell_size,
                     n_threads: int = 8):
     """C++ hex quantization pass; returns (cell_idx, sub_idx, dist,
-    next_idx) bit-identical to the NumPy path, or None if unavailable."""
+    next_idx) bit-identical to the NumPy path, or None if unavailable
+    (no toolchain, or the one-time lockstep self-check failed)."""
+    global _hex_lockstep_ok
     lib = load_native()
     if lib is None:
+        return None
+    if _hex_lockstep_ok is None:
+        _hex_lockstep_ok = _check_hex_lockstep(lib)
+    if not _hex_lockstep_ok:
         return None
     import numpy as np
 

@@ -185,3 +185,47 @@ class TestDeviceConverterParity:
         host_files = store_files(tmp_path / "host")
         dev_files = store_files(tmp_path / "dev")
         assert host_files == dev_files
+
+
+class TestSmallCacheParity:
+    """Cache evictions mid-level must not corrupt stores (ADVICE round 1):
+    a touched cell evicted between get_cell and its merge used to write
+    pre-merge bytes and later reload the stale copy. Pinning (CellCache)
+    keeps every in-flight cell resident; stores must stay byte-identical
+    to the host oracle even when the cache is far smaller than the number
+    of touched cells per level."""
+
+    @pytest.mark.parametrize("cache_size", [2, 8])
+    def test_device_converter_tiny_cache(self, tmp_path, cache_size):
+        n = 20_000
+        batch = random_batch(n, seed=99, lo=-300, hi=300)
+        with Converter(Metadata(), tmp_path / "host", cache_size=2) as conv:
+            conv.add_points_batch(batch)
+        with DeviceConverter(
+            Metadata(), tmp_path / "dev", cache_size=cache_size
+        ) as conv:
+            conv.add_points_batch(batch)
+        host_files = store_files(tmp_path / "host")
+        dev_files = store_files(tmp_path / "dev")
+        assert set(host_files) == set(dev_files)
+        for name, data in host_files.items():
+            assert dev_files[name] == data, f"mismatch in {name}"
+
+    def test_pipelined_converter_tiny_cache(self, tmp_path):
+        from point_cloud_tpu.convert.pipelined import PipelinedConverter
+
+        n = 24_000
+        batch = random_batch(n, seed=77, lo=-300, hi=300)
+        with Converter(Metadata(), tmp_path / "host", cache_size=2) as conv:
+            for i in range(0, n, 8_000):
+                conv.add_points_batch(batch[i : i + 8_000])
+        with PipelinedConverter(
+            Metadata(), tmp_path / "pipe", cache_size=8
+        ) as conv:
+            for i in range(0, n, 8_000):
+                conv.add_points_batch(batch[i : i + 8_000])
+        host_files = store_files(tmp_path / "host")
+        pipe_files = store_files(tmp_path / "pipe")
+        assert set(host_files) == set(pipe_files)
+        for name, data in host_files.items():
+            assert pipe_files[name] == data, f"mismatch in {name}"
