@@ -1,0 +1,932 @@
+// pc_engine: native conversion engine — the C++ runtime equivalent of the
+// reference's offline converter hot loop (point-converter/src/converter.rs
+// :106-139 + cell.rs:70-153), built for host-side throughput when the
+// accelerator link is thin (see PERF.md "tunnel caveat").
+//
+// Semantics contract (bit-for-bit store parity with the Python oracle
+// convert/converter.py + core/cell.py, enforced by tests/test_native_engine
+// .py):
+//   - hex dedup: one point per hexagonal-prism sub-grid slot; a newcomer
+//     displaces the incumbent only if strictly closer to the slot center
+//     (cell.rs:80 `new < old` — f32 compare, same op order as core/hex.py),
+//   - losers stage per (cell, next-hierarchy cell) group in canonical
+//     record order (bit-pattern sort — core/cell.py
+//     _canonical_overflow_order), with the overflow-limit accounting of
+//     cell.rs:108-153 (buffer <= limit on first insert, flush + tombstone
+//     at old+new >= limit, tombstones pass straight through),
+//   - flushed groups feed the next hierarchy in global (cell, next)
+//     lexicographic order (the same sequence the device pipeline stages),
+//   - cell files serialize points sorted by sub-grid index and overflow
+//     entries sorted by key — byte-identical to core/cell.py to_bytes.
+//
+// State model: the engine owns every touched cell in RAM (slot grids are
+// open-addressing flat tables, ~32 B per stored point). This trades memory
+// for zero per-batch disk churn; the Python converters keep the LRU path
+// for bounded-memory conversions.
+
+#include <algorithm>
+#include <array>
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <sys/stat.h>
+#include <sys/types.h>
+
+#include "pc_hex.h"
+
+namespace {
+
+// PC_ENGINE_PROFILE=1: per-destroy stderr breakdown of where batch time
+// goes (insert loop vs staging vs flush concat), plus level-row counts
+struct Profile {
+    bool enabled = std::getenv("PC_ENGINE_PROFILE") != nullptr;
+    double t_keys = 0, t_insert = 0, t_stage = 0, t_concat = 0,
+           t_save = 0;
+    int64_t level_rows = 0, input_rows = 0;
+
+    static double now() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    }
+    void dump() const {
+        if (!enabled) return;
+        std::fprintf(stderr,
+                     "[pc_engine] rows: input=%lld level-total=%lld "
+                     "(%.2fx)  keys=%.3fs insert=%.3fs stage=%.3fs "
+                     "concat=%.3fs save=%.3fs\n",
+                     static_cast<long long>(input_rows),
+                     static_cast<long long>(level_rows),
+                     input_rows ? double(level_rows) / input_rows : 0.0,
+                     t_keys, t_insert, t_stage, t_concat, t_save);
+    }
+};
+
+}  // namespace
+
+namespace {
+
+struct Point {
+    float p[3];
+    uint8_t rgba[4];
+
+    uint32_t color_u32() const {
+        uint32_t v;
+        std::memcpy(&v, rgba, 4);
+        return v;  // little-endian hosts: r | g<<8 | b<<16 | a<<24
+    }
+    int32_t bits(int axis) const {
+        int32_t v;
+        std::memcpy(&v, &p[axis], 4);
+        return v;
+    }
+};
+static_assert(sizeof(Point) == 16, "Point must match the 16-byte codec");
+
+// canonical staged-overflow record order (core/cell.py
+// _canonical_overflow_order): position bit patterns as signed i32 x,y,z,
+// then the RGBA bytes as one LE u32. Signed i32 compare == unsigned
+// compare after flipping the sign bit, so two u64 loads decide it.
+inline uint64_t rec_key_hi(const Point& pt) {
+    uint32_t x, y;
+    std::memcpy(&x, &pt.p[0], 4);
+    std::memcpy(&y, &pt.p[1], 4);
+    return (static_cast<uint64_t>(x ^ 0x80000000u) << 32) |
+           (y ^ 0x80000000u);
+}
+inline uint64_t rec_key_lo(const Point& pt) {
+    uint32_t z;
+    std::memcpy(&z, &pt.p[2], 4);
+    return (static_cast<uint64_t>(z ^ 0x80000000u) << 32) | pt.color_u32();
+}
+inline bool record_less(const Point& a, const Point& b) {
+    const uint64_t ah = rec_key_hi(a), bh = rec_key_hi(b);
+    if (ah != bh) return ah < bh;
+    return rec_key_lo(a) < rec_key_lo(b);
+}
+
+using Key3 = std::array<int32_t, 3>;
+
+struct Key3Hash {
+    size_t operator()(const Key3& k) const {
+        uint64_t h = 0x9E3779B97F4A7C15ull;
+        for (int32_t v : k) {
+            h ^= static_cast<uint64_t>(static_cast<uint32_t>(v));
+            h *= 0xBF58476D1CE4E5B9ull;
+            h ^= h >> 29;
+        }
+        return static_cast<size_t>(h);
+    }
+};
+
+constexpr int64_t kKeyBias = 1 << 20;  // core/cell.py _KEY_BIAS
+constexpr int64_t kEmptyKey = -1;
+
+inline bool pack_slot_key(const Key3& sub, int64_t* out) {
+    for (int32_t v : sub) {
+        if (v < -kKeyBias || v >= kKeyBias) return false;
+    }
+    *out = ((static_cast<int64_t>(sub[0]) + kKeyBias) << 42) |
+           ((static_cast<int64_t>(sub[1]) + kKeyBias) << 21) |
+           (static_cast<int64_t>(sub[2]) + kKeyBias);
+    return true;
+}
+
+inline Key3 unpack_slot_key(int64_t key) {
+    return Key3{
+        static_cast<int32_t>((key >> 42) - kKeyBias),
+        static_cast<int32_t>(((key >> 21) & ((1 << 21) - 1)) - kKeyBias),
+        static_cast<int32_t>((key & ((1 << 21) - 1)) - kKeyBias),
+    };
+}
+
+inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xFF51AFD7ED558CCDull;
+    x ^= x >> 33;
+    x *= 0xC4CEB9FE1A85EC53ull;
+    x ^= x >> 33;
+    return x;
+}
+
+// open-addressing slot grid: one entry per occupied hex slot. Split
+// layout: the probe array holds (key, dist) in 16 B — 4 entries per cache
+// line — and the point payloads live in a parallel array touched only on
+// claim/displace.
+struct SlotKD {
+    int64_t key;  // packed sub index, kEmptyKey when vacant
+    float dist;
+    uint32_t pad;
+};
+static_assert(sizeof(SlotKD) == 16, "probe entries must stay 16 B");
+
+class SlotMap {
+  public:
+    SlotMap() { rehash(64); }
+
+    // index of the occupied entry for key, or of a vacant entry (key ==
+    // kEmptyKey) the caller may claim via `claim`
+    size_t find_or_vacant(int64_t key) {
+        if ((size_ + 1) * 2 >= cap_) grow();
+        size_t i = mix64(static_cast<uint64_t>(key)) & (cap_ - 1);
+        for (;;) {
+            const SlotKD& e = kd_[i];
+            if (e.key == key || e.key == kEmptyKey) return i;
+            i = (i + 1) & (cap_ - 1);
+        }
+    }
+
+    int64_t key_at(size_t i) const { return kd_[i].key; }
+    float dist_at(size_t i) const { return kd_[i].dist; }
+    void set_dist(size_t i, float d) { kd_[i].dist = d; }
+    Point& pt_at(size_t i) { return pts_[i]; }
+    const Point& pt_at(size_t i) const { return pts_[i]; }
+
+    void claim(size_t i, int64_t key, float dist, const Point& pt) {
+        kd_[i].key = key;
+        kd_[i].dist = dist;
+        pts_[i] = pt;
+        ++size_;
+    }
+
+    size_t size() const { return size_; }
+    size_t capacity() const { return cap_; }
+
+    void prefetch(int64_t key) const {
+        __builtin_prefetch(
+            &kd_[mix64(static_cast<uint64_t>(key)) & (cap_ - 1)]);
+    }
+
+  private:
+    void grow() { rehash(cap_ * 2); }
+
+    void rehash(size_t new_cap) {
+        std::vector<SlotKD> old_kd = std::move(kd_);
+        std::vector<Point> old_pts = std::move(pts_);
+        cap_ = new_cap;
+        kd_.assign(cap_, SlotKD{kEmptyKey, 0.0f, 0});
+        pts_.resize(cap_);
+        for (size_t j = 0; j < old_kd.size(); ++j) {
+            const SlotKD& e = old_kd[j];
+            if (e.key == kEmptyKey) continue;
+            size_t i = mix64(static_cast<uint64_t>(e.key)) & (cap_ - 1);
+            while (kd_[i].key != kEmptyKey) i = (i + 1) & (cap_ - 1);
+            kd_[i] = e;
+            pts_[i] = old_pts[j];
+        }
+    }
+
+    std::vector<SlotKD> kd_;
+    std::vector<Point> pts_;
+    size_t cap_ = 0;
+    size_t size_ = 0;
+};
+
+struct OverflowGroup {
+    bool tombstone = false;
+    std::vector<Point> pts;  // arrival order (per-batch canonical chunks)
+};
+
+struct CellState {
+    int32_t h;
+    Key3 idx;
+    float size;           // cell_size(h), header field
+    float sub_cell_size;  // size / sub_grid_dimension
+    float radius;         // sub_cell_size / 2 (hex quantization radius)
+    float pos[3];         // cell center, header field
+
+    uint32_t total_points = 0;
+    uint32_t n_points = 0;
+    uint32_t n_overflow = 0;
+
+    SlotMap slots;
+    // slots whose sub index exceeds the packed-key range (rare)
+    std::map<Key3, std::pair<float, Point>> slots_oor;
+    std::unordered_map<Key3, OverflowGroup, Key3Hash> overflow;
+    // per-level loser staging, cleared after accounting
+    std::unordered_map<Key3, std::vector<Point>, Key3Hash> pending;
+};
+
+struct CellKey {
+    int32_t h;
+    Key3 idx;
+    bool operator==(const CellKey& o) const {
+        return h == o.h && idx == o.idx;
+    }
+};
+
+struct CellKeyHash {
+    size_t operator()(const CellKey& k) const {
+        uint64_t v = Key3Hash()(k.idx);
+        return static_cast<size_t>(
+            mix64(v ^ static_cast<uint32_t>(k.h)));
+    }
+};
+
+struct FlushGroup {
+    Key3 cell;
+    Key3 next;
+    std::vector<Point> pts;
+};
+
+// run f(lo, hi, worker) over [0, m) chunks; inline below the thread-spawn
+// break-even (results are identical either way — workers touch disjoint
+// index ranges / disjoint cell shards)
+template <typename F>
+void run_parallel(size_t n_workers, size_t m, const F& f) {
+    if (n_workers <= 1 || m < (1 << 13)) {
+        f(0, m, 0);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const size_t chunk = (m + n_workers - 1) / n_workers;
+    for (size_t t = 0; t < n_workers; ++t) {
+        const size_t lo = t * chunk;
+        const size_t hi = std::min(m, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([&f, lo, hi, t] { f(lo, hi, t); });
+    }
+    for (auto& th : ts) th.join();
+}
+
+template <typename F>
+void run_sharded(size_t n_workers, size_t total_work, const F& f) {
+    if (n_workers <= 1 || total_work < (1 << 13)) {
+        for (size_t t = 0; t < n_workers; ++t) f(t);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (size_t t = 0; t < n_workers; ++t) {
+        ts.emplace_back([&f, t] { f(t); });
+    }
+    for (auto& th : ts) th.join();
+}
+
+class Engine {
+  public:
+    Engine(int64_t overflow_limit, float max_cell_size, int sub_grid_dim,
+           int n_threads)
+        : limit_(overflow_limit),
+          max_cell_size_(max_cell_size),
+          sub_grid_dim_(static_cast<float>(sub_grid_dim)),
+          shards_(n_threads < 1 ? 1 : n_threads) {}
+
+    // deterministic cell ownership: each cell belongs to exactly one
+    // shard/worker, so per-cell arrival order (the dedup tie-break,
+    // cell.rs:80) is preserved under parallel execution
+    size_t owner(int32_t h, const Key3& idx) const {
+        return CellKeyHash()(CellKey{h, idx}) % shards_.size();
+    }
+
+    // f32 grid quantities, same op order as core/metadata.py
+    float cell_size(int32_t h) const {
+        // numpy: f32(max) / f32(u32(2) ** u32(h)) — u32 wraps at h >= 32
+        const uint32_t denom =
+            static_cast<uint32_t>(1ull << (static_cast<uint32_t>(h) & 63));
+        return max_cell_size_ / static_cast<float>(denom);
+    }
+
+    CellState* get_or_create(int32_t h, const Key3& idx) {
+        const CellKey key{h, idx};
+        auto& cells_ = shards_[owner(h, idx)];
+        auto it = cells_.find(key);
+        if (it != cells_.end()) return it->second.get();
+
+        auto cell = std::make_unique<CellState>();
+        cell->h = h;
+        cell->idx = idx;
+        const float size = cell_size(h);
+        cell->size = size;
+        cell->sub_cell_size = size / sub_grid_dim_;
+        cell->radius = cell->sub_cell_size / 2.0f;
+        const float half = size / 2.0f;
+        for (int ax = 0; ax < 3; ++ax) {
+            cell->pos[ax] = static_cast<float>(idx[ax]) * size + half;
+        }
+        CellState* raw = cell.get();
+        cells_.emplace(key, std::move(cell));
+        return raw;
+    }
+
+    // insert one point into a cell's slot grid (arrival order matters:
+    // cell.rs:70-94 sequential semantics). Returns true + *loser when a
+    // point (the displaced incumbent or the newcomer) must stage.
+    // key/dist are precomputed by the level's key pass; key == INT64_MIN
+    // flags a slot index beyond the packed range (rare).
+    bool insert_keyed(CellState* c, const Point& pt, int64_t key,
+                      float dist, Point* loser) {
+        if (key != INT64_MIN) {
+            const size_t i = c->slots.find_or_vacant(key);
+            if (c->slots.key_at(i) == kEmptyKey) {
+                c->slots.claim(i, key, dist, pt);
+                c->total_points += 1;
+                c->n_points += 1;
+                return false;
+            }
+            if (dist < c->slots.dist_at(i)) {  // strict: ties keep incumbent
+                *loser = c->slots.pt_at(i);
+                c->slots.set_dist(i, dist);
+                c->slots.pt_at(i) = pt;
+            } else {
+                *loser = pt;
+            }
+            return true;
+        }
+        const pchex::HexResult hr =
+            pchex::hex_quantize(pt.p[0], pt.p[1], pt.p[2], c->radius);
+        const Key3 sub{hr.sub[0], hr.sub[1], hr.sub[2]};
+        auto [it, inserted] =
+            c->slots_oor.try_emplace(sub, hr.dist, pt);
+        if (inserted) {
+            c->total_points += 1;
+            c->n_points += 1;
+            return false;
+        }
+        if (hr.dist < it->second.first) {
+            *loser = it->second.second;
+            it->second = {hr.dist, pt};
+        } else {
+            *loser = pt;
+        }
+        return true;
+    }
+
+    // one full cascade over all hierarchy levels; returns the number of
+    // levels entered (max hierarchy + 1)
+    int32_t add_batch(const float* pos, const uint8_t* col, int64_t n) {
+        std::vector<Point> level;
+        level.resize(n);
+        for (int64_t i = 0; i < n; ++i) {
+            std::memcpy(level[i].p, pos + 3 * i, 12);
+            std::memcpy(level[i].rgba, col + 4 * i, 4);
+        }
+
+        prof_.input_rows += n;
+        const size_t n_workers = shards_.size();
+        int32_t h = 0;
+        std::vector<Key3> cidx, nidx;
+        std::vector<int64_t> skey;
+        std::vector<float> sdist;
+        std::vector<CellState*> cptr;
+        std::vector<uint8_t> own;
+        std::vector<int64_t> order;
+        while (!level.empty() && h < 64) {
+            const float cs = cell_size(h);
+            const float next_cs = cs / 2.0f;
+            const size_t m = level.size();
+            prof_.level_rows += m;
+            const double t0 = Profile::now();
+
+            // pass A (parallel): per-point cell index, packed slot key,
+            // slot distance, and next-hierarchy cell index. A flat array
+            // loop the compiler can pipeline (the divides dominate); the
+            // insert loop below then does pure table work.
+            cidx.resize(m);
+            skey.resize(m);
+            sdist.resize(m);
+            nidx.resize(m);
+            run_parallel(n_workers, m, [&](size_t lo, size_t hi, size_t) {
+                // per-level grid scalars are uniform, so the hex radius is
+                // a constant here: radius = (cell_size/96)/2 in f32
+                const float sub_size = cs / sub_grid_dim_;
+                const float radius = sub_size / 2.0f;
+                size_t i = lo;
+#ifdef PC_HEX_SIMD
+                alignas(16) float xs[4], ys[4], zs[4];
+                const __m128 vcs = _mm_set1_ps(cs);
+                const __m128 vncs = _mm_set1_ps(next_cs);
+                for (; i + 4 <= hi; i += 4) {
+                    for (int j = 0; j < 4; ++j) {
+                        const Point& pt = level[i + j];
+                        xs[j] = pt.p[0];
+                        ys[j] = pt.p[1];
+                        zs[j] = pt.p[2];
+                    }
+                    const __m128 vx = _mm_load_ps(xs);
+                    const __m128 vy = _mm_load_ps(ys);
+                    const __m128 vz = _mm_load_ps(zs);
+                    alignas(16) int32_t cx[4], cy[4], cz[4];
+                    alignas(16) int32_t nx[4], ny[4], nz[4];
+                    _mm_store_si128(reinterpret_cast<__m128i*>(cx),
+                                    pchex::cell_coord_x4(vx, vcs));
+                    _mm_store_si128(reinterpret_cast<__m128i*>(cy),
+                                    pchex::cell_coord_x4(vy, vcs));
+                    _mm_store_si128(reinterpret_cast<__m128i*>(cz),
+                                    pchex::cell_coord_x4(vz, vcs));
+                    _mm_store_si128(reinterpret_cast<__m128i*>(nx),
+                                    pchex::cell_coord_x4(vx, vncs));
+                    _mm_store_si128(reinterpret_cast<__m128i*>(ny),
+                                    pchex::cell_coord_x4(vy, vncs));
+                    _mm_store_si128(reinterpret_cast<__m128i*>(nz),
+                                    pchex::cell_coord_x4(vz, vncs));
+                    pchex::HexResultX4 hx;
+                    pchex::hex_quantize_x4(xs, ys, zs, radius, &hx);
+                    for (int j = 0; j < 4; ++j) {
+                        cidx[i + j] = Key3{cx[j], cy[j], cz[j]};
+                        nidx[i + j] = Key3{nx[j], ny[j], nz[j]};
+                        const Key3 sub{hx.sub0[j], hx.sub1[j], hx.sub2[j]};
+                        int64_t key;
+                        skey[i + j] =
+                            pack_slot_key(sub, &key) ? key : INT64_MIN;
+                        sdist[i + j] = hx.dist[j];
+                    }
+                }
+#endif
+                for (; i < hi; ++i) {
+                    const Point& pt = level[i];
+                    cidx[i] = Key3{pchex::cell_coord(pt.p[0], cs),
+                                   pchex::cell_coord(pt.p[1], cs),
+                                   pchex::cell_coord(pt.p[2], cs)};
+                    nidx[i] = Key3{pchex::cell_coord(pt.p[0], next_cs),
+                                   pchex::cell_coord(pt.p[1], next_cs),
+                                   pchex::cell_coord(pt.p[2], next_cs)};
+                    const pchex::HexResult hr = pchex::hex_quantize(
+                        pt.p[0], pt.p[1], pt.p[2], radius);
+                    const Key3 sub{hr.sub[0], hr.sub[1], hr.sub[2]};
+                    int64_t key;
+                    skey[i] = pack_slot_key(sub, &key) ? key : INT64_MIN;
+                    sdist[i] = hr.dist;
+                }
+            });
+
+            const double t0b = Profile::now();
+            prof_.t_keys += t0b - t0;
+
+            // pass B: stable partition of point indices by owner (keeps
+            // per-cell arrival order — the dedup tie-break); a single
+            // shard walks rows directly
+            std::array<int64_t, 257> offsets{};
+            if (n_workers > 1) {
+                own.resize(m);
+                run_parallel(
+                    n_workers, m, [&](size_t lo, size_t hi, size_t) {
+                        for (size_t i = lo; i < hi; ++i) {
+                            own[i] = static_cast<uint8_t>(
+                                owner(h, cidx[i]));
+                        }
+                    });
+                std::array<int64_t, 256> counts{};
+                for (size_t i = 0; i < m; ++i) counts[own[i]]++;
+                for (size_t t = 0; t < n_workers; ++t) {
+                    offsets[t + 1] = offsets[t] + counts[t];
+                }
+                std::array<int64_t, 256> cursor{};
+                for (size_t t = 0; t < n_workers; ++t) {
+                    cursor[t] = offsets[t];
+                }
+                order.resize(m);
+                for (size_t i = 0; i < m; ++i) {
+                    order[cursor[own[i]]++] = static_cast<int64_t>(i);
+                }
+            } else {
+                offsets[1] = static_cast<int64_t>(m);
+            }
+
+            // pass C (parallel): sequential inserts per owned cell.
+            // Cell pointers resolve in a pre-pass so the insert loop can
+            // prefetch the slot bucket kPD rows ahead across cell changes
+            // (the slot tables are the only cache-cold structure here).
+            std::vector<std::vector<CellState*>> touched(n_workers);
+            cptr.resize(m);
+            run_sharded(n_workers, m, [&](size_t t) {
+                constexpr int64_t kPD = 16;  // slot-probe prefetch depth
+                const bool direct = n_workers == 1;
+                {
+                    CellState* last_cell = nullptr;
+                    Key3 last_idx{};
+                    for (int64_t k = offsets[t]; k < offsets[t + 1]; ++k) {
+                        const int64_t i = direct ? k : order[k];
+                        if (last_cell == nullptr || !(cidx[i] == last_idx)) {
+                            last_cell = get_or_create(h, cidx[i]);
+                            last_idx = cidx[i];
+                        }
+                        cptr[i] = last_cell;
+                    }
+                }
+                CellState* last_cell = nullptr;
+                std::vector<Point>* last_pending = nullptr;
+                Key3 last_pending_key{};
+                for (int64_t k = offsets[t]; k < offsets[t + 1]; ++k) {
+                    const int64_t i = direct ? k : order[k];
+                    const Point& pt = level[i];
+                    CellState* c = cptr[i];
+                    if (c != last_cell) {
+                        last_cell = c;
+                        last_pending = nullptr;
+                    }
+                    if (k + kPD < offsets[t + 1]) {
+                        const int64_t j = direct ? k + kPD : order[k + kPD];
+                        if (skey[j] != INT64_MIN) {
+                            cptr[j]->slots.prefetch(skey[j]);
+                        }
+                    }
+                    Point loser;
+                    if (insert_keyed(c, pt, skey[i], sdist[i], &loser)) {
+                        // the displaced incumbent's next index differs
+                        // from the newcomer's; recompute only then
+                        const Key3 nk =
+                            loser.bits(0) == pt.bits(0) &&
+                                    loser.bits(1) == pt.bits(1) &&
+                                    loser.bits(2) == pt.bits(2)
+                                ? nidx[i]
+                                : Key3{pchex::cell_coord(loser.p[0],
+                                                         next_cs),
+                                       pchex::cell_coord(loser.p[1],
+                                                         next_cs),
+                                       pchex::cell_coord(loser.p[2],
+                                                         next_cs)};
+                        if (last_pending != nullptr &&
+                            nk == last_pending_key) {
+                            last_pending->push_back(loser);
+                            continue;
+                        }
+                        auto [it, fresh] = c->pending.try_emplace(nk);
+                        if (c->pending.size() == 1 && fresh) {
+                            touched[t].push_back(c);
+                        }
+                        it->second.push_back(loser);
+                        last_pending = &it->second;
+                        last_pending_key = nk;
+                    }
+                }
+            });
+
+            const double t1 = Profile::now();
+            prof_.t_insert += t1 - t0b;
+
+            // pass D (parallel): overflow accounting per (cell, group) —
+            // once per level, each group in canonical record order
+            std::vector<std::vector<FlushGroup>> flushed_per(n_workers);
+            run_sharded(n_workers, m, [&](size_t t) {
+                for (CellState* c : touched[t]) {
+                    for (auto& [nidx, vec] : c->pending) {
+                        std::sort(vec.begin(), vec.end(), record_less);
+                        stage_group(c, nidx, std::move(vec),
+                                    &flushed_per[t]);
+                    }
+                    c->pending.clear();
+                }
+            });
+            const double t2 = Profile::now();
+            prof_.t_stage += t2 - t1;
+
+            // next level input: groups in global (cell, next) order
+            std::vector<FlushGroup> flushed;
+            for (auto& fg : flushed_per) {
+                for (FlushGroup& g : fg) flushed.push_back(std::move(g));
+            }
+            std::sort(flushed.begin(), flushed.end(),
+                      [](const FlushGroup& a, const FlushGroup& b) {
+                          if (a.cell != b.cell) return a.cell < b.cell;
+                          return a.next < b.next;
+                      });
+            level.clear();
+            for (FlushGroup& g : flushed) {
+                level.insert(level.end(), g.pts.begin(), g.pts.end());
+            }
+            prof_.t_concat += Profile::now() - t2;
+            ++h;
+        }
+        max_level_ = std::max(max_level_, h);
+        return h;
+    }
+
+    // cell.rs:108-153 / core/cell.py add_points_in_overflow, exactly
+    void stage_group(CellState* c, const Key3& nidx,
+                     std::vector<Point>&& pts,
+                     std::vector<FlushGroup>* flushed) {
+        auto it = c->overflow.find(nidx);
+        if (it == c->overflow.end()) {
+            if (static_cast<int64_t>(pts.size()) <= limit_) {
+                c->total_points += pts.size();
+                c->n_overflow += pts.size();
+                c->overflow.emplace(nidx,
+                                    OverflowGroup{false, std::move(pts)});
+            } else {
+                c->overflow.emplace(nidx, OverflowGroup{true, {}});
+                flushed->push_back({c->idx, nidx, std::move(pts)});
+            }
+            return;
+        }
+        OverflowGroup& g = it->second;
+        if (g.tombstone) {
+            flushed->push_back({c->idx, nidx, std::move(pts)});
+            return;
+        }
+        const int64_t old_len = static_cast<int64_t>(g.pts.size());
+        if (old_len + static_cast<int64_t>(pts.size()) < limit_) {
+            c->total_points += pts.size();
+            c->n_overflow += pts.size();
+            g.pts.insert(g.pts.end(), pts.begin(), pts.end());
+        } else {
+            c->total_points -= old_len;
+            c->n_overflow -= old_len;
+            std::vector<Point> out = std::move(g.pts);
+            out.insert(out.end(), pts.begin(), pts.end());
+            g.tombstone = true;
+            g.pts.clear();
+            g.pts.shrink_to_fit();
+            flushed->push_back({c->idx, nidx, std::move(out)});
+        }
+    }
+
+    // --- serialization (core/cell.py to_bytes, byte-identical) ----------
+
+    bool serialize_cell(const CellState& c, std::string* out) const {
+        out->clear();
+        // header <IiiiIIIfffff (48 bytes)
+        auto put = [out](const void* p, size_t n) {
+            out->append(static_cast<const char*>(p), n);
+        };
+        const uint32_t h32 = static_cast<uint32_t>(c.h);
+        put(&h32, 4);
+        put(c.idx.data(), 12);
+        put(&c.total_points, 4);
+        put(&c.n_points, 4);
+        put(&c.n_overflow, 4);
+        put(&c.size, 4);
+        put(&c.sub_cell_size, 4);
+        put(c.pos, 12);
+
+        // points sorted by sub-grid index (x, y, z): packed int64 key
+        // order == Key3 lexicographic order inside the packed range, so
+        // the common case is one flat int64 sort; the rare out-of-range
+        // rows (std::map, already Key3-sorted) merge in afterwards
+        std::vector<std::pair<int64_t, const Point*>> rows;
+        rows.reserve(c.slots.size());
+        for (size_t i = 0; i < c.slots.capacity(); ++i) {
+            if (c.slots.key_at(i) != kEmptyKey) {
+                rows.emplace_back(c.slots.key_at(i), &c.slots.pt_at(i));
+            }
+        }
+        std::sort(rows.begin(), rows.end(),
+                  [](const auto& a, const auto& b) {
+                      return a.first < b.first;
+                  });
+        if (c.slots_oor.empty()) {
+            for (const auto& [key, pt] : rows) put(pt, 16);
+        } else {
+            auto oit = c.slots_oor.begin();
+            const auto oend = c.slots_oor.end();
+            for (const auto& [key, pt] : rows) {
+                const Key3 sub = unpack_slot_key(key);
+                while (oit != oend && oit->first < sub) {
+                    put(&oit->second.second, 16);
+                    ++oit;
+                }
+                put(pt, 16);
+            }
+            for (; oit != oend; ++oit) put(&oit->second.second, 16);
+        }
+
+        // overflow entries sorted by key; count is a u8 (codec contract)
+        if (c.overflow.size() > 255) return false;
+        std::vector<const Key3*> keys;
+        keys.reserve(c.overflow.size());
+        for (const auto& [k, g] : c.overflow) keys.push_back(&k);
+        std::sort(keys.begin(), keys.end(),
+                  [](const Key3* a, const Key3* b) { return *a < *b; });
+        const uint8_t n_entries = static_cast<uint8_t>(keys.size());
+        put(&n_entries, 1);
+        for (const Key3* k : keys) {
+            const OverflowGroup& g = c.overflow.at(*k);
+            put(k->data(), 12);
+            const uint32_t len = g.tombstone
+                                     ? 0u
+                                     : static_cast<uint32_t>(g.pts.size());
+            put(&len, 4);
+            for (const Point& pt : g.pts) put(&pt, 16);
+        }
+        return true;
+    }
+
+    // --- loading (core/cell.py from_bytes) -------------------------------
+
+    bool load_cell(const uint8_t* data, int64_t len) {
+        if (len < 48) return false;
+        int64_t off = 0;
+        auto get = [&](void* p, size_t n) -> bool {
+            if (off + static_cast<int64_t>(n) > len) return false;
+            std::memcpy(p, data + off, n);
+            off += n;
+            return true;
+        };
+        uint32_t h32, total, n_pts, n_overflow;
+        Key3 idx;
+        float size, sub, pos[3];
+        if (!get(&h32, 4) || !get(idx.data(), 12) || !get(&total, 4) ||
+            !get(&n_pts, 4) || !get(&n_overflow, 4) || !get(&size, 4) ||
+            !get(&sub, 4) || !get(pos, 12)) {
+            return false;
+        }
+        CellState* c = get_or_create(static_cast<int32_t>(h32), idx);
+        c->size = size;
+        c->sub_cell_size = sub;
+        c->radius = sub / 2.0f;
+        std::memcpy(c->pos, pos, 12);
+        c->total_points = total;
+        c->n_points = n_pts;
+        c->n_overflow = n_overflow;
+
+        for (uint32_t i = 0; i < n_pts; ++i) {
+            Point pt;
+            if (!get(&pt, 16)) return false;
+            // re-derive slot + distance from the position (cell.rs:189-195)
+            const pchex::HexResult hr = pchex::hex_quantize(
+                pt.p[0], pt.p[1], pt.p[2], c->radius);
+            const Key3 s{hr.sub[0], hr.sub[1], hr.sub[2]};
+            int64_t key;
+            if (pack_slot_key(s, &key)) {
+                const size_t i = c->slots.find_or_vacant(key);
+                if (c->slots.key_at(i) == kEmptyKey) {
+                    c->slots.claim(i, key, hr.dist, pt);
+                }
+            } else {
+                c->slots_oor.try_emplace(s, hr.dist, pt);
+            }
+        }
+        uint8_t n_entries;
+        if (!get(&n_entries, 1)) return false;
+        for (uint8_t i = 0; i < n_entries; ++i) {
+            Key3 k;
+            uint32_t count;
+            if (!get(k.data(), 12) || !get(&count, 4)) return false;
+            OverflowGroup g;
+            if (count == 0) {
+                g.tombstone = true;
+            } else {
+                g.pts.resize(count);
+                if (!get(g.pts.data(), 16ull * count)) return false;
+            }
+            c->overflow.emplace(k, std::move(g));
+        }
+        return true;
+    }
+
+    // --- store writing ----------------------------------------------------
+
+    int64_t save_all(const std::string& dir, int n_threads) {
+        const double t0 = Profile::now();
+        std::vector<const CellState*> cells;
+        int32_t max_h = -1;
+        for (const auto& shard : shards_) {
+            for (const auto& [key, cell] : shard) {
+                cells.push_back(cell.get());
+                max_h = std::max(max_h, key.h);
+            }
+        }
+        for (int32_t h = 0; h <= max_h; ++h) {
+            const std::string d = dir + "/h_" + std::to_string(h);
+            ::mkdir(d.c_str(), 0777);  // EEXIST is fine
+        }
+        std::atomic<int64_t> errors{0};
+        std::atomic<size_t> next{0};
+        auto worker = [&] {
+            std::string buf;
+            for (;;) {
+                const size_t i = next.fetch_add(1);
+                if (i >= cells.size()) return;
+                const CellState& c = *cells[i];
+                if (!serialize_cell(c, &buf)) {
+                    errors.fetch_add(1);
+                    continue;
+                }
+                const std::string path =
+                    dir + "/h_" + std::to_string(c.h) + "/c_" +
+                    std::to_string(c.idx[0]) + "_" +
+                    std::to_string(c.idx[1]) + "_" +
+                    std::to_string(c.idx[2]) + ".bin";
+                const std::string tmp = path + ".tmp";
+                FILE* f = std::fopen(tmp.c_str(), "wb");
+                bool ok = f != nullptr;
+                if (ok && !buf.empty()) {
+                    ok = std::fwrite(buf.data(), 1, buf.size(), f) ==
+                         buf.size();
+                }
+                if (f != nullptr) ok = (std::fclose(f) == 0) && ok;
+                if (ok) ok = std::rename(tmp.c_str(), path.c_str()) == 0;
+                if (!ok) {
+                    std::remove(tmp.c_str());
+                    errors.fetch_add(1);
+                }
+            }
+        };
+        if (n_threads <= 1 || cells.size() < 16) {
+            worker();
+        } else {
+            std::vector<std::thread> threads;
+            for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+            for (auto& t : threads) t.join();
+        }
+        prof_.t_save += Profile::now() - t0;
+        return errors.load();
+    }
+
+    int32_t max_level() const { return max_level_; }
+    int64_t num_cells() const {
+        int64_t n = 0;
+        for (const auto& shard : shards_) n += shard.size();
+        return n;
+    }
+
+    ~Engine() { prof_.dump(); }
+
+  private:
+    int64_t limit_;
+    float max_cell_size_;
+    float sub_grid_dim_;
+    int32_t max_level_ = 0;
+    Profile prof_;
+    // the cell registry, sharded by deterministic ownership so insert
+    // workers never contend (and never rehash each other's tables)
+    std::vector<
+        std::unordered_map<CellKey, std::unique_ptr<CellState>, CellKeyHash>>
+        shards_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pc_engine_create(int64_t overflow_limit, float max_cell_size,
+                       int sub_grid_dim, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;  // owner fits a uint8 shard id
+    return new Engine(overflow_limit, max_cell_size, sub_grid_dim,
+                      n_threads);
+}
+
+void pc_engine_destroy(void* e) { delete static_cast<Engine*>(e); }
+
+int32_t pc_engine_add_batch(void* e, const float* pos, const uint8_t* col,
+                            int64_t n) {
+    return static_cast<Engine*>(e)->add_batch(pos, col, n);
+}
+
+int pc_engine_load_cell(void* e, const uint8_t* data, int64_t len) {
+    return static_cast<Engine*>(e)->load_cell(data, len) ? 0 : 1;
+}
+
+int64_t pc_engine_save_all(void* e, const char* dir, int n_threads) {
+    return static_cast<Engine*>(e)->save_all(dir, n_threads);
+}
+
+int32_t pc_engine_max_level(void* e) {
+    return static_cast<Engine*>(e)->max_level();
+}
+
+int64_t pc_engine_num_cells(void* e) {
+    return static_cast<Engine*>(e)->num_cells();
+}
+
+}  // extern "C"

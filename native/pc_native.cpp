@@ -210,18 +210,12 @@ void pc_free(void* ptr) { std::free(ptr); }
 #include <cmath>
 #include <limits>
 
+#include "pc_hex.h"
+
 namespace {
 
-constexpr float kSqrt3 = 1.73205080757f;
-
-inline int32_t sat_i32(float v) {
-    // Rust `as i32`: NaN -> 0, saturate at the type bounds. Must match
-    // core/hex.py _np_saturating_i32 exactly (same bound constants).
-    if (std::isnan(v)) return 0;
-    if (v >= 2147483648.0f) return INT32_MAX;
-    if (v <= -2147483904.0f) return INT32_MIN;
-    return static_cast<int32_t>(v);  // in-range: exact (floored inputs)
-}
+using pchex::hex_quantize;
+using pchex::sat_i32;
 
 struct HexJob {
     const float* positions;  // (n, 3)
@@ -236,58 +230,24 @@ struct HexJob {
 };
 
 void hex_keys_range(const HexJob& job, int64_t lo, int64_t hi) {
-    const float radius = job.sub_radius;
-    const float inv_qx = radius * kSqrt3;       // divisor for x
-    const float neg_qy = -radius * kSqrt3;      // divisor for y
-    const float half_sqrt3 = kSqrt3 / 2.0f;
     for (int64_t i = lo; i < hi; ++i) {
         const float px = job.positions[3 * i + 0];
         const float py = job.positions[3 * i + 1];
         const float pz = job.positions[3 * i + 2];
 
-        // cell index: floor(pos / cell_size) (core/metadata.py cell_index)
-        job.cell_idx[3 * i + 0] = sat_i32(std::floor(px / job.cell_size));
-        job.cell_idx[3 * i + 1] = sat_i32(std::floor(py / job.cell_size));
-        job.cell_idx[3 * i + 2] = sat_i32(std::floor(pz / job.cell_size));
-        job.next_idx[3 * i + 0] = sat_i32(std::floor(px / job.next_cell_size));
-        job.next_idx[3 * i + 1] = sat_i32(std::floor(py / job.next_cell_size));
-        job.next_idx[3 * i + 2] = sat_i32(std::floor(pz / job.next_cell_size));
+        job.cell_idx[3 * i + 0] = pchex::cell_coord(px, job.cell_size);
+        job.cell_idx[3 * i + 1] = pchex::cell_coord(py, job.cell_size);
+        job.cell_idx[3 * i + 2] = pchex::cell_coord(pz, job.cell_size);
+        job.next_idx[3 * i + 0] = pchex::cell_coord(px, job.next_cell_size);
+        job.next_idx[3 * i + 1] = pchex::cell_coord(py, job.next_cell_size);
+        job.next_idx[3 * i + 2] = pchex::cell_coord(pz, job.next_cell_size);
 
-        // axial_from_world (core/hex.py, same f32 op order)
-        const float x = px / inv_qx;
-        const float y = py / neg_qy;
-        const float t = kSqrt3 * y + 1.0f;
-        const float temp1 = std::floor(t + x);
-        const float temp2 = t - x;
-        const float temp3 = 2.0f * x + 1.0f;
-        const float qf = (temp1 + temp3) / 3.0f;
-        const float rf = (temp1 + temp2) / 3.0f;
-        const int32_t q = sat_i32(std::floor(qf));
-        const int32_t r = -sat_i32(std::floor(rf));
-        const int32_t h = sat_i32(std::trunc(pz / radius));
-
-        // axial -> offset (hex.rs:45-51; operands even so / == floor-div)
-        const int64_t xq = static_cast<int64_t>(q) +
-                           ((static_cast<int64_t>(r) -
-                             (static_cast<int64_t>(r) & 1)) / 2);
-        job.sub_idx[3 * i + 0] = static_cast<int32_t>(xq);
-        job.sub_idx[3 * i + 1] = r;
-        job.sub_idx[3 * i + 2] = h;
-
-        // offset -> axial -> world center (core/hex.py offset_to_world)
-        const int64_t q2 = xq - ((static_cast<int64_t>(r) -
-                                  (static_cast<int64_t>(r) & 1)) / 2);
-        const float qc = static_cast<float>(q2);
-        const float rc = static_cast<float>(r);
-        const float hc = static_cast<float>(h);
-        const float cx = radius * (kSqrt3 * qc + half_sqrt3 * rc);
-        const float cy = radius * 3.0f / 2.0f * rc;
-        const float cz = hc * radius;
-
-        const float dx = px - cx;
-        const float dy = py - cy;
-        const float dz = pz - cz;
-        job.dist[i] = (dx * dx + dy * dy) + dz * dz;
+        const pchex::HexResult hr =
+            hex_quantize(px, py, pz, job.sub_radius);
+        job.sub_idx[3 * i + 0] = hr.sub[0];
+        job.sub_idx[3 * i + 1] = hr.sub[1];
+        job.sub_idx[3 * i + 2] = hr.sub[2];
+        job.dist[i] = hr.dist;
     }
 }
 

@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Shard conversion over an N-device mesh (implies --device).",
     )
     parser.add_argument(
+        "--native", action="store_true",
+        help="Run the whole cascade in the C++ engine (host-only, fastest "
+             "when the accelerator link is thin; keeps all cells in RAM).",
+    )
+    parser.add_argument(
         "--cache-size", type=int, default=None, metavar="N",
         help="Cells kept in RAM before evicting to disk (default 65536; "
              "the reference keeps 100, converter.rs:92 — results are "
@@ -94,7 +99,12 @@ def main(argv=None) -> int:
 
     factory = Converter
     batch_size = args.batch_size
-    if args.mesh:
+    if args.native:
+        from .native import NativeConverter
+
+        factory = NativeConverter
+        batch_size = batch_size or 1 << 18
+    elif args.mesh:
         from ..parallel.mesh_converter import make_mesh_converter_factory
 
         factory = make_mesh_converter_factory(args.mesh)

@@ -1,0 +1,150 @@
+"""NativeConverter: the C++ conversion engine behind the Converter API.
+
+The whole cascade (hex dedup, overflow accounting, store serialization)
+runs inside native/pc_engine.cpp — per-point flat-hash-table inserts, the
+same sequential semantics as the reference's hot loop
+(reference: point-converter/src/converter.rs:106-139, cell.rs:70-153) but
+~10x the Python host oracle's throughput. Stores are byte-identical to the
+host :class:`~.converter.Converter`'s (tests/test_native_engine.py).
+
+When to use which converter (see PERF.md for measurements):
+
+- ``NativeConverter`` — host-only, zero accelerator transfers. Fastest
+  when the TPU link is thin (the bench environment's tunnel moves
+  ~45 MB/s, which caps any device-backed pipeline at ~2 Mpts/s because
+  positions alone are 12 B/point). Keeps every touched cell in RAM
+  (~32 B/stored point) instead of the LRU cache.
+- ``DeviceConverter`` / ``PipelinedConverter`` — the TPU path: batch
+  dedup as one fused XLA sort pass. Wins on co-located hosts (PCIe
+  moves 12 B/point in ~1 ns) and composes with ``MeshConverter`` for
+  multi-chip scale-out.
+
+Metadata bookkeeping (bounding box f32 fold order, point counter,
+hierarchy counter) stays in Python so ``metadata.json`` is byte-identical
+across all converters.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
+from ..core.aabb import Aabb
+from ..core.metadata import FILE_NAME, EXTENSION, Metadata, hierarchy_string
+from ..core.point import PointBatch
+
+
+class NativeConverter:
+    """Drop-in Converter backed by the C++ engine (native/pc_engine.cpp)."""
+
+    def __init__(self, metadata: Metadata, working_directory,
+                 cache_size: int | None = None, n_threads: int = 8):
+        # cache_size accepted for factory-signature compatibility; the
+        # engine keeps all cells in RAM (no LRU), results are identical
+        from ..native import load_native
+
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError(
+                "native engine unavailable (no C++ toolchain); use "
+                "Converter/DeviceConverter instead"
+            )
+        self._lib = lib
+        self.metadata = metadata
+        self.working_directory = Path(working_directory)
+        self.working_directory.mkdir(parents=True, exist_ok=True)
+        self.n_threads = n_threads
+        config = metadata.config
+        self._engine = lib.pc_engine_create(
+            int(config.cell_point_overflow_limit),
+            ctypes.c_float(np.float32(config.max_cell_size)),
+            int(config.sub_grid_dimension),
+            int(n_threads),
+        )
+        self._load_existing_store()
+
+    def _load_existing_store(self) -> None:
+        """Incremental merge: feed every existing cell to the engine
+        (lib.rs:86-101 — the store itself is the resume checkpoint)."""
+        for h in range(self.metadata.hierarchies):
+            folder = self.working_directory / hierarchy_string(h)
+            if not folder.is_dir():
+                continue
+            for path in folder.iterdir():
+                if path.suffix != ".bin":
+                    continue
+                data = path.read_bytes()
+                rc = self._lib.pc_engine_load_cell(
+                    self._engine, data, len(data)
+                )
+                if rc != 0:
+                    raise OSError(f"corrupt cell file: {path}")
+
+    # --- batch entry point (mirrors Converter.add_points_batch) ----------
+
+    def add_points_batch(self, batch: PointBatch) -> None:
+        self._update_bounding_box(batch)
+        self.metadata.number_of_points += len(batch)
+        if len(batch) == 0:
+            return
+        pos = np.ascontiguousarray(batch.positions, np.float32)
+        col = np.ascontiguousarray(batch.colors, np.uint8)
+        levels = self._lib.pc_engine_add_batch(
+            self._engine,
+            pos.ctypes.data_as(ctypes.c_void_p),
+            col.ctypes.data_as(ctypes.c_void_p),
+            len(batch),
+        )
+        if levels > self.metadata.hierarchies:
+            self.metadata.hierarchies = levels
+
+    def _update_bounding_box(self, batch: PointBatch) -> None:
+        aabb = Aabb.from_points(batch.positions)
+        if aabb is None:
+            return
+        if self.metadata.number_of_points == 0:
+            self.metadata.bounding_box = aabb
+        else:
+            self.metadata.bounding_box.extend_aabb(aabb)
+
+    # --- persistence -------------------------------------------------------
+
+    def save_metadata(self) -> None:
+        self.metadata.write_to_path(
+            self.working_directory / f"{FILE_NAME}.{EXTENSION}"
+        )
+
+    def close(self) -> None:
+        if self._engine is None:
+            return
+        errors = self._lib.pc_engine_save_all(
+            self._engine, str(self.working_directory).encode(),
+            self.n_threads,
+        )
+        # folders for every counted hierarchy (engine only creates levels
+        # that hold cells; a merged store may count more)
+        for h in range(self.metadata.hierarchies):
+            (self.working_directory / hierarchy_string(h)).mkdir(
+                exist_ok=True
+            )
+        self.save_metadata()
+        self._lib.pc_engine_destroy(self._engine)
+        self._engine = None
+        if errors:
+            raise OSError(f"{errors} cell write(s) failed")
+
+    def __enter__(self) -> "NativeConverter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_engine", None) is not None:
+                self._lib.pc_engine_destroy(self._engine)
+                self._engine = None
+        except Exception:
+            pass

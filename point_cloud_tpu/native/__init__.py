@@ -17,7 +17,10 @@ from pathlib import Path
 log = logging.getLogger(__name__)
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
-_SRC = _REPO_ROOT / "native" / "pc_native.cpp"
+_NATIVE_DIR = _REPO_ROOT / "native"
+_SRC = _NATIVE_DIR / "pc_native.cpp"
+_SOURCES = [_SRC, _NATIVE_DIR / "pc_engine.cpp"]
+_HEADERS = [_NATIVE_DIR / "pc_hex.h"]
 _BUILD_DIR = Path(__file__).resolve().parent / "_build"
 _LIB = _BUILD_DIR / "libpcnative.so"
 
@@ -33,10 +36,16 @@ def _build() -> bool:
     # of kSqrt3*y+1.0f / dx*dx+dy*dy in pc_hex_keys and silently breaks the
     # bit-for-bit IEEE f32 lockstep with the NumPy/jnp paths (CLAUDE.md
     # invariant #2). -fno-fast-math guards against toolchain defaults.
+    import platform
+
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
         "-ffp-contract=off", "-fno-fast-math",
-        str(_SRC), "-o", str(_LIB),
+        # SSE4.1 enables the hand-vectorized hex pass (pc_hex.h); lockstep
+        # with NumPy still holds (IEEE per-lane ops) and is re-verified at
+        # runtime by _check_hex_lockstep
+        *(["-msse4.1"] if platform.machine() in ("x86_64", "AMD64") else []),
+        *[str(s) for s in _SOURCES], "-o", str(_LIB),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -57,7 +66,10 @@ def load_native():
         if not _SRC.exists():
             _build_failed = True
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        src_mtime = max(
+            p.stat().st_mtime for p in (*_SOURCES, *_HEADERS) if p.exists()
+        )
+        if not _LIB.exists() or _LIB.stat().st_mtime < src_mtime:
             if not _build():
                 _build_failed = True
                 return None
@@ -93,6 +105,28 @@ def load_native():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.pc_engine_create.restype = ctypes.c_void_p
+        lib.pc_engine_create.argtypes = [
+            ctypes.c_int64, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pc_engine_destroy.argtypes = [ctypes.c_void_p]
+        lib.pc_engine_add_batch.restype = ctypes.c_int32
+        lib.pc_engine_add_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.pc_engine_load_cell.restype = ctypes.c_int
+        lib.pc_engine_load_cell.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.pc_engine_save_all.restype = ctypes.c_int64
+        lib.pc_engine_save_all.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.pc_engine_max_level.restype = ctypes.c_int32
+        lib.pc_engine_max_level.argtypes = [ctypes.c_void_p]
+        lib.pc_engine_num_cells.restype = ctypes.c_int64
+        lib.pc_engine_num_cells.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 

@@ -1,0 +1,141 @@
+"""C++ conversion engine parity: NativeConverter stores must be
+byte-identical to the host oracle's (the same gold standard as the device
+pipeline, tests/test_device_converter.py)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from point_cloud_tpu.convert.converter import Converter, load_metadata
+from point_cloud_tpu.core.metadata import Metadata, MetadataConfig
+from point_cloud_tpu.core.point import PointBatch
+
+
+def random_batch(n, seed=0, lo=-100, hi=100):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+def store_files(store_dir):
+    files = {}
+    for path in sorted(store_dir.rglob("*")):
+        if path.is_file():
+            files[str(path.relative_to(store_dir))] = path.read_bytes()
+    return files
+
+
+def native_converter(*args, **kwargs):
+    from point_cloud_tpu.convert.native import NativeConverter
+
+    try:
+        return NativeConverter(*args, **kwargs)
+    except RuntimeError:
+        pytest.skip("no C++ toolchain")
+
+
+def assert_stores_equal(host_dir, native_dir):
+    host_files = store_files(host_dir)
+    native_files = store_files(native_dir)
+    assert set(host_files) == set(native_files)
+    for name, data in host_files.items():
+        assert native_files[name] == data, f"mismatch in {name}"
+
+
+class TestEngineParity:
+    @pytest.mark.parametrize(
+        "name,n,kwargs,config",
+        [
+            ("sparse", 10_000, dict(lo=-300, hi=300), MetadataConfig()),
+            ("dense", 30_000, dict(lo=-2, hi=2), MetadataConfig()),
+            (
+                "overflow",
+                5_000,
+                dict(lo=-0.5, hi=0.5),
+                MetadataConfig(cell_point_overflow_limit=40),
+            ),
+            ("hot_slots", 20_000, dict(lo=-0.05, hi=0.05),
+             MetadataConfig(cell_point_overflow_limit=100)),
+        ],
+    )
+    def test_store_byte_identical_to_host(self, tmp_path, name, n, kwargs,
+                                          config):
+        batch = random_batch(n, seed=hash(name) % 2**31, **kwargs)
+        with Converter(Metadata(config=dataclasses.replace(config)),
+                       tmp_path / "host") as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        with native_converter(
+            Metadata(config=dataclasses.replace(config)), tmp_path / "nat"
+        ) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        assert_stores_equal(tmp_path / "host", tmp_path / "nat")
+
+    def test_duplicate_points_and_ties(self, tmp_path):
+        """Exact-duplicate floods exercise tie-breaks + deep cascades."""
+        base = random_batch(500, seed=5, lo=-3, hi=3)
+        batch = PointBatch(
+            np.tile(base.positions, (6, 1)),
+            np.tile(base.colors, (6, 1)),
+        )
+        config = MetadataConfig(cell_point_overflow_limit=50)
+        with Converter(Metadata(config=dataclasses.replace(config)),
+                       tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with native_converter(
+            Metadata(config=dataclasses.replace(config)), tmp_path / "nat"
+        ) as conv:
+            conv.add_points_batch(batch)
+        assert_stores_equal(tmp_path / "host", tmp_path / "nat")
+
+    def test_incremental_merge_parity(self, tmp_path):
+        a = random_batch(5_000, seed=21)
+        b = random_batch(5_000, seed=22, lo=-150, hi=150)
+
+        for make, d in [
+            (Converter, "host"),
+            (native_converter, "nat"),
+        ]:
+            out = tmp_path / d
+            with make(load_metadata(out), out) as conv:
+                conv.add_points_batch(a)
+            with make(load_metadata(out), out) as conv:
+                conv.add_points_batch(b)
+        assert_stores_equal(tmp_path / "host", tmp_path / "nat")
+
+    def test_cross_backend_merge(self, tmp_path):
+        """A store begun by the host oracle continues under the engine."""
+        a = random_batch(4_000, seed=31)
+        b = random_batch(4_000, seed=32, lo=-50, hi=50)
+
+        out_h = tmp_path / "host"
+        with Converter(load_metadata(out_h), out_h) as conv:
+            conv.add_points_batch(a)
+        with Converter(load_metadata(out_h), out_h) as conv:
+            conv.add_points_batch(b)
+
+        out_n = tmp_path / "mixed"
+        with Converter(load_metadata(out_n), out_n) as conv:
+            conv.add_points_batch(a)
+        with native_converter(load_metadata(out_n), out_n) as conv:
+            conv.add_points_batch(b)
+        assert_stores_equal(out_h, out_n)
+
+    def test_metadata_byte_identical(self, tmp_path):
+        batch = random_batch(3_000, seed=41)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with native_converter(Metadata(), tmp_path / "nat") as conv:
+            conv.add_points_batch(batch)
+        host = (tmp_path / "host" / "metadata.json").read_bytes()
+        nat = (tmp_path / "nat" / "metadata.json").read_bytes()
+        assert host == nat
+
+    def test_empty_batch(self, tmp_path):
+        with native_converter(Metadata(), tmp_path / "nat") as conv:
+            conv.add_points_batch(PointBatch.empty())
+        assert conv.metadata.number_of_points == 0
