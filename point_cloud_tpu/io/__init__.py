@@ -51,9 +51,9 @@ def get_batched_point_reader(path) -> BatchedPointReader | None:
     path = Path(path)
     ext = path.suffix.lower().lstrip(".")
     if ext in ("las", "laz"):
-        from .las import LasPointReader
+        from .las import open_las_or_laz
 
-        return LasPointReader(path)
+        return open_las_or_laz(path)
     if ext == "ply":
         from .ply import PlyPointReader
 

@@ -13,8 +13,8 @@ handful of array ops instead of a per-point loop (the feed path must sustain
 the TPU conversion pipeline, see SURVEY.md section 7 "hard parts").
 
 LAZ (laszip-compressed) files are detected (compressor bit in the point
-format byte / laszip VLR) and rejected with a clear error: no LAZ
-decompressor is available in this environment and we do not ship one yet.
+format byte / laszip VLR) and routed to the from-scratch LASzip codec in
+io/laz.py + native/pc_laszip.cpp (point formats 0-3, v2 items).
 """
 
 from __future__ import annotations
@@ -87,6 +87,18 @@ def _record_dtype(header: LasHeader) -> np.dtype:
     )
 
 
+def open_las_or_laz(path) -> BatchedPointReader:
+    """LAS reader, or the LAZ reader when the file is laszip-compressed
+    (the extension alone is not trusted — the header decides)."""
+    with open(path, "rb") as f:
+        header = LasHeader(f.read(375))
+    if header.is_compressed:
+        from .laz import LazPointReader
+
+        return LazPointReader(path)
+    return LasPointReader(path)
+
+
 class LasPointReader(BatchedPointReader):
     def __init__(self, path):
         self.path = Path(path)
@@ -95,9 +107,9 @@ class LasPointReader(BatchedPointReader):
         self.header = LasHeader(head)
         if self.header.is_compressed:
             self._file.close()
-            raise NotImplementedError(
-                "LAZ (laszip-compressed) input is not supported in this "
-                "build; decompress to .las first (e.g. `laszip -d`)"
+            raise ValueError(
+                "laszip-compressed file; use io.laz.LazPointReader "
+                "(open_las_or_laz dispatches automatically)"
             )
         self._dtype = _record_dtype(self.header)
         self._file.seek(self.header.point_data_offset)

@@ -19,7 +19,9 @@ log = logging.getLogger(__name__)
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 _NATIVE_DIR = _REPO_ROOT / "native"
 _SRC = _NATIVE_DIR / "pc_native.cpp"
-_SOURCES = [_SRC, _NATIVE_DIR / "pc_engine.cpp"]
+_SOURCES = [
+    _SRC, _NATIVE_DIR / "pc_engine.cpp", _NATIVE_DIR / "pc_laszip.cpp",
+]
 _HEADERS = [_NATIVE_DIR / "pc_hex.h"]
 _BUILD_DIR = Path(__file__).resolve().parent / "_build"
 _LIB = _BUILD_DIR / "libpcnative.so"
@@ -127,6 +129,26 @@ def load_native():
         lib.pc_engine_max_level.argtypes = [ctypes.c_void_p]
         lib.pc_engine_num_cells.restype = ctypes.c_int64
         lib.pc_engine_num_cells.argtypes = [ctypes.c_void_p]
+        lib.pc_laz_decompress_chunk.restype = ctypes.c_int64
+        lib.pc_laz_decompress_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.pc_laz_compress_chunk.restype = ctypes.c_int64
+        lib.pc_laz_compress_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.pc_laz_decompress_chunk_table.restype = ctypes.c_int64
+        lib.pc_laz_decompress_chunk_table.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.pc_laz_compress_chunk_table.restype = ctypes.c_int64
+        lib.pc_laz_compress_chunk_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 

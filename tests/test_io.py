@@ -62,7 +62,10 @@ class TestLas:
         out = LasPointReader(path).get_batch(1)
         assert list(out.colors[0]) == [0xFF, 0x00, 0xCD, 255]
 
-    def test_laz_rejected(self, tmp_path):
+    def test_compressed_flag_routes_to_laz_reader(self, tmp_path):
+        # the plain LAS reader refuses compressed input (the dispatcher
+        # open_las_or_laz routes it to LazPointReader; tests/test_laz.py
+        # covers the actual decompression)
         batch = random_batch(1)
         path = tmp_path / "c.las"
         write_las(path, batch)
@@ -70,7 +73,7 @@ class TestLas:
         raw[104] |= 0x80  # laszip compression bit
         laz = tmp_path / "c.laz"
         laz.write_bytes(bytes(raw))
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             LasPointReader(laz)
 
 

@@ -1,0 +1,146 @@
+"""LAZ (laszip) codec tests: round-trips, reader parity with the .las
+twin, and store byte-identity through the converter (the VERDICT round-1
+'done' criterion for LAZ support)."""
+
+import shutil
+import struct
+
+import numpy as np
+import pytest
+
+from point_cloud_tpu.core.metadata import Metadata
+from point_cloud_tpu.core.point import PointBatch
+from point_cloud_tpu.io import get_batched_point_reader
+from point_cloud_tpu.io.las import write_las
+
+laz = pytest.importorskip("point_cloud_tpu.io.laz")
+
+try:
+    laz._native()
+except NotImplementedError:
+    pytest.skip("no C++ toolchain for the LAZ codec", allow_module_level=True)
+
+
+def cloud(n=30_000, seed=3):
+    rng = np.random.default_rng(seed)
+    pos = np.cumsum(
+        rng.uniform(-0.5, 0.5, (n, 3)), axis=0, dtype=np.float64
+    ).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+class TestLazRoundTrip:
+    @pytest.mark.parametrize("point_format", [0, 2])
+    def test_las_laz_las_identical(self, tmp_path, point_format):
+        batch = cloud()
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        las2 = tmp_path / "a2.las"
+        write_las(las, batch, point_format=point_format)
+        laz.convert_las_to_laz(las, laz_p)
+        laz.convert_laz_to_las(laz_p, las2)
+        assert las.read_bytes() == las2.read_bytes()
+
+    def test_compression_ratio(self, tmp_path):
+        batch = cloud()
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        write_las(las, batch, point_format=2)
+        laz.convert_las_to_laz(las, laz_p)
+        # coherent (random-walk) data must compress substantially
+        assert laz_p.stat().st_size < 0.7 * las.stat().st_size
+
+    def test_multi_chunk(self, tmp_path):
+        batch = cloud(n=12_000)
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        las2 = tmp_path / "a2.las"
+        write_las(las, batch, point_format=2)
+        laz.convert_las_to_laz(las, laz_p, chunk_size=1_000)  # 12 chunks
+        laz.convert_laz_to_las(laz_p, las2)
+        assert las.read_bytes() == las2.read_bytes()
+
+    def test_write_laz_direct(self, tmp_path):
+        batch = cloud(n=5_000)
+        laz_p = tmp_path / "d.laz"
+        laz.write_laz(laz_p, batch, point_format=2)
+        reader = get_batched_point_reader(laz_p)
+        got = PointBatch.concat(list(reader.batches(2_000)))
+        assert len(got) == len(batch)
+        np.testing.assert_array_equal(got.colors, batch.colors)
+        # positions pass through the i32-scale quantization like .las
+        assert np.allclose(got.positions, batch.positions, atol=0.002)
+
+
+class TestLazReader:
+    def test_reader_matches_las_twin(self, tmp_path):
+        batch = cloud()
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        write_las(las, batch, point_format=2)
+        laz.convert_las_to_laz(las, laz_p, chunk_size=7_000)
+
+        r_las = get_batched_point_reader(las)
+        r_laz = get_batched_point_reader(laz_p)
+        assert type(r_laz).__name__ == "LazPointReader"
+        assert r_las.total_points() == r_laz.total_points()
+        while r_las.remaining_points() > 0:
+            a = r_las.get_batch(4_096)
+            b = r_laz.get_batch(4_096)
+            np.testing.assert_array_equal(a.positions, b.positions)
+            np.testing.assert_array_equal(a.colors, b.colors)
+        assert r_laz.remaining_points() == 0
+
+    def test_header_decides_not_extension(self, tmp_path):
+        # a .laz-named file that is really uncompressed LAS still reads
+        batch = cloud(n=2_000)
+        las = tmp_path / "sneaky.laz"
+        write_las(las, batch, point_format=2)
+        reader = get_batched_point_reader(las)
+        assert type(reader).__name__ == "LasPointReader"
+        assert reader.total_points() == 2_000
+
+    def test_corrupt_chunk_raises(self, tmp_path):
+        batch = cloud(n=3_000)
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        write_las(las, batch, point_format=2)
+        laz.convert_las_to_laz(las, laz_p)
+        data = bytearray(laz_p.read_bytes())
+        data[-20:] = b"\xff" * 20  # clobber the chunk table
+        laz_p.write_bytes(bytes(data))
+        with pytest.raises((ValueError, NotImplementedError)):
+            reader = get_batched_point_reader(laz_p)
+            reader.get_batch(1_000)
+
+
+class TestLazConversionParity:
+    def test_store_byte_identical_to_las_twin(self, tmp_path):
+        """Converting the .laz must produce the exact store of its .las
+        twin (the round-1 VERDICT 'done' criterion)."""
+        from point_cloud_tpu.convert.converter import (
+            Converter, convert_from_paths, load_metadata,
+        )
+
+        batch = cloud(n=25_000, seed=11)
+        las = tmp_path / "cloud.las"
+        laz_p = tmp_path / "cloud.laz"
+        write_las(las, batch, point_format=2)
+        laz.convert_las_to_laz(las, laz_p, chunk_size=9_000)
+
+        out_las = tmp_path / "store_las"
+        out_laz = tmp_path / "store_laz"
+        convert_from_paths([las], out_las, batch_size=6_000)
+        convert_from_paths([laz_p], out_laz, batch_size=6_000)
+
+        files_a = sorted(p.relative_to(out_las)
+                         for p in out_las.rglob("*") if p.is_file())
+        files_b = sorted(p.relative_to(out_laz)
+                         for p in out_laz.rglob("*") if p.is_file())
+        assert files_a == files_b
+        for rel in files_a:
+            assert (out_las / rel).read_bytes() == (
+                out_laz / rel
+            ).read_bytes(), f"mismatch in {rel}"
