@@ -136,7 +136,9 @@ def bench_render_kernel(positions) -> float:
     import jax.numpy as jnp
 
     from point_cloud_tpu.render.camera import Camera
-    from point_cloud_tpu.render.kernel import MAX_HIERARCHIES, cull_lod_pass
+    from point_cloud_tpu.render.kernel import (
+        MAX_HIERARCHIES, build_loaded_cells_hash, cull_lod_pass,
+    )
 
     n = KERNEL_ROWS
     pos = jnp.asarray(positions[:n])
@@ -154,13 +156,13 @@ def bench_render_kernel(positions) -> float:
     table = np.unique(
         rng.integers(-4, 4, (5000, 4)).astype(np.int32), axis=0
     )
-    loaded = jnp.asarray(table)
+    loaded = jnp.asarray(build_loaded_cells_hash(table))
     fars = jnp.full(MAX_HIERARCHIES, 1e9, jnp.float32)
 
     def run():
         return cull_lod_pass(
             pos, hier, valid, view, proj, cam_pos, cell_sizes, spacings,
-            jnp.int32(6), loaded, fars, jnp.bool_(True), jnp.int32(5),
+            6, loaded, fars, jnp.bool_(True), jnp.int32(5),
         )
 
     def probe():  # scalar readback = the only true sync via the tunnel

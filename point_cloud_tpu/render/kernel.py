@@ -10,10 +10,11 @@ jitted XLA program processes *all* loaded points at once instead of one
 - LOD selection (compute.wgsl:85-155): walk from the point's own hierarchy
   toward finer ones while the containing finer cell is loaded; the WGSL
   per-thread binary search over the sorted loaded-cells buffer becomes a
-  *vectorized* lexicographic binary search (every point searches in
-  lock-step; log2(M) gather+compare rounds on the VPU); an optional
-  distance-based override promotes points to coarser hierarchies by
-  comparing camera distance against per-hierarchy streaming-frustum far
+  device *hash-table probe* (:func:`hash_member` — MAX_PROBE independent
+  gathers instead of log2(M) dependent rounds; 14x measured, PERF.md),
+  unrolled over the store's actual hierarchy count (static arg); an
+  optional distance-based override promotes points to coarser hierarchies
+  by comparing camera distance against per-hierarchy streaming-frustum far
   distances (compute.wgsl:88-96),
 - optional occlusion against a depth buffer (compute.wgsl:185-196): move
   the point toward the camera by its splat radius and keep it if it is not
@@ -47,9 +48,97 @@ def _lex_less(row_a, row_b):
     )
 
 
+# --- loaded-cell membership: device hash table --------------------------
+#
+# The WGSL walks a sorted buffer with a per-thread binary search
+# (compute.wgsl:127-155) — ~13 dependent gather rounds on TPU. The
+# TPU-native structure is an open-addressing hash table: the host builds
+# it once per loaded-set change, the kernel probes with MAX_PROBE
+# independent gathers (exact: every probe compares the full key row).
+
+HASH_EMPTY = np.int32(np.iinfo(np.int32).min)  # sentinel row value
+MAX_PROBE = 4  # bounded by construction (builder grows until it fits)
+
+_HC1 = np.uint32(0x9E3779B1)
+_HC2 = np.uint32(0x85EBCA77)
+_HC3 = np.uint32(0xC2B2AE3D)
+
+
+def _hash_rows_np(rows: np.ndarray) -> np.ndarray:
+    """uint32 hash of (M, 4) int32 rows (NumPy side, wraparound)."""
+    h = np.uint32(0x1000193)
+    out = np.full(len(rows), h, np.uint32)
+    for i in range(4):
+        out = (out ^ (rows[:, i].astype(np.uint32) * _HC1)) * _HC2
+        out ^= out >> np.uint32(15)
+    out *= _HC3
+    return out ^ (out >> np.uint32(13))
+
+
+def _hash_rows_jnp(rows):
+    """jnp mirror of :func:`_hash_rows_np` (same wraparound math)."""
+    out = jnp.full(rows.shape[:-1], 0x1000193, jnp.uint32)
+    for i in range(4):
+        out = (out ^ (rows[..., i].astype(jnp.uint32) * _HC1)) * _HC2
+        out = out ^ (out >> 15)
+    out = out * _HC3
+    return out ^ (out >> 13)
+
+
+def build_loaded_cells_hash(table: np.ndarray) -> np.ndarray:
+    """Open-addressing table of (h, x, y, z) rows -> (M2, 4) i32 array.
+
+    M2 is a power of two >= 2*M; linear probing with displacement bounded
+    by MAX_PROBE (the table grows until every key fits). Empty slots hold
+    HASH_EMPTY rows, which can never equal a real probe target (targets
+    carry h >= 1).
+    """
+    rows = np.asarray(table, np.int32).reshape(-1, 4)
+    m2 = 256
+    while m2 < 2 * max(len(rows), 1):
+        m2 *= 2
+    while True:
+        slots = np.full((m2, 4), HASH_EMPTY, np.int32)
+        used = np.zeros(m2, bool)
+        ok = True
+        base = (_hash_rows_np(rows) & np.uint32(m2 - 1)).astype(np.int64)
+        for row, b in zip(rows, base):
+            placed = False
+            for step in range(MAX_PROBE):
+                j = (b + step) & (m2 - 1)
+                if not used[j]:
+                    slots[j] = row
+                    used[j] = True
+                    placed = True
+                    break
+            if not placed:
+                ok = False
+                break
+        if ok:
+            return slots
+        m2 *= 2
+
+
+def hash_member(hash_table, targets):
+    """Exact membership of (N, 4) i32 target rows in a hash table built by
+    :func:`build_loaded_cells_hash` (MAX_PROBE independent gathers)."""
+    m2 = hash_table.shape[0]
+    base = _hash_rows_jnp(targets) & jnp.uint32(m2 - 1)
+    base = base.astype(jnp.int32)
+    found = jnp.zeros(targets.shape[0], bool)
+    for step in range(MAX_PROBE):
+        rows = hash_table[(base + step) & (m2 - 1)]
+        found = found | jnp.all(rows == targets, axis=-1)
+    return found
+
+
 def loaded_cells_member(table, targets):
     """Vectorized membership of (N, 4) target rows in a row-sorted (M, 4)
-    table: lock-step lexicographic binary search (compute.wgsl:127-155)."""
+    table: lock-step lexicographic binary search (compute.wgsl:127-155).
+
+    Kept as the oracle-shaped reference implementation (tests compare it
+    against the WGSL semantics); the frame kernel uses :func:`hash_member`.
+    """
     m = table.shape[0]
     n = targets.shape[0]
     if m == 0:
@@ -78,7 +167,7 @@ def _cell_index(position, cell_size):
 
 @partial(
     jax.jit,
-    static_argnames=("use_occlusion",),
+    static_argnames=("num_hierarchies", "use_occlusion"),
 )
 def cull_lod_pass(
     positions,  # (N, 3) f32
@@ -89,15 +178,20 @@ def cull_lod_pass(
     cam_pos,  # (3,) f32
     cell_sizes,  # (MAX_HIERARCHIES,) f32 per-hierarchy cell size
     spacings,  # (MAX_HIERARCHIES,) f32 per-hierarchy splat radius
-    num_hierarchies,  # i32 scalar
-    loaded_cells,  # (M, 4) i32 row-sorted loaded-cell (h, x, y, z) table
+    num_hierarchies,  # static int: hierarchy count of the active store
+    loaded_cells,  # (M2, 4) i32 hash table (build_loaded_cells_hash)
     far_distances,  # (MAX_HIERARCHIES,) f32 streaming-frustum far distances
     size_by_distance,  # bool scalar
     max_hierarchy,  # i32 scalar (distance-override coarsest hierarchy)
     depth=None,  # (H, W) f32 depth buffer, required if use_occlusion
     use_occlusion: bool = False,
 ):
-    """Returns (visible (N,) bool, hierarchy (N,) i32, ndc (N, 3) f32)."""
+    """Returns (visible (N,) bool, hierarchy (N,) i32, ndc (N, 3) f32).
+
+    ``num_hierarchies`` is static: the LOD walk unrolls exactly that many
+    levels (a store has one fixed count, so this costs one compile per
+    store instead of a 24-level unroll for every frame).
+    """
     n = positions.shape[0]
     ones = jnp.ones((n, 1), jnp.float32)
     hpos = jnp.concatenate([positions, ones], axis=1)  # (N, 4)
@@ -118,12 +212,12 @@ def cull_lod_pass(
     own = jnp.minimum(point_hierarchy, last)
     result = own
     alive = jnp.ones(n, bool)
-    for h in range(1, MAX_HIERARCHIES):
+    for h in range(1, num_hierarchies):
         idx = _cell_index(positions, cell_sizes[h])
         target = jnp.concatenate(
             [jnp.full((n, 1), h, jnp.int32), idx], axis=1
         )
-        found = loaded_cells_member(loaded_cells, target)
+        found = hash_member(loaded_cells, target)
         relevant = (h > own) & (h <= last)
         alive = jnp.where(relevant, alive & found, alive)
         step = relevant & alive
