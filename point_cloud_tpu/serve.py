@@ -115,32 +115,63 @@ def make_handler(server: StoreServer):
             url = urlparse(self.path)
             path = url.path.lstrip("/")
             if path in ("", "index.html"):
+                # the interactive client (reference: index.html + the
+                # WASM viewer; here orbit/zoom drive /render server-side)
+                page = (
+                    Path(__file__).parent / "viewer" / "client.html"
+                ).read_bytes()
+                self._send(200, page, "text/html; charset=utf-8")
+                return
+            if path == "stats":
                 stats = {
                     "name": server.metadata.name,
                     "number_of_points": server.metadata.number_of_points,
                     "hierarchies": server.metadata.hierarchies,
+                    "auto_distance": float(
+                        np.linalg.norm(
+                            server.metadata.bounding_box.extends()
+                        ) * 2.0
+                    ),
                     "endpoints": ["/metadata.json", "/h_<n>/c_x_y_z.bin",
-                                   "/render?yaw=&pitch=&dist="],
+                                   "/render?yaw=&pitch=&dist=", "/stats"],
                 }
                 self._send(200, json.dumps(stats).encode(), "application/json")
                 return
             if path == "render":
                 q = parse_qs(url.query)
                 try:
+                    yaw = float(q.get("yaw", ["0"])[0])
+                    pitch = float(q.get("pitch", ["-0.4"])[0])
+                    dist = float(q["dist"][0]) if "dist" in q else None
+                    voronoi = (
+                        q["voronoi"][0] not in ("0", "false")
+                        if "voronoi" in q
+                        else None
+                    )
+                except (ValueError, IndexError) as err:
+                    self._send(400, f"bad camera parameter: {err}".encode(),
+                               "text/plain")
+                    return
+                try:
                     png = server.render_png(
-                        yaw=float(q.get("yaw", ["0"])[0]),
-                        pitch=float(q.get("pitch", ["-0.4"])[0]),
-                        dist=float(q["dist"][0]) if "dist" in q else None,
-                        voronoi=(
-                            q["voronoi"][0] not in ("0", "false")
-                            if "voronoi" in q
-                            else None
-                        ),
+                        yaw=yaw, pitch=pitch, dist=dist, voronoi=voronoi
                     )
                 except Exception as err:  # pragma: no cover - defensive
                     self._send(500, str(err).encode(), "text/plain")
                     return
-                self._send(200, png, "image/png")
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.send_header("Access-Control-Allow-Origin", "*")
+                # camera round-trip echo (clients + tests confirm what
+                # the server actually rendered)
+                self.send_header(
+                    "X-Camera",
+                    f"yaw={yaw} pitch={pitch} "
+                    f"dist={'auto' if dist is None else dist}",
+                )
+                self.end_headers()
+                self.wfile.write(png)
                 return
             # static store files, escape-safe
             rel = Path(path)

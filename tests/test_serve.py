@@ -95,3 +95,48 @@ class TestStoreServer:
         rgb, depth, _ = viewer.render()
         assert (depth < 1.0).sum() > 0
         viewer.close()
+
+
+class TestBrowserClient:
+    def test_index_serves_interactive_page(self, server):
+        status, body = get(f"{server}/")
+        assert status == 200
+        text = body.decode()
+        assert "point-cloud-tpu viewer" in text
+        assert "/render?" in text          # the page drives the render API
+        assert "pointerdown" in text       # mouse orbit wiring
+        assert "wheel" in text             # zoom wiring
+        assert "/stats" in text            # stats panel data source
+
+    def test_stats_endpoint(self, server):
+        import json
+
+        status, body = get(f"{server}/stats")
+        assert status == 200
+        stats = json.loads(body)
+        assert stats["number_of_points"] == 15_000
+        assert stats["hierarchies"] >= 1
+        assert stats["auto_distance"] > 0
+
+    def test_camera_params_round_trip(self, server):
+        import urllib.request
+
+        url = f"{server}/render?yaw=1.25&pitch=-0.5&dist=77.5"
+        with urllib.request.urlopen(url, timeout=180) as resp:
+            assert resp.status == 200
+            echo = resp.headers["X-Camera"]
+            body = resp.read()
+        assert echo == "yaw=1.25 pitch=-0.5 dist=77.5"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_bad_camera_param_is_400(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{server}/render?yaw=sideways")
+        assert err.value.code == 400
+
+    def test_different_angles_differ(self, server):
+        _, a = get(f"{server}/render?yaw=0.3&pitch=-0.4")
+        _, b = get(f"{server}/render?yaw=2.4&pitch=-0.2")
+        assert a != b
