@@ -10,9 +10,16 @@ new TPU-era architecture for pod-scale builds (BASELINE config 5):
    destination, which the incremental-merge contract already defines
    (reference: point-converter/src/lib.rs:86-101 — the same mechanism that
    makes conversion resumable),
-3. the destination store is byte-for-byte a store the single-host pipeline
-   could have produced (same winner rules; only the arrival order of
-   merged points differs, which the dedup rules tolerate by design).
+3. the destination store obeys exactly the single-host pipeline's rules
+   (hex-dedup winners, overflow accounting, codec) and holds exactly the
+   union point multiset of its inputs — tested in
+   tests/test_multihost.py::test_merged_points_equal_single_host.
+   It is NOT generally byte-identical to a from-scratch single-host
+   conversion of the original files: overflow groups flush when a
+   *batch* pushes them over the limit, so different shard boundaries
+   buffer different tails (the reference's own incremental merge has the
+   same property, lib.rs:86-101 — merging is arrival-order-dependent by
+   design).
 
 On a real multi-host pod the per-host converter is MeshConverter over the
 host's local mesh (jax.distributed handles process groups); the merge step

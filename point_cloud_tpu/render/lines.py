@@ -67,6 +67,43 @@ def frustum_lines(frustum) -> np.ndarray:
     return np.asarray(segs, np.float32)
 
 
+def frustum_normal_lines(frustum, length: float | None = None) -> np.ndarray:
+    """One segment per frustum plane, from the face center along the
+    plane normal (src/plugins/debug.rs:115-202's normal arrows).
+
+    Plane order matches Frustum.planes: near, far, top, bottom, left,
+    right; default length scales with the frustum's depth.
+    """
+    near, far = frustum.near, frustum.far
+    tl_n, tr_n, bl_n, br_n = near
+    tl_f, tr_f, bl_f, br_f = far
+    faces = [
+        near,                      # near
+        far,                       # far
+        (tl_n, tr_n, tl_f, tr_f),  # top
+        (bl_n, br_n, bl_f, br_f),  # bottom
+        (tl_n, bl_n, tl_f, bl_f),  # left
+        (tr_n, br_n, tr_f, br_f),  # right
+    ]
+    if length is None:
+        depth = float(np.linalg.norm(np.mean(far, 0) - np.mean(near, 0)))
+        length = max(depth * 0.1, 1.0)
+    segs = []
+    for face, plane in zip(faces, frustum.planes):
+        center = np.mean(np.asarray(face, np.float32), axis=0)
+        segs.append([center, center + plane[:3] * np.float32(length)])
+    return np.asarray(segs, np.float32)
+
+
+def far_plane_rect(frustum) -> np.ndarray:
+    """The far-plane rectangle of a (streaming) frustum
+    (src/plugins/debug.rs:306-342 draws one per hierarchy)."""
+    tl, tr, bl, br = frustum.far
+    return np.asarray(
+        [[tl, tr], [tr, br], [br, bl], [bl, tl]], np.float32
+    )
+
+
 def rasterize_lines(
     image: np.ndarray,
     segments: np.ndarray,

@@ -60,7 +60,10 @@ class DebugSettings:
 
     show_bounding_box: bool = False
     show_frustum: bool = False
+    show_plane_normals: bool = False  # normal arrows (debug.rs:115-202)
     show_cell_grid: bool = False
+    # per-hierarchy streaming-frustum far-plane rectangles (debug.rs:306-342)
+    show_streaming_rects: bool = False
     frozen_frustum: object = None  # captured frustum wireframe
 
 
@@ -266,7 +269,9 @@ class Viewer:
         if (
             self.debug.show_bounding_box
             or self.debug.show_frustum
+            or self.debug.show_plane_normals
             or self.debug.show_cell_grid
+            or self.debug.show_streaming_rects
         ):
             rgb = np.array(rgb)  # writable copy for line overlays
         vp = self.camera.view_projection_matrix()
@@ -280,6 +285,28 @@ class Viewer:
                 rgb, frustum_lines(self.debug.frozen_frustum),
                 (1.0, 0.2, 0.2), vp,
             )
+        if (
+            self.debug.show_plane_normals
+            and self.debug.frozen_frustum is not None
+        ):
+            from ..render.lines import frustum_normal_lines
+
+            rasterize_lines(
+                rgb, frustum_normal_lines(self.debug.frozen_frustum),
+                (0.2, 1.0, 0.2), vp,
+            )
+        if self.debug.show_streaming_rects:
+            from ..render.lines import far_plane_rect
+
+            for h, frustum in enumerate(self._frustums):
+                # hue walk per hierarchy, like the reference's distinct
+                # per-hierarchy rectangles (debug.rs:306-342)
+                color = (
+                    0.3 + 0.7 * ((h * 53) % 97) / 97.0,
+                    0.9 - 0.6 * (h % 4) / 3.0 if h % 4 else 0.9,
+                    0.35 + 0.65 * ((h * 29) % 89) / 89.0,
+                )
+                rasterize_lines(rgb, far_plane_rect(frustum), color, vp)
         if self.debug.show_cell_grid:
             for cell_id in self.streamer.loaded:
                 size = self.metadata.config.cell_size(cell_id.hierarchy)

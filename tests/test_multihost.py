@@ -85,3 +85,62 @@ class TestMultiHost:
         metadata, total = store_point_count(dest)
         assert metadata.number_of_points == 3_000
         assert total == 3_000
+
+    def test_merged_points_equal_single_host(self, tmp_path):
+        """The merged store holds exactly the point multiset a single-host
+        conversion of the same files produces (byte-identity of the stores
+        is NOT expected — overflow flush timing is batch-dependent; see
+        parallel/multihost.py docstring)."""
+        from point_cloud_tpu.convert.converter import convert_from_paths
+
+        batches = [random_batch(2_500, seed=80 + i) for i in range(4)]
+        files = []
+        for i, b in enumerate(batches):
+            f = tmp_path / f"cloud{i}.ply"
+            write_ply(f, b)
+            files.append(f)
+
+        # 2-worker shard + merge
+        staging = tmp_path / "staging"
+        stores = [
+            convert_sharded(files, staging, w, 2, batch_size=2_000)
+            for w in range(2)
+        ]
+        merged = tmp_path / "merged"
+        merge_stores(stores, merged, batch_size=2_000)
+
+        # single-host conversion of the same files
+        single = tmp_path / "single"
+        convert_from_paths(files, single, batch_size=2_000)
+
+        def point_multiset(store):
+            metadata = Metadata.from_path(store / "metadata.json")
+            recs = []
+            for h in range(metadata.hierarchies):
+                hdir = store / f"h_{h}"
+                if not hdir.exists():
+                    continue
+                for p in sorted(hdir.iterdir()):
+                    pts = Cell.from_path(p).all_points()
+                    recs.append(np.concatenate(
+                        [pts.positions.view(np.uint8).reshape(len(pts), 12),
+                         pts.colors], axis=1
+                    ))
+            allr = np.concatenate(recs)
+            order = np.lexsort(tuple(allr[:, i] for i in range(15, -1, -1)))
+            return allr[order]
+
+        a = point_multiset(merged)
+        b = point_multiset(single)
+        assert len(a) == len(b) == 10_000
+        np.testing.assert_array_equal(a, b)
+
+        ma = Metadata.from_path(merged / "metadata.json")
+        mb = Metadata.from_path(single / "metadata.json")
+        assert ma.number_of_points == mb.number_of_points
+        np.testing.assert_array_equal(
+            ma.bounding_box.min, mb.bounding_box.min
+        )
+        np.testing.assert_array_equal(
+            ma.bounding_box.max, mb.bounding_box.max
+        )

@@ -101,6 +101,29 @@ class TestViewer:
         assert rgb.shape == (64, 64, 3)
         viewer.close()
 
+    def test_plane_normals_and_streaming_rects_render(self, tmp_path):
+        """The two round-1 debug stragglers: frustum plane normals
+        (debug.rs:115-202) and streaming-frustum far-plane rectangles
+        (debug.rs:306-342) must both change the frame when toggled."""
+        make_store(tmp_path)
+        viewer = Viewer(RenderSettings(width=96, height=96))
+        viewer.load_metadata(tmp_path / "metadata.json")
+        pump(viewer)
+        base, _, _ = viewer.render()
+
+        viewer.freeze_frustum()
+        viewer.debug.show_frustum = False  # isolate the normals toggle
+        viewer.debug.show_plane_normals = True
+        with_normals, _, _ = viewer.render()
+        assert not np.array_equal(base, with_normals)
+
+        viewer.debug.show_plane_normals = False
+        viewer.debug.show_streaming_rects = True
+        with_rects, _, _ = viewer.render()
+        assert not np.array_equal(base, with_rects)
+        assert not np.array_equal(with_normals, with_rects)
+        viewer.close()
+
     def test_stats_shape(self, tmp_path):
         viewer = Viewer(RenderSettings(width=32, height=32))
         viewer.update()
