@@ -38,6 +38,7 @@ import statistics
 import sys
 import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -180,6 +181,72 @@ def bench_render_kernel(positions) -> float:
     return n / dt / 1e6
 
 
+def bench_render_fps(positions, colors) -> float:
+    """End-to-end frames/s over an animated camera path (BASELINE
+    config 4): streamed store -> cull+LOD -> splat raster -> resolved
+    RGB on the host, 640x480, orbiting camera."""
+    import math
+
+    from point_cloud_tpu.convert.native import NativeConverter
+    from point_cloud_tpu.core.cell import Cell
+    from point_cloud_tpu.core.metadata import Metadata
+    from point_cloud_tpu.core.point import PointBatch
+    from point_cloud_tpu.render.camera import Camera
+    from point_cloud_tpu.render.frustums import update_streaming_frustums
+    from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+    from point_cloud_tpu.render.streaming import CellStreamer
+
+    n = 1 << 19
+    out_dir = tempfile.mkdtemp(prefix="pct_bench_render_")
+    try:
+        metadata = Metadata()
+        with NativeConverter(metadata, out_dir) as conv:
+            conv.add_points_batch(PointBatch(positions[:n], colors[:n]))
+
+        store = Path(out_dir)
+
+        def loader(cell_id):
+            path = store / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        streamer = CellStreamer(metadata, loader=loader)
+        renderer = PointRenderer(metadata, RenderSettings(
+            width=640, height=480, occlusion=True,
+        ))
+
+        def frame(yaw: float):
+            cam = Camera()
+            cam.projection.far = float(metadata.config.max_cell_size * 5.0)
+            bbox = metadata.bounding_box
+            center = bbox.center()
+            d = float(np.linalg.norm(bbox.extends())) * 1.5
+            cam.transform.translation = (center + np.array(
+                [d * math.cos(yaw), d * math.sin(yaw), d * 0.45], np.float32
+            )).astype(np.float32)
+            cam.transform.look_at(
+                center, np.array([0.0, 0.0, 1.0], np.float32)
+            )
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(10_000):
+                if not streamer.fill_load_slots():
+                    break
+            return renderer.render(streamer, cam, frustums)
+
+        frame(0.0)  # compile + first streaming
+        frame(0.3)
+        reps = 6
+        t0 = time.perf_counter()
+        for i in range(reps):
+            frame(0.5 + i * 0.35)  # the camera orbits; loaded set shifts
+        dt = (time.perf_counter() - t0) / reps
+        return 1.0 / dt
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def bench_tunnel_pipeline(positions, colors) -> float:
     """Device-backed end-to-end conversion through the host<->TPU link
     (BENCH_r01's configuration), 1 Mi points."""
@@ -205,6 +272,7 @@ def main() -> None:
     for name, fn, args in (
         ("device_dedup_sort_mpts", bench_device_sort, (positions,)),
         ("render_cull_lod_mpts", bench_render_kernel, (positions,)),
+        ("render_fps_640x480", bench_render_fps, (positions, colors)),
         ("tunnel_pipeline_mpts", bench_tunnel_pipeline, (positions, colors)),
     ):
         try:

@@ -13,14 +13,18 @@ exchange ``roll by d`` decomposes into a sublane (row) roll for the
 (all shifts static, so each lowers to a cheap vector shift).
 
 STATUS — experimental, off by default (PCT_SORT=pallas to opt in).
-Measured on the round-1 v5e: correct at every size, but Mosaic compile of
-the unrolled network takes ~60-90 s per shape and the compiled kernel ran
-far slower than the lax-loop version on this libtpu (the dominant cost
-appeared in the per-substage full-array selects). The lax-loop bitonic
-(ops/bitonic.py, ~2 s compile / ~30 ms run at 2^18) remains the default;
-this kernel is kept as the starting point for a tiled Pallas sort (and it
-documents a Mosaic pitfall: selects with i1-valued branches crash this
-libtpu's compiler — use boolean algebra).
+Round-2 measurement on the v5e (PERF.md): at 2^14 rows the first call
+takes 131 s (Mosaic compile happens server-side through the tunnel) and
+steady state runs 250 ms — the lax-loop bitonic sorts 16x the rows in
+~30 ms, i.e. this kernel is ~130x slower per element. The per-substage
+full-array compare/roll/select path is the bottleneck, so a *tiled*
+variant assembled from the same substages cannot close the gap; closing
+it needs a different algorithm inside the tile (e.g. a rank-based
+counting merge or per-lane sorting networks over registers). Until then
+the lax-loop bitonic (ops/bitonic.py, ~2 s compile / ~30 ms at 2^18)
+remains the default. Kept for the record plus a Mosaic pitfall it
+documents: selects with i1-valued branches crash this libtpu's compiler
+— use boolean algebra.
 """
 
 from __future__ import annotations

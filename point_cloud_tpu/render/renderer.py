@@ -38,7 +38,7 @@ class RenderSettings:
     size_by_distance: bool = False  # FrustumsSettings (cell/shader.rs:173-195)
     max_hierarchy: int = 0
     occlusion: bool = True
-    footprint: int = 9
+    footprint: int = 5  # splat.py DEFAULT_FOOTPRINT rationale
     # per-hierarchy visibility toggles (debug plugin, src/plugins/debug.rs:344-371)
     hidden_hierarchies: set = field(default_factory=set)
 
@@ -80,6 +80,66 @@ class PointRenderer:
         cells.sort(key=lambda c: (c[0], c[1]))
         return cells
 
+    def _bucket_device_arrays(self, bucket_cells):
+        """Device-resident (positions, hierarchy, valid, colors, n_real)
+        for one bucket of cells, padded to a pow2 row count.
+
+        The reference uploads each cell's points to a GPU vertex buffer
+        once when it loads (cell/shader.rs:23-132) and per frame only
+        binds buffers; the XLA analogue caches the padded device arrays
+        keyed by the bucket's cell-id tuple, so an orbiting camera costs
+        zero host->device point traffic until the loaded set changes.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.dedup import pad_to_bucket
+
+        key = tuple(c[2] for c in bucket_cells)
+        cache = getattr(self, "_bucket_cache", None)
+        if cache is None:
+            cache = self._bucket_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+
+        pos_chunks, hier_chunks, col_chunks = [], [], []
+        for _, _, cell_id, pts in bucket_cells:
+            pos_chunks.append(pts.positions)
+            col_chunks.append(pts.colors)
+            hier_chunks.append(
+                np.full(len(pts), cell_id.hierarchy, np.int32)
+            )
+        positions = np.concatenate(pos_chunks)
+        colors = np.concatenate(col_chunks)
+        point_hier = np.concatenate(hier_chunks)
+        n_real = len(positions)
+        # pad to pow2 buckets: per-frame point counts vary every frame
+        # and each unique shape would recompile the kernels (~seconds
+        # on TPU); the valid mask drops the padding
+        n = pad_to_bucket(max(n_real, 1), minimum=1 << 12)
+        if n != n_real:
+            positions = np.concatenate(
+                [positions, np.zeros((n - n_real, 3), np.float32)]
+            )
+            point_hier = np.concatenate(
+                [point_hier, np.zeros(n - n_real, np.int32)]
+            )
+        valid = np.zeros(n, bool)
+        valid[:n_real] = True
+
+        entry = (
+            jnp.asarray(positions),
+            jnp.asarray(point_hier),
+            jnp.asarray(valid),
+            colors,
+            n_real,
+        )
+        # bound stale buckets (old camera distances, despawned cells)
+        if len(cache) > 64:
+            cache.pop(next(iter(cache)))
+        cache[key] = entry
+        return entry
+
     def render(self, streamer: CellStreamer, camera: Camera,
                streaming_frustums=None, paused: bool = False):
         """Returns (rgb (H,W,3) f32, depth (H,W) f32, stats dict)."""
@@ -95,10 +155,17 @@ class PointRenderer:
         # only when the loaded set changes
         from .kernel import build_loaded_cells_hash
 
+        import jax.numpy as jnp
+
         table_key = loaded_table.tobytes()
         cached = getattr(self, "_hash_cache", None)
         if cached is None or cached[0] != table_key:
-            cached = (table_key, build_loaded_cells_hash(loaded_table))
+            # device-resident: re-uploading the table per frame would cost
+            # a host->device transfer per bucket
+            cached = (
+                table_key,
+                jnp.asarray(build_loaded_cells_hash(loaded_table)),
+            )
             self._hash_cache = cached
         loaded_hash = cached[1]
 
@@ -123,35 +190,15 @@ class PointRenderer:
 
         while i < len(cells):
             bucket = cells[i][0]
-            pos_chunks, hier_chunks, col_chunks = [], [], []
+            bucket_cells = []
             while i < len(cells) and cells[i][0] == bucket:
-                _, _, cell_id, pts = cells[i]
-                pos_chunks.append(pts.positions)
-                col_chunks.append(pts.colors)
-                hier_chunks.append(
-                    np.full(len(pts), cell_id.hierarchy, np.int32)
-                )
+                bucket_cells.append(cells[i])
                 i += 1
-            positions = np.concatenate(pos_chunks)
-            colors = np.concatenate(col_chunks)
-            point_hier = np.concatenate(hier_chunks)
-            n_real = len(positions)
+            pos_dev, hier_dev, valid_dev, colors, n_real = (
+                self._bucket_device_arrays(bucket_cells)
+            )
+            n = pos_dev.shape[0]
             total_in += n_real
-            # pad to pow2 buckets: per-frame point counts vary every frame
-            # and each unique shape would recompile the kernels (~seconds
-            # on TPU); the valid mask drops the padding
-            from ..ops.dedup import pad_to_bucket
-
-            n = pad_to_bucket(max(n_real, 1), minimum=1 << 12)
-            if n != n_real:
-                positions = np.concatenate(
-                    [positions, np.zeros((n - n_real, 3), np.float32)]
-                )
-                point_hier = np.concatenate(
-                    [point_hier, np.zeros(n - n_real, np.int32)]
-                )
-            valid = np.zeros(n, bool)
-            valid[:n_real] = True
 
             use_occ = s.occlusion and not paused
             depth_now = (
@@ -160,20 +207,19 @@ class PointRenderer:
                 else None
             )
 
-            pos_dev = jnp.asarray(positions)
             spacings_dev = jnp.asarray(spacings)
             view_dev = jnp.asarray(view, jnp.float32)
             keep, hierarchy, ndc = cull_lod_pass(
                 pos_dev,
-                jnp.asarray(point_hier),
-                jnp.asarray(valid),
+                hier_dev,
+                valid_dev,
                 view_dev,
                 jnp.asarray(proj),
                 jnp.asarray(cam_pos),
                 jnp.asarray(sizes),
                 spacings_dev,
                 max(int(self.metadata.hierarchies), 1),
-                jnp.asarray(loaded_hash),
+                loaded_hash,
                 jnp.asarray(far_distances),
                 jnp.bool_(s.size_by_distance),
                 jnp.int32(s.max_hierarchy),

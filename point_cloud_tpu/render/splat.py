@@ -33,7 +33,13 @@ import numpy as np
 
 CLEAR_COLOR = (0.16, 0.16, 0.16)  # wgpu.rs:310-316
 CLEAR_DEPTH = 1.0
-DEFAULT_FOOTPRINT = 9  # static KxK fragment window per splat
+# static KxK fragment window per splat. Each fragment costs ~30 ns in the
+# XLA scatter-min (PERF.md), so the footprint is the raster knob: 5 covers
+# splats up to 2 px radius at 25 frags/pt; 9 covers 4 px at 81 frags/pt
+# (3.5x slower). Splats larger than the window render clipped — the
+# scatter rasterizer's documented divergence from the reference's
+# billboard-quad hardware rasterization (render.wgsl:70-95).
+DEFAULT_FOOTPRINT = 5
 
 _NO_ID = np.int32(2**31 - 1)
 
