@@ -846,7 +846,10 @@ class Engine {
                     std::to_string(c.idx[0]) + "_" +
                     std::to_string(c.idx[1]) + "_" +
                     std::to_string(c.idx[2]) + ".bin";
-                const std::string tmp = path + ".tmp";
+                // unique temp per write (see pc_native.cpp write_file)
+                static std::atomic<uint64_t> save_seq{0};
+                const std::string tmp =
+                    path + ".tmp" + std::to_string(save_seq.fetch_add(1));
                 FILE* f = std::fopen(tmp.c_str(), "wb");
                 bool ok = f != nullptr;
                 if (ok && !buf.empty()) {

@@ -113,8 +113,14 @@ class Pool {
     static bool write_file(const WriteJob& job) {
         // write to a sibling temp file + rename: readers never observe a
         // partially written cell (the converter's crash-resume contract —
-        // the store itself is the checkpoint, SURVEY.md section 5)
-        std::string tmp = job.path + ".tmp";
+        // the store itself is the checkpoint, SURVEY.md section 5).
+        // The temp name is per-job unique: two in-flight writes to the
+        // same path must not share a temp file (one would rename the
+        // other's half-written bytes away — caught by the TSAN stress
+        // harness, native/pc_stress_test.cpp)
+        static std::atomic<uint64_t> job_seq{0};
+        std::string tmp = job.path + ".tmp" +
+                          std::to_string(job_seq.fetch_add(1));
         FILE* f = std::fopen(tmp.c_str(), "wb");
         if (f == nullptr) return false;
         bool ok = true;

@@ -98,7 +98,50 @@ class StoreServer:
             return buf.getvalue()
 
 
-def make_handler(server: StoreServer):
+class StoreRegistry:
+    """One or many stores under a root directory.
+
+    The reference picks a store with a native file dialog / web directory
+    picker (src/plugins/metadata.rs:395-491); the server equivalent: point
+    it at a directory of stores and the browser client offers a picker
+    (`/stores` lists them, `/s/<name>/...` scopes every endpoint).
+    """
+
+    def __init__(self, root, width=640, height=480):
+        self.root = Path(root)
+        self._width, self._height = width, height
+        self._servers: dict[str, StoreServer] = {}
+        if (self.root / "metadata.json").exists():
+            self.names = [self.root.name or "store"]
+            self._dirs = {self.names[0]: self.root}
+        else:
+            self._dirs = {
+                p.name: p
+                for p in sorted(self.root.iterdir())
+                if (p / "metadata.json").exists()
+            }
+            self.names = list(self._dirs)
+            if not self.names:
+                raise FileNotFoundError(
+                    f"{self.root} holds no store (no metadata.json in it "
+                    "or any child directory)"
+                )
+
+    @property
+    def default(self) -> str:
+        return self.names[0]
+
+    def get(self, name: str) -> "StoreServer | None":
+        if name not in self._dirs:
+            return None
+        if name not in self._servers:
+            self._servers[name] = StoreServer(
+                self._dirs[name], width=self._width, height=self._height
+            )
+        return self._servers[name]
+
+
+def make_handler(registry: StoreRegistry):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -114,6 +157,29 @@ def make_handler(server: StoreServer):
         def do_GET(self):
             url = urlparse(self.path)
             path = url.path.lstrip("/")
+            if path == "stores":
+                self._send(
+                    200,
+                    json.dumps(
+                        {"stores": registry.names,
+                         "default": registry.default}
+                    ).encode(),
+                    "application/json",
+                )
+                return
+            # store-scoped endpoints: /s/<name>/<rest>
+            store_name = registry.default
+            if path.startswith("s/"):
+                parts = path.split("/", 2)
+                if len(parts) < 3:
+                    self._send(404, b"not found", "text/plain")
+                    return
+                store_name, path = parts[1], parts[2]
+            server = registry.get(store_name)
+            if server is None:
+                self._send(404, f"no store {store_name!r}".encode(),
+                           "text/plain")
+                return
             if path in ("", "index.html"):
                 # the interactive client (reference: index.html + the
                 # WASM viewer; here orbit/zoom drive /render server-side)
@@ -192,9 +258,13 @@ def make_handler(server: StoreServer):
 
 
 def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480):
-    """Build and return the HTTP server (call serve_forever on it)."""
-    server = StoreServer(store_dir, width=width, height=height)
-    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    """Build and return the HTTP server (call serve_forever on it).
+
+    ``store_dir`` may be one store (holds metadata.json) or a directory
+    of stores (each child with a metadata.json gets served under
+    ``/s/<name>/`` and the browser client shows a picker)."""
+    registry = StoreRegistry(store_dir, width=width, height=height)
+    httpd = ThreadingHTTPServer((host, port), make_handler(registry))
     return httpd
 
 

@@ -127,6 +127,12 @@ class AssetManager(Generic[Id, T]):
 
         self._pool.execute(job)
 
+    def has_completions(self) -> bool:
+        """True if finished loads await :meth:`poll_events` (cheap probe;
+        callers may yield the GIL when loads are in flight but nothing has
+        completed — see viewer/app.py update step 2)."""
+        return bool(self._completions)
+
     def poll_events(self) -> list[AssetEvent[Id]]:
         """Drain completions into stored assets + events (call per frame)."""
         with self._lock:

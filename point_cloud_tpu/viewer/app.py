@@ -205,6 +205,13 @@ class Viewer:
         self.camera.transform = self.fly_cam.transform
 
         # 2. receive loaded cells (cell.rs:256-341)
+        if self.streamer.loading and not self.cell_assets.has_completions():
+            # a zero-delay update loop can starve the asset pool's worker
+            # threads of GIL time (loads then never complete); yield one
+            # scheduler slice so in-flight reads can land
+            import time as _time
+
+            _time.sleep(0.0002)
         for event in self.cell_assets.poll_events():
             from ..utils.assets import AssetEventKind
 

@@ -117,3 +117,34 @@ class TestAsyncWriter:
         p.write_bytes(b"hello world")
         assert read_file_native(p) == b"hello world"
         assert read_file_native(tmp_path / "missing") is None
+
+
+def test_tsan_stress():
+    """Race-detection run (SURVEY.md section 5): the native runtime's
+    concurrency (I/O pool submit/flush races, engine sharded inserts +
+    parallel save) must pass ThreadSanitizer cleanly. Skipped when the
+    toolchain lacks libtsan."""
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "native"
+    with tempfile.TemporaryDirectory() as tmp:
+        binary = f"{tmp}/pc_stress"
+        build = subprocess.run(
+            ["g++", "-fsanitize=thread", "-O1", "-g", "-std=c++17",
+             "-pthread", "-ffp-contract=off",
+             str(root / "pc_stress_test.cpp"), str(root / "pc_native.cpp"),
+             str(root / "pc_engine.cpp"), str(root / "pc_laszip.cpp"),
+             "-o", binary],
+            capture_output=True, text=True, timeout=180,
+        )
+        if build.returncode != 0:
+            pytest.skip(f"no TSAN toolchain: {build.stderr[-200:]}")
+        run = subprocess.run(
+            [binary], capture_output=True, text=True, timeout=300,
+            env={"TSAN_OPTIONS": "halt_on_error=1", "PATH": "/usr/bin"},
+        )
+        assert run.returncode == 0, (run.stdout + run.stderr)[-2000:]
+        assert "STRESS_OK" in run.stdout
+        assert "ThreadSanitizer" not in run.stderr

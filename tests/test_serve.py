@@ -140,3 +140,64 @@ class TestBrowserClient:
         _, a = get(f"{server}/render?yaw=0.3&pitch=-0.4")
         _, b = get(f"{server}/render?yaw=2.4&pitch=-0.2")
         assert a != b
+
+
+class TestMultiStore:
+    @pytest.fixture(scope="class")
+    def multi_root(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("stores")
+        for name, seed in (("alpha", 1), ("beta", 2)):
+            rng = np.random.default_rng(seed)
+            with Converter(Metadata(), root / name) as conv:
+                conv.add_points_batch(PointBatch(
+                    rng.uniform(-30, 30, (3_000, 3)).astype(np.float32),
+                    rng.integers(0, 256, (3_000, 4)).astype(np.uint8),
+                ))
+        (root / "not_a_store").mkdir()
+        return root
+
+    @pytest.fixture(scope="class")
+    def multi_server(self, multi_root):
+        from point_cloud_tpu.serve import serve
+
+        httpd = serve(multi_root, host="127.0.0.1", port=0,
+                      width=64, height=48)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        httpd.shutdown()
+
+    def test_store_listing(self, multi_server):
+        import json
+
+        _, body = get(f"{multi_server}/stores")
+        info = json.loads(body)
+        assert info["stores"] == ["alpha", "beta"]  # not_a_store excluded
+        assert info["default"] == "alpha"
+
+    def test_scoped_endpoints(self, multi_server, multi_root):
+        _, meta_b = get(f"{multi_server}/s/beta/metadata.json")
+        assert meta_b == (multi_root / "beta" / "metadata.json").read_bytes()
+        _, stats = get(f"{multi_server}/s/beta/stats")
+        import json
+
+        assert json.loads(stats)["number_of_points"] == 3_000
+        status, png = get(f"{multi_server}/s/beta/render?yaw=0.4")
+        assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_unknown_store_404(self, multi_server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{multi_server}/s/gamma/stats")
+        assert err.value.code == 404
+
+    def test_default_store_unscoped(self, multi_server, multi_root):
+        # unscoped endpoints keep working against the default store
+        _, meta = get(f"{multi_server}/metadata.json")
+        assert meta == (multi_root / "alpha" / "metadata.json").read_bytes()
+
+    def test_page_has_picker_wiring(self, multi_server):
+        _, body = get(f"{multi_server}/")
+        text = body.decode()
+        assert "/stores" in text and 'id="store"' in text

@@ -238,3 +238,17 @@ class TestScreenshot:
         assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
         assert stats["points_in"] > 0
         viewer.close()
+
+    def test_tight_update_loop_still_streams(self, tmp_path):
+        """A zero-delay update loop must not starve the asset pool (GIL
+        starvation found in round 2): cells must load without the caller
+        sleeping between frames."""
+        make_store(tmp_path)
+        viewer = Viewer(RenderSettings(width=32, height=32))
+        viewer.load_metadata(tmp_path / "metadata.json")
+        for _ in range(400):  # no sleeps: the tightest possible loop
+            viewer.update(0.0)
+            if viewer.stats()["cells"]["loaded"] > 0:
+                break
+        assert viewer.stats()["cells"]["loaded"] > 0
+        viewer.close()
