@@ -417,7 +417,6 @@ class Engine {
         std::vector<Key3> cidx, nidx;
         std::vector<int64_t> skey;
         std::vector<float> sdist;
-        std::vector<CellState*> cptr;
         std::vector<uint8_t> own;
         std::vector<int64_t> order;
         while (!level.empty() && h < 64) {
@@ -533,41 +532,32 @@ class Engine {
             }
 
             // pass C (parallel): sequential inserts per owned cell.
-            // Cell pointers resolve in a pre-pass so the insert loop can
-            // prefetch the slot bucket kPD rows ahead across cell changes
-            // (the slot tables are the only cache-cold structure here).
+            // Deeper levels arrive cell-grouped (the flush concat), so a
+            // last-cell cache resolves most rows and same-cell prefetch
+            // covers the cache-cold slot tables; level 0 has few cells
+            // whose tables stay hot, so its cross-cell prefetch misses
+            // don't matter.
             std::vector<std::vector<CellState*>> touched(n_workers);
-            cptr.resize(m);
             run_sharded(n_workers, m, [&](size_t t) {
                 constexpr int64_t kPD = 16;  // slot-probe prefetch depth
                 const bool direct = n_workers == 1;
-                {
-                    CellState* last_cell = nullptr;
-                    Key3 last_idx{};
-                    for (int64_t k = offsets[t]; k < offsets[t + 1]; ++k) {
-                        const int64_t i = direct ? k : order[k];
-                        if (last_cell == nullptr || !(cidx[i] == last_idx)) {
-                            last_cell = get_or_create(h, cidx[i]);
-                            last_idx = cidx[i];
-                        }
-                        cptr[i] = last_cell;
-                    }
-                }
                 CellState* last_cell = nullptr;
+                Key3 last_idx{};
                 std::vector<Point>* last_pending = nullptr;
                 Key3 last_pending_key{};
                 for (int64_t k = offsets[t]; k < offsets[t + 1]; ++k) {
                     const int64_t i = direct ? k : order[k];
                     const Point& pt = level[i];
-                    CellState* c = cptr[i];
-                    if (c != last_cell) {
-                        last_cell = c;
+                    if (last_cell == nullptr || !(cidx[i] == last_idx)) {
+                        last_cell = get_or_create(h, cidx[i]);
+                        last_idx = cidx[i];
                         last_pending = nullptr;
                     }
+                    CellState* c = last_cell;
                     if (k + kPD < offsets[t + 1]) {
                         const int64_t j = direct ? k + kPD : order[k + kPD];
-                        if (skey[j] != INT64_MIN) {
-                            cptr[j]->slots.prefetch(skey[j]);
+                        if (skey[j] != INT64_MIN && cidx[j] == last_idx) {
+                            c->slots.prefetch(skey[j]);
                         }
                     }
                     Point loser;
