@@ -43,6 +43,7 @@
 #include <sys/types.h>
 
 #include "pc_hex.h"
+#include "pc_io.h"
 
 namespace {
 
@@ -836,20 +837,8 @@ class Engine {
                     std::to_string(c.idx[0]) + "_" +
                     std::to_string(c.idx[1]) + "_" +
                     std::to_string(c.idx[2]) + ".bin";
-                // unique temp per write (see pc_native.cpp write_file)
-                static std::atomic<uint64_t> save_seq{0};
-                const std::string tmp =
-                    path + ".tmp" + std::to_string(save_seq.fetch_add(1));
-                FILE* f = std::fopen(tmp.c_str(), "wb");
-                bool ok = f != nullptr;
-                if (ok && !buf.empty()) {
-                    ok = std::fwrite(buf.data(), 1, buf.size(), f) ==
-                         buf.size();
-                }
-                if (f != nullptr) ok = (std::fclose(f) == 0) && ok;
-                if (ok) ok = std::rename(tmp.c_str(), path.c_str()) == 0;
-                if (!ok) {
-                    std::remove(tmp.c_str());
+                if (!pcio::atomic_write_file(path, buf.data(),
+                                             buf.size())) {
                     errors.fetch_add(1);
                 }
             }

@@ -31,6 +31,8 @@
 #include <thread>
 #include <vector>
 
+#include "pc_io.h"
+
 namespace {
 
 struct WriteJob {
@@ -111,27 +113,8 @@ class Pool {
     }
 
     static bool write_file(const WriteJob& job) {
-        // write to a sibling temp file + rename: readers never observe a
-        // partially written cell (the converter's crash-resume contract —
-        // the store itself is the checkpoint, SURVEY.md section 5).
-        // The temp name is per-job unique: two in-flight writes to the
-        // same path must not share a temp file (one would rename the
-        // other's half-written bytes away — caught by the TSAN stress
-        // harness, native/pc_stress_test.cpp)
-        static std::atomic<uint64_t> job_seq{0};
-        std::string tmp = job.path + ".tmp" +
-                          std::to_string(job_seq.fetch_add(1));
-        FILE* f = std::fopen(tmp.c_str(), "wb");
-        if (f == nullptr) return false;
-        bool ok = true;
-        if (!job.data.empty()) {
-            ok = std::fwrite(job.data.data(), 1, job.data.size(), f) ==
-                 job.data.size();
-        }
-        ok = (std::fclose(f) == 0) && ok;
-        if (ok) ok = std::rename(tmp.c_str(), job.path.c_str()) == 0;
-        if (!ok) std::remove(tmp.c_str());
-        return ok;
+        return pcio::atomic_write_file(job.path, job.data.data(),
+                                       job.data.size());
     }
 
     std::vector<std::thread> workers_;

@@ -59,8 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Run the whole cascade in the C++ engine (host-only, fastest "
              "when the accelerator link is thin; keeps all cells in RAM).",
     )
+    def positive_int(text: str) -> int:
+        value = int(text)
+        if value < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return value
+
     parser.add_argument(
-        "--cache-size", type=int, default=None, metavar="N",
+        "--cache-size", type=positive_int, default=None, metavar="N",
         help="Cells kept in RAM before evicting to disk (default 65536; "
              "the reference keeps 100, converter.rs:92 — results are "
              "identical at any size, only disk traffic changes).",
@@ -124,7 +130,9 @@ def main(argv=None) -> int:
 
     from .converter import DEFAULT_CACHE_SIZE
 
-    cache_size = args.cache_size or DEFAULT_CACHE_SIZE
+    cache_size = (
+        args.cache_size if args.cache_size is not None else DEFAULT_CACHE_SIZE
+    )
     if args.profile:
         from ..utils.tracing import StageTimer
 

@@ -49,6 +49,20 @@ DEFAULT_BATCH_SIZE = 10_000  # lib.rs:32
 DEFAULT_CACHE_SIZE = 65_536
 
 
+def update_metadata_bounding_box(metadata: Metadata, batch: PointBatch) -> None:
+    """Fold a batch into the metadata bbox (converter.rs:96-104): the first
+    points replace the default box, later batches extend it. The f32 fold
+    order is parity-sensitive (metadata.json byte compatibility) — every
+    converter backend must share this one implementation."""
+    aabb = Aabb.from_points(batch.positions)
+    if aabb is None:
+        return
+    if metadata.number_of_points == 0:
+        metadata.bounding_box = aabb
+    else:
+        metadata.bounding_box.extend_aabb(aabb)
+
+
 def add_points_to_cell(
     config: MetadataConfig, batch: PointBatch, cell: Cell
 ) -> dict[tuple[int, int, int], PointBatch]:
@@ -206,13 +220,7 @@ class Converter:
         self._add_points_in_hierarchy(0, grouped)
 
     def _update_bounding_box(self, batch: PointBatch) -> None:
-        aabb = Aabb.from_points(batch.positions)
-        if aabb is None:
-            return
-        if self.metadata.number_of_points == 0:
-            self.metadata.bounding_box = aabb
-        else:
-            self.metadata.bounding_box.extend_aabb(aabb)
+        update_metadata_bounding_box(self.metadata, batch)
 
     # --- hierarchy cascade (converter.rs:114-139, iterative) ----------------
 

@@ -31,7 +31,6 @@ from pathlib import Path
 
 import numpy as np
 
-from ..core.aabb import Aabb
 from ..core.metadata import FILE_NAME, EXTENSION, Metadata, hierarchy_string
 from ..core.point import PointBatch
 
@@ -43,13 +42,23 @@ class NativeConverter:
                  cache_size: int | None = None, n_threads: int = 8):
         # cache_size accepted for factory-signature compatibility; the
         # engine keeps all cells in RAM (no LRU), results are identical
-        from ..native import load_native
+        from ..native import load_native, hex_lockstep_ok
 
         lib = load_native()
         if lib is None:
             raise RuntimeError(
                 "native engine unavailable (no C++ toolchain); use "
                 "Converter/DeviceConverter instead"
+            )
+        if not hex_lockstep_ok():
+            # the same gate hex_keys_native applies: a toolchain whose hex
+            # kernel diverges from the NumPy oracle would silently write
+            # stores that differ from the other converters (CLAUDE.md
+            # invariant #1)
+            raise RuntimeError(
+                "native hex kernel fails the IEEE-f32 lockstep self-check "
+                "on this toolchain; the C++ engine would break store "
+                "byte-parity — use Converter/DeviceConverter instead"
             )
         self._lib = lib
         self.metadata = metadata
@@ -101,13 +110,9 @@ class NativeConverter:
             self.metadata.hierarchies = levels
 
     def _update_bounding_box(self, batch: PointBatch) -> None:
-        aabb = Aabb.from_points(batch.positions)
-        if aabb is None:
-            return
-        if self.metadata.number_of_points == 0:
-            self.metadata.bounding_box = aabb
-        else:
-            self.metadata.bounding_box.extend_aabb(aabb)
+        from .converter import update_metadata_bounding_box
+
+        update_metadata_bounding_box(self.metadata, batch)
 
     # --- persistence -------------------------------------------------------
 

@@ -175,6 +175,17 @@ class LazChunkedStream:
         f.seek(header.point_data_offset)
         (chunk_table_offset,) = struct.unpack("<q", f.read(8))
         self._chunks_start = header.point_data_offset + 8
+        if chunk_table_offset == -1:
+            # LASzip streaming-writer convention: a writer that could not
+            # seek back leaves -1 here and appends the real chunk-table
+            # offset as the file's last 8 bytes
+            f.seek(-8, 2)
+            (chunk_table_offset,) = struct.unpack("<q", f.read(8))
+            if chunk_table_offset < self._chunks_start:
+                raise ValueError(
+                    "laszip chunk table offset invalid (streamed file "
+                    "with a corrupt trailing offset)"
+                )
 
         n = int(header.point_count)
         chunk_size = vlr.chunk_size or CHUNK_SIZE_DEFAULT
@@ -250,7 +261,11 @@ class LazPointReader(BatchedPointReader):
         self._dtype = _record_dtype(self.header)
         self._read = 0
         self._chunk_index = 0
-        self._buffer = b""
+        # decoded-chunk queue with a consume offset: appending with += and
+        # re-slicing would copy the whole accumulated buffer per batch
+        self._chunks: list[bytes] = []
+        self._buffered = 0
+        self._consumed = 0  # bytes already taken from self._chunks[0]
         self._scale = self.header.scale
         self._offset = self.header.offset
 
@@ -259,16 +274,31 @@ class LazPointReader(BatchedPointReader):
         if n <= 0:
             return PointBatch.empty()
         stride = self._stream.stride
-        while len(self._buffer) < n * stride and (
+        while self._buffered < n * stride and (
             self._chunk_index < len(self._stream.chunk_points)
         ):
-            self._buffer += self._stream.decode_chunk(self._chunk_index)
+            chunk = self._stream.decode_chunk(self._chunk_index)
             self._chunk_index += 1
-        take = min(n, len(self._buffer) // stride)
-        raw, self._buffer = (
-            self._buffer[: take * stride],
-            self._buffer[take * stride:],
-        )
+            self._chunks.append(chunk)
+            self._buffered += len(chunk)
+        take = min(n, self._buffered // stride)
+        need = take * stride
+        parts = []
+        while need > 0:
+            head = self._chunks[0]
+            avail = len(head) - self._consumed
+            if avail <= need:
+                parts.append(head[self._consumed:])
+                self._chunks.pop(0)
+                self._consumed = 0
+                need -= avail
+                self._buffered -= avail
+            else:
+                parts.append(head[self._consumed : self._consumed + need])
+                self._consumed += need
+                self._buffered -= need
+                need = 0
+        raw = b"".join(parts)
         self._read += take
         return self._decode(raw)
 

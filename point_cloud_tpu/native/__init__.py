@@ -22,7 +22,7 @@ _SRC = _NATIVE_DIR / "pc_native.cpp"
 _SOURCES = [
     _SRC, _NATIVE_DIR / "pc_engine.cpp", _NATIVE_DIR / "pc_laszip.cpp",
 ]
-_HEADERS = [_NATIVE_DIR / "pc_hex.h"]
+_HEADERS = [_NATIVE_DIR / "pc_hex.h", _NATIVE_DIR / "pc_io.h"]
 _BUILD_DIR = Path(__file__).resolve().parent / "_build"
 _LIB = _BUILD_DIR / "libpcnative.so"
 
@@ -217,18 +217,26 @@ def _check_hex_lockstep(lib) -> bool:
     return ok
 
 
+def hex_lockstep_ok() -> bool:
+    """One-time cached result of the IEEE-f32 lockstep self-check; False
+    also when the native library is unavailable. Gate for every consumer
+    of the C++ hex math (hex_keys_native, the conversion engine)."""
+    global _hex_lockstep_ok
+    lib = load_native()
+    if lib is None:
+        return False
+    if _hex_lockstep_ok is None:
+        _hex_lockstep_ok = _check_hex_lockstep(lib)
+    return _hex_lockstep_ok
+
+
 def hex_keys_native(positions, cell_size, sub_cell_radius, next_cell_size,
                     n_threads: int = 8):
     """C++ hex quantization pass; returns (cell_idx, sub_idx, dist,
     next_idx) bit-identical to the NumPy path, or None if unavailable
     (no toolchain, or the one-time lockstep self-check failed)."""
-    global _hex_lockstep_ok
     lib = load_native()
-    if lib is None:
-        return None
-    if _hex_lockstep_ok is None:
-        _hex_lockstep_ok = _check_hex_lockstep(lib)
-    if not _hex_lockstep_ok:
+    if lib is None or not hex_lockstep_ok():
         return None
     import numpy as np
 

@@ -25,7 +25,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 import numpy as np
 
@@ -111,6 +111,7 @@ class StoreRegistry:
         self.root = Path(root)
         self._width, self._height = width, height
         self._servers: dict[str, StoreServer] = {}
+        self._lock = threading.Lock()
         if (self.root / "metadata.json").exists():
             self.names = [self.root.name or "store"]
             self._dirs = {self.names[0]: self.root}
@@ -134,11 +135,15 @@ class StoreRegistry:
     def get(self, name: str) -> "StoreServer | None":
         if name not in self._dirs:
             return None
-        if name not in self._servers:
-            self._servers[name] = StoreServer(
-                self._dirs[name], width=self._width, height=self._height
-            )
-        return self._servers[name]
+        # ThreadingHTTPServer handlers race the lazy construction (the
+        # client fires /stats and /render concurrently on first load)
+        with self._lock:
+            if name not in self._servers:
+                self._servers[name] = StoreServer(
+                    self._dirs[name], width=self._width,
+                    height=self._height,
+                )
+            return self._servers[name]
 
 
 def make_handler(registry: StoreRegistry):
@@ -167,14 +172,15 @@ def make_handler(registry: StoreRegistry):
                     "application/json",
                 )
                 return
-            # store-scoped endpoints: /s/<name>/<rest>
+            # store-scoped endpoints: /s/<name>/<rest> (the client
+            # percent-encodes names, and browsers escape regardless)
             store_name = registry.default
             if path.startswith("s/"):
                 parts = path.split("/", 2)
                 if len(parts) < 3:
                     self._send(404, b"not found", "text/plain")
                     return
-                store_name, path = parts[1], parts[2]
+                store_name, path = unquote(parts[1]), parts[2]
             server = registry.get(store_name)
             if server is None:
                 self._send(404, f"no store {store_name!r}".encode(),

@@ -144,3 +144,50 @@ class TestLazConversionParity:
             assert (out_las / rel).read_bytes() == (
                 out_laz / rel
             ).read_bytes(), f"mismatch in {rel}"
+
+
+class TestStreamedWriterConvention:
+    def test_minus_one_chunk_table_offset(self, tmp_path):
+        """LASzip streaming writers put -1 after the header and append the
+        real chunk-table offset as the file's last 8 bytes."""
+        batch = cloud(n=4_000)
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        write_las(las, batch, point_format=2)
+        laz.convert_las_to_laz(las, laz_p, chunk_size=1_500)
+
+        from point_cloud_tpu.io.las import LasHeader
+
+        data = bytearray(laz_p.read_bytes())
+        header = LasHeader(bytes(data[:375]))
+        off = header.point_data_offset
+        (real_offset,) = struct.unpack_from("<q", data, off)
+        struct.pack_into("<q", data, off, -1)  # streamed-writer marker
+        data += struct.pack("<q", real_offset)  # trailing real offset
+        streamed = tmp_path / "streamed.laz"
+        streamed.write_bytes(bytes(data))
+
+        r_norm = get_batched_point_reader(laz_p)
+        r_stream = get_batched_point_reader(streamed)
+        a = r_norm.get_batch(10_000)
+        b = r_stream.get_batch(10_000)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.colors, b.colors)
+
+    def test_corrupt_trailing_offset(self, tmp_path):
+        batch = cloud(n=1_000)
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        write_las(las, batch, point_format=2)
+        laz.convert_las_to_laz(las, laz_p)
+
+        from point_cloud_tpu.io.las import LasHeader
+
+        data = bytearray(laz_p.read_bytes())
+        header = LasHeader(bytes(data[:375]))
+        struct.pack_into("<q", data, header.point_data_offset, -1)
+        data += struct.pack("<q", -12345)  # nonsense trailing offset
+        bad = tmp_path / "bad.laz"
+        bad.write_bytes(bytes(data))
+        with pytest.raises(ValueError, match="chunk table offset"):
+            get_batched_point_reader(bad)

@@ -77,6 +77,12 @@ class TestHexKeysParity:
         )
         np.testing.assert_array_equal(out[0], exp_cell)
         np.testing.assert_array_equal(out[1], exp_sub)
+        # the distance decides dedup winners: bit-compare it too (NaNs
+        # compare equal as bit patterns)
+        np.testing.assert_array_equal(
+            out[2].view(np.uint32),
+            exp_dist.astype(np.float32).view(np.uint32),
+        )
 
 
 @needs_native

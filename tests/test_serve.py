@@ -201,3 +201,32 @@ class TestMultiStore:
         _, body = get(f"{multi_server}/")
         text = body.decode()
         assert "/stores" in text and 'id="store"' in text
+
+    def test_percent_encoded_store_name(self, tmp_path):
+        """Store directories with URL-unsafe names must resolve through
+        the client's encodeURIComponent requests."""
+        from point_cloud_tpu.serve import serve
+
+        rng = np.random.default_rng(4)
+        name = "my store #1"
+        with Converter(Metadata(), tmp_path / name) as conv:
+            conv.add_points_batch(PointBatch(
+                rng.uniform(-10, 10, (500, 3)).astype(np.float32),
+                rng.integers(0, 256, (500, 4)).astype(np.uint8),
+            ))
+        httpd = serve(tmp_path, host="127.0.0.1", port=0, width=32,
+                      height=24)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            from urllib.parse import quote
+
+            base = f"http://127.0.0.1:{httpd.server_address[1]}"
+            import json
+
+            _, body = get(f"{base}/stores")
+            assert json.loads(body)["stores"] == [name]
+            _, stats = get(f"{base}/s/{quote(name, safe='')}/stats")
+            assert json.loads(stats)["number_of_points"] == 500
+        finally:
+            httpd.shutdown()
