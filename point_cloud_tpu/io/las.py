@@ -154,16 +154,20 @@ class LasPointReader(BatchedPointReader):
         self._file.close()
 
 
+_WRITE_RECORD_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
+
+
 def write_las(path, batch: PointBatch, point_format: int = 2,
-              scale=(0.001, 0.001, 0.001)) -> None:
+              scale=(0.001, 0.001, 0.001), gps_time=None) -> None:
     """Minimal LAS 1.2 writer (test fixtures + export tool).
 
-    Writes point format 0 (no color) or 2 (RGB); colors are widened u8->u16
-    by byte duplication (v * 257), the standard 8->16 bit upscale, so our
-    truncating read path round-trips them exactly.
+    Point formats 0-3. Colors are widened u8->u16 by byte duplication
+    (v * 257), the standard 8->16 bit upscale, so our truncating read
+    path round-trips them exactly. ``gps_time`` (f64 per point) fills
+    formats 1/3; default is a plausible increasing GPS clock.
     """
-    if point_format not in (0, 2):
-        raise ValueError("write_las supports formats 0 and 2")
+    if point_format not in _WRITE_RECORD_LEN:
+        raise ValueError("write_las supports formats 0-3")
     n = len(batch)
     scale = np.asarray(scale, np.float64)
     offset = (
@@ -171,7 +175,7 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
         if n
         else np.zeros(3, np.float64)
     )
-    record_len = 20 if point_format == 0 else 26
+    record_len = _WRITE_RECORD_LEN[point_format]
     header = bytearray(227)
     header[0:4] = b"LASF"
     header[24] = 1
@@ -194,13 +198,22 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
         "offsets": [0, 4, 8],
         "itemsize": record_len,
     }
-    if point_format == 2:
+    if point_format in (1, 3):
+        dtype_fields["names"] += ["gps_time"]
+        dtype_fields["formats"] += ["<f8"]
+        dtype_fields["offsets"] += [20]
+    if point_format in (2, 3):
+        color_off = 20 if point_format == 2 else 28
         dtype_fields["names"] += ["red", "green", "blue"]
         dtype_fields["formats"] += ["<u2", "<u2", "<u2"]
-        dtype_fields["offsets"] += [20, 22, 24]
+        dtype_fields["offsets"] += [color_off, color_off + 2, color_off + 4]
     rec = np.zeros(n, dtype=np.dtype(dtype_fields))
     rec["x"], rec["y"], rec["z"] = raw[:, 0], raw[:, 1], raw[:, 2]
-    if point_format == 2:
+    if point_format in (1, 3):
+        if gps_time is None:
+            gps_time = 300_000.0 + np.arange(n, dtype=np.float64) * 1e-4
+        rec["gps_time"] = np.asarray(gps_time, np.float64)
+    if point_format in (2, 3):
         rec["red"] = batch.colors[:, 0].astype(np.uint16) * 257
         rec["green"] = batch.colors[:, 1].astype(np.uint16) * 257
         rec["blue"] = batch.colors[:, 2].astype(np.uint16) * 257

@@ -54,8 +54,13 @@ class StoreServer:
         self._update_streaming = update_streaming_frustums
 
     def render_png(self, yaw=0.0, pitch=-0.4, dist=None,
-                   voronoi=None) -> bytes:
-        """Stream the view's cells in and render one frame server-side."""
+                   voronoi=None, eye=None) -> bytes:
+        """Stream the view's cells in and render one frame server-side.
+
+        Two camera modes: orbit (default — yaw/pitch/dist around the
+        cloud center) and fly (``eye`` = absolute camera position;
+        yaw/pitch become the look direction — the reference's
+        FlyCamController pose, fly_cam.rs:111-128)."""
         from .viewer.offscreen import write_png
 
         with self._render_lock:
@@ -67,20 +72,32 @@ class StoreServer:
             )
             bbox = self.metadata.bounding_box
             center = bbox.center()
-            extent = float(np.linalg.norm(bbox.extends()))
-            d = dist if dist is not None else extent * 2.0
-            pos = center + np.array(
-                [
-                    d * np.cos(yaw) * np.cos(pitch),
-                    d * np.sin(yaw) * np.cos(pitch),
-                    -d * np.sin(pitch),
-                ],
-                np.float32,
-            )
-            camera.transform.translation = pos.astype(np.float32)
-            camera.transform.look_at(
-                center, np.array([0.0, 0.0, 1.0], np.float32)
-            )
+            up = np.array([0.0, 0.0, 1.0], np.float32)
+            if eye is not None:
+                pos = np.asarray(eye, np.float32)
+                forward = np.array(
+                    [
+                        np.cos(yaw) * np.cos(pitch),
+                        np.sin(yaw) * np.cos(pitch),
+                        np.sin(pitch),
+                    ],
+                    np.float32,
+                )
+                camera.transform.translation = pos
+                camera.transform.look_at(pos + forward, up)
+            else:
+                extent = float(np.linalg.norm(bbox.extends()))
+                d = dist if dist is not None else extent * 2.0
+                pos = center + np.array(
+                    [
+                        d * np.cos(yaw) * np.cos(pitch),
+                        d * np.sin(yaw) * np.cos(pitch),
+                        -d * np.sin(pitch),
+                    ],
+                    np.float32,
+                )
+                camera.transform.translation = pos.astype(np.float32)
+                camera.transform.look_at(center, up)
 
             frustums = self._update_streaming(
                 self.metadata, camera.transform, camera.projection,
@@ -204,6 +221,10 @@ def make_handler(registry: StoreRegistry):
                             server.metadata.bounding_box.extends()
                         ) * 2.0
                     ),
+                    "center": [
+                        float(v)
+                        for v in server.metadata.bounding_box.center()
+                    ],
                     "endpoints": ["/metadata.json", "/h_<n>/c_x_y_z.bin",
                                    "/render?yaw=&pitch=&dist=", "/stats"],
                 }
@@ -215,18 +236,25 @@ def make_handler(registry: StoreRegistry):
                     yaw = float(q.get("yaw", ["0"])[0])
                     pitch = float(q.get("pitch", ["-0.4"])[0])
                     dist = float(q["dist"][0]) if "dist" in q else None
+                    eye = (
+                        [float(q["px"][0]), float(q["py"][0]),
+                         float(q["pz"][0])]
+                        if "px" in q
+                        else None
+                    )
                     voronoi = (
                         q["voronoi"][0] not in ("0", "false")
                         if "voronoi" in q
                         else None
                     )
-                except (ValueError, IndexError) as err:
+                except (ValueError, IndexError, KeyError) as err:
                     self._send(400, f"bad camera parameter: {err}".encode(),
                                "text/plain")
                     return
                 try:
                     png = server.render_png(
-                        yaw=yaw, pitch=pitch, dist=dist, voronoi=voronoi
+                        yaw=yaw, pitch=pitch, dist=dist, voronoi=voronoi,
+                        eye=eye,
                     )
                 except Exception as err:  # pragma: no cover - defensive
                     self._send(500, str(err).encode(), "text/plain")
@@ -237,10 +265,13 @@ def make_handler(registry: StoreRegistry):
                 self.send_header("Access-Control-Allow-Origin", "*")
                 # camera round-trip echo (clients + tests confirm what
                 # the server actually rendered)
+                pose = (
+                    f"fly eye=({eye[0]},{eye[1]},{eye[2]})"
+                    if eye is not None
+                    else f"orbit dist={'auto' if dist is None else dist}"
+                )
                 self.send_header(
-                    "X-Camera",
-                    f"yaw={yaw} pitch={pitch} "
-                    f"dist={'auto' if dist is None else dist}",
+                    "X-Camera", f"yaw={yaw} pitch={pitch} {pose}"
                 )
                 self.end_headers()
                 self.wfile.write(png)

@@ -32,7 +32,7 @@ def cloud(n=30_000, seed=3):
 
 
 class TestLazRoundTrip:
-    @pytest.mark.parametrize("point_format", [0, 2])
+    @pytest.mark.parametrize("point_format", [0, 1, 2, 3])
     def test_las_laz_las_identical(self, tmp_path, point_format):
         batch = cloud()
         las = tmp_path / "a.las"
@@ -59,6 +59,20 @@ class TestLazRoundTrip:
         las2 = tmp_path / "a2.las"
         write_las(las, batch, point_format=2)
         laz.convert_las_to_laz(las, laz_p, chunk_size=1_000)  # 12 chunks
+        laz.convert_laz_to_las(laz_p, las2)
+        assert las.read_bytes() == las2.read_bytes()
+
+    def test_gps_time_survives(self, tmp_path):
+        """Formats 1/3 carry GPS time through the GPSTIME11 v2 codec."""
+        batch = cloud(n=6_000)
+        rng = np.random.default_rng(8)
+        # mixed regime: steady clock + jumps + repeats (codec context paths)
+        gps = np.cumsum(rng.choice([0.0, 1e-5, 2e-5, 7.5], 6_000)) + 1e5
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        las2 = tmp_path / "a2.las"
+        write_las(las, batch, point_format=3, gps_time=gps)
+        laz.convert_las_to_laz(las, laz_p, chunk_size=2_000)
         laz.convert_laz_to_las(laz_p, las2)
         assert las.read_bytes() == las2.read_bytes()
 

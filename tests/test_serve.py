@@ -126,7 +126,7 @@ class TestBrowserClient:
             assert resp.status == 200
             echo = resp.headers["X-Camera"]
             body = resp.read()
-        assert echo == "yaw=1.25 pitch=-0.5 dist=77.5"
+        assert echo == "yaw=1.25 pitch=-0.5 orbit dist=77.5"
         assert body[:8] == b"\x89PNG\r\n\x1a\n"
 
     def test_bad_camera_param_is_400(self, server):
@@ -230,3 +230,40 @@ class TestMultiStore:
             assert json.loads(stats)["number_of_points"] == 500
         finally:
             httpd.shutdown()
+
+
+class TestFlyCamera:
+    def test_fly_pose_renders(self, server):
+        import urllib.request
+
+        url = (f"{server}/render?px=10.5&py=-20&pz=30&yaw=2.0&pitch=-0.1")
+        with urllib.request.urlopen(url, timeout=180) as resp:
+            assert resp.status == 200
+            echo = resp.headers["X-Camera"]
+            body = resp.read()
+        assert echo == "yaw=2.0 pitch=-0.1 fly eye=(10.5,-20.0,30.0)"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_fly_differs_from_orbit(self, server):
+        _, orbit = get(f"{server}/render?yaw=2.0&pitch=-0.1")
+        _, fly = get(f"{server}/render?px=10.5&py=-20&pz=30&yaw=2.0&pitch=-0.1")
+        assert orbit != fly
+
+    def test_partial_eye_params_400(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{server}/render?px=1&py=2")  # pz missing
+        assert err.value.code == 400
+
+    def test_stats_center(self, server):
+        import json
+
+        _, body = get(f"{server}/stats")
+        center = json.loads(body)["center"]
+        assert len(center) == 3
+
+    def test_page_has_fly_wiring(self, server):
+        _, body = get(f"{server}/")
+        text = body.decode()
+        assert "keydown" in text and "enterFlyMode" in text
