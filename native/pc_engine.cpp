@@ -249,6 +249,7 @@ struct CellState {
     uint32_t total_points = 0;
     uint32_t n_points = 0;
     uint32_t n_overflow = 0;
+    uint64_t last_touch = 0;  // batch stamp for spill eviction order
 
     SlotMap slots;
     // slots whose sub index exceeds the packed-key range (rare)
@@ -337,12 +338,23 @@ class Engine {
         return max_cell_size_ / static_cast<float>(denom);
     }
 
-    CellState* get_or_create(int32_t h, const Key3& idx) {
-        const CellKey key{h, idx};
-        auto& cells_ = shards_[owner(h, idx)];
-        auto it = cells_.find(key);
-        if (it != cells_.end()) return it->second.get();
+    // cell spilling: with a store directory + budget set, cells evict to
+    // their store files between batches (coldest first) and reload
+    // lazily on the next touch — the engine's equivalent of the Python
+    // converters' save-on-evict LRU (results identical: cells round-trip
+    // losslessly through the codec, only disk traffic changes)
+    void set_spill(const std::string& dir, int64_t budget) {
+        store_dir_ = dir;
+        cell_budget_ = budget;
+    }
 
+    std::string cell_path(int32_t h, const Key3& idx) const {
+        return store_dir_ + "/h_" + std::to_string(h) + "/c_" +
+               std::to_string(idx[0]) + "_" + std::to_string(idx[1]) +
+               "_" + std::to_string(idx[2]) + ".bin";
+    }
+
+    CellState* create_empty(int32_t h, const Key3& idx) {
         auto cell = std::make_unique<CellState>();
         cell->h = h;
         cell->idx = idx;
@@ -354,10 +366,89 @@ class Engine {
         for (int ax = 0; ax < 3; ++ax) {
             cell->pos[ax] = static_cast<float>(idx[ax]) * size + half;
         }
+        cell->last_touch = batch_seq_;
         CellState* raw = cell.get();
-        cells_.emplace(key, std::move(cell));
+        shards_[owner(h, idx)].emplace(CellKey{h, idx}, std::move(cell));
         return raw;
     }
+
+    CellState* get_or_create(int32_t h, const Key3& idx) {
+        const CellKey key{h, idx};
+        auto& cells_ = shards_[owner(h, idx)];
+        auto it = cells_.find(key);
+        if (it != cells_.end()) {
+            it->second->last_touch = batch_seq_;
+            return it->second.get();
+        }
+        if (!store_dir_.empty()) {
+            // lazily pull a spilled / pre-existing cell from the store
+            const std::string path = cell_path(h, idx);
+            FILE* f = std::fopen(path.c_str(), "rb");
+            if (f != nullptr) {
+                std::fseek(f, 0, SEEK_END);
+                const long size = std::ftell(f);
+                std::fseek(f, 0, SEEK_SET);
+                std::vector<uint8_t> buf(size > 0 ? size : 0);
+                const bool ok =
+                    size >= 0 &&
+                    std::fread(buf.data(), 1, buf.size(), f) == buf.size();
+                std::fclose(f);
+                if (ok && load_cell(buf.data(), buf.size())) {
+                    auto it2 = cells_.find(key);
+                    if (it2 != cells_.end()) {
+                        it2->second->last_touch = batch_seq_;
+                        return it2->second.get();
+                    }
+                }
+            }
+        }
+        return create_empty(h, idx);
+    }
+
+    // evict the coldest cells down to the budget; only safe between
+    // batches (levels hold raw CellState pointers)
+    void maybe_spill() {
+        if (cell_budget_ <= 0 || store_dir_.empty()) return;
+        int64_t n = num_cells();
+        if (n <= cell_budget_) return;
+        std::vector<std::pair<uint64_t, CellKey>> order;
+        order.reserve(n);
+        for (const auto& shard : shards_) {
+            for (const auto& [key, cell] : shard) {
+                order.emplace_back(cell->last_touch, key);
+            }
+        }
+        const int64_t excess = n - cell_budget_;
+        std::nth_element(
+            order.begin(), order.begin() + excess, order.end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+        std::string buf;
+        for (int64_t i = 0; i < excess; ++i) {
+            const CellKey key = order[i].second;
+            auto& shard = shards_[owner(key.h, key.idx)];
+            auto it = shard.find(key);
+            if (it == shard.end()) continue;
+            if (!serialize_cell(*it->second, &buf)) {
+                ++spill_errors_;
+                continue;  // unserializable cells stay resident
+            }
+            const std::string path = cell_path(key.h, key.idx);
+            if (!pcio::atomic_write_file(path, buf.data(), buf.size())) {
+                // first failure is usually a missing h_<n> directory
+                const std::string dir =
+                    store_dir_ + "/h_" + std::to_string(key.h);
+                ::mkdir(dir.c_str(), 0777);
+                if (!pcio::atomic_write_file(path, buf.data(),
+                                             buf.size())) {
+                    ++spill_errors_;
+                    continue;
+                }
+            }
+            shard.erase(it);
+        }
+    }
+
+    int64_t spill_errors() const { return spill_errors_; }
 
     // insert one point into a cell's slot grid (arrival order matters:
     // cell.rs:70-94 sequential semantics). Returns true + *loser when a
@@ -629,6 +720,8 @@ class Engine {
             ++h;
         }
         max_level_ = std::max(max_level_, h);
+        ++batch_seq_;
+        maybe_spill();
         return h;
     }
 
@@ -760,7 +853,16 @@ class Engine {
             !get(&sub, 4) || !get(pos, 12)) {
             return false;
         }
-        CellState* c = get_or_create(static_cast<int32_t>(h32), idx);
+        // find-or-create WITHOUT the spill disk check: get_or_create
+        // calls load_cell for spilled cells (recursion otherwise)
+        CellState* c;
+        {
+            auto& shard = shards_[owner(static_cast<int32_t>(h32), idx)];
+            auto it = shard.find(CellKey{static_cast<int32_t>(h32), idx});
+            c = it != shard.end()
+                    ? it->second.get()
+                    : create_empty(static_cast<int32_t>(h32), idx);
+        }
         c->size = size;
         c->sub_cell_size = sub;
         c->radius = sub / 2.0f;
@@ -868,6 +970,10 @@ class Engine {
     float max_cell_size_;
     float sub_grid_dim_;
     int32_t max_level_ = 0;
+    std::string store_dir_;
+    int64_t cell_budget_ = 0;
+    uint64_t batch_seq_ = 0;
+    int64_t spill_errors_ = 0;
     Profile prof_;
     // the cell registry, sharded by deterministic ownership so insert
     // workers never contend (and never rehash each other's tables)
@@ -909,6 +1015,14 @@ int32_t pc_engine_max_level(void* e) {
 
 int64_t pc_engine_num_cells(void* e) {
     return static_cast<Engine*>(e)->num_cells();
+}
+
+void pc_engine_set_spill(void* e, const char* dir, int64_t budget) {
+    static_cast<Engine*>(e)->set_spill(dir, budget);
+}
+
+int64_t pc_engine_spill_errors(void* e) {
+    return static_cast<Engine*>(e)->spill_errors();
 }
 
 }  // extern "C"

@@ -12,8 +12,9 @@ When to use which converter (see PERF.md for measurements):
 - ``NativeConverter`` — host-only, zero accelerator transfers. Fastest
   when the TPU link is thin (the bench environment's tunnel moves
   ~45 MB/s, which caps any device-backed pipeline at ~2 Mpts/s because
-  positions alone are 12 B/point). Keeps every touched cell in RAM
-  (~32 B/stored point) instead of the LRU cache.
+  positions alone are 12 B/point). Keeps up to ``cache_size`` cells in
+  RAM (~32 B/stored point); beyond that the engine spills the coldest
+  cells to their store files between batches and reloads lazily.
 - ``DeviceConverter`` / ``PipelinedConverter`` — the TPU path: batch
   dedup as one fused XLA sort pass. Wins on co-located hosts (PCIe
   moves 12 B/point in ~1 ns) and composes with ``MeshConverter`` for
@@ -40,8 +41,11 @@ class NativeConverter:
 
     def __init__(self, metadata: Metadata, working_directory,
                  cache_size: int | None = None, n_threads: int = 8):
-        # cache_size accepted for factory-signature compatibility; the
-        # engine keeps all cells in RAM (no LRU), results are identical
+        # cache_size = cells kept in RAM (like the other converters'
+        # LRU): beyond it the engine spills the coldest cells to their
+        # store files between batches and reloads them lazily on touch —
+        # results are identical at any size, only disk traffic changes
+        from ..convert.converter import DEFAULT_CACHE_SIZE
         from ..native import load_native, hex_lockstep_ok
 
         lib = load_native()
@@ -72,24 +76,13 @@ class NativeConverter:
             int(config.sub_grid_dimension),
             int(n_threads),
         )
-        self._load_existing_store()
-
-    def _load_existing_store(self) -> None:
-        """Incremental merge: feed every existing cell to the engine
-        (lib.rs:86-101 — the store itself is the resume checkpoint)."""
-        for h in range(self.metadata.hierarchies):
-            folder = self.working_directory / hierarchy_string(h)
-            if not folder.is_dir():
-                continue
-            for path in folder.iterdir():
-                if path.suffix != ".bin":
-                    continue
-                data = path.read_bytes()
-                rc = self._lib.pc_engine_load_cell(
-                    self._engine, data, len(data)
-                )
-                if rc != 0:
-                    raise OSError(f"corrupt cell file: {path}")
+        # spilling doubles as lazy incremental merge (lib.rs:86-101): a
+        # cell miss checks the store directory first, so an existing
+        # store's cells stream in on touch instead of loading up front
+        budget = cache_size if cache_size else DEFAULT_CACHE_SIZE
+        lib.pc_engine_set_spill(
+            self._engine, str(self.working_directory).encode(), int(budget)
+        )
 
     # --- batch entry point (mirrors Converter.add_points_batch) ----------
 
@@ -128,6 +121,7 @@ class NativeConverter:
             self._engine, str(self.working_directory).encode(),
             self.n_threads,
         )
+        errors += self._lib.pc_engine_spill_errors(self._engine)
         # folders for every counted hierarchy (engine only creates levels
         # that hold cells; a merged store may count more)
         for h in range(self.metadata.hierarchies):

@@ -129,6 +129,11 @@ def load_native():
         lib.pc_engine_max_level.argtypes = [ctypes.c_void_p]
         lib.pc_engine_num_cells.restype = ctypes.c_int64
         lib.pc_engine_num_cells.argtypes = [ctypes.c_void_p]
+        lib.pc_engine_set_spill.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.pc_engine_spill_errors.restype = ctypes.c_int64
+        lib.pc_engine_spill_errors.argtypes = [ctypes.c_void_p]
         lib.pc_laz_decompress_chunk.restype = ctypes.c_int64
         lib.pc_laz_decompress_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,

@@ -139,3 +139,38 @@ class TestEngineParity:
         with native_converter(Metadata(), tmp_path / "nat") as conv:
             conv.add_points_batch(PointBatch.empty())
         assert conv.metadata.number_of_points == 0
+
+
+class TestEngineSpilling:
+    """Cell spilling: with a tiny in-RAM budget, cold cells evict to the
+    store between batches and reload lazily — stores stay byte-identical
+    (the engine's analogue of the LRU-converter small-cache tests)."""
+
+    @pytest.mark.parametrize("budget", [2, 8])
+    def test_tiny_budget_byte_identical(self, tmp_path, budget):
+        n = 20_000
+        batch = random_batch(n, seed=99, lo=-300, hi=300)
+        with Converter(Metadata(), tmp_path / "host", cache_size=2) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        with native_converter(
+            Metadata(), tmp_path / "nat", cache_size=budget
+        ) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        assert_stores_equal(tmp_path / "host", tmp_path / "nat")
+
+    def test_lazy_merge_with_budget(self, tmp_path):
+        """Incremental merge works without loading the store up front."""
+        a = random_batch(6_000, seed=51)
+        b = random_batch(6_000, seed=52, lo=-150, hi=150)
+        for make, d, kw in (
+            (Converter, "host", {}),
+            (native_converter, "nat", {"cache_size": 4}),
+        ):
+            out = tmp_path / d
+            with make(load_metadata(out), out, **kw) as conv:
+                conv.add_points_batch(a)
+            with make(load_metadata(out), out, **kw) as conv:
+                conv.add_points_batch(b)
+        assert_stores_equal(tmp_path / "host", tmp_path / "nat")
