@@ -381,7 +381,10 @@ class Engine {
             return it->second.get();
         }
         if (!store_dir_.empty()) {
-            // lazily pull a spilled / pre-existing cell from the store
+            // lazily pull a spilled / pre-existing cell from the store;
+            // an unreadable / corrupt / mismatched file LATCHES an error
+            // instead of silently starting an empty cell that would later
+            // overwrite the existing store file (round-2 review finding)
             const std::string path = cell_path(h, idx);
             FILE* f = std::fopen(path.c_str(), "rb");
             if (f != nullptr) {
@@ -393,13 +396,19 @@ class Engine {
                     size >= 0 &&
                     std::fread(buf.data(), 1, buf.size(), f) == buf.size();
                 std::fclose(f);
-                if (ok && load_cell(buf.data(), buf.size())) {
-                    auto it2 = cells_.find(key);
-                    if (it2 != cells_.end()) {
-                        it2->second->last_touch = batch_seq_;
-                        return it2->second.get();
-                    }
+                auto cell =
+                    ok ? parse_cell(buf.data(), buf.size(), &key) : nullptr;
+                if (!cell) {
+                    load_error_.store(true, std::memory_order_release);
+                    // keep the returned pointer valid for the in-flight
+                    // level; the latched error aborts the batch and
+                    // blocks every store write (see add_batch/save_all)
+                    return create_empty(h, idx);
                 }
+                cell->last_touch = batch_seq_;
+                CellState* raw = cell.get();
+                cells_.emplace(key, std::move(cell));
+                return raw;
             }
         }
         return create_empty(h, idx);
@@ -408,7 +417,8 @@ class Engine {
     // evict the coldest cells down to the budget; only safe between
     // batches (levels hold raw CellState pointers)
     void maybe_spill() {
-        if (cell_budget_ <= 0 || store_dir_.empty()) return;
+        if (cell_budget_ < 0 || store_dir_.empty()) return;
+        if (load_error_.load(std::memory_order_acquire)) return;
         int64_t n = num_cells();
         if (n <= cell_budget_) return;
         std::vector<std::pair<uint64_t, CellKey>> order;
@@ -721,6 +731,9 @@ class Engine {
         }
         max_level_ = std::max(max_level_, h);
         ++batch_seq_;
+        if (load_error_.load(std::memory_order_acquire)) {
+            return -1;  // corrupt store cell encountered during lazy load
+        }
         maybe_spill();
         return h;
     }
@@ -836,8 +849,15 @@ class Engine {
 
     // --- loading (core/cell.py from_bytes) -------------------------------
 
-    bool load_cell(const uint8_t* data, int64_t len) {
-        if (len < 48) return false;
+    // Parse one cell file into a standalone CellState; the cell only
+    // enters the registry on full success (a partial parse must never
+    // leave a half-built cell behind — and must never dangle, see the
+    // round-2 review's use-after-free finding). When ``expect`` is set,
+    // the file's (h, idx) must match it: a mismatched file would
+    // otherwise mutate another worker's shard from a pass-C thread.
+    std::unique_ptr<CellState> parse_cell(const uint8_t* data, int64_t len,
+                                          const CellKey* expect) {
+        if (len < 48) return nullptr;
         int64_t off = 0;
         auto get = [&](void* p, size_t n) -> bool {
             if (off + static_cast<int64_t>(n) > len) return false;
@@ -851,18 +871,18 @@ class Engine {
         if (!get(&h32, 4) || !get(idx.data(), 12) || !get(&total, 4) ||
             !get(&n_pts, 4) || !get(&n_overflow, 4) || !get(&size, 4) ||
             !get(&sub, 4) || !get(pos, 12)) {
-            return false;
+            return nullptr;
         }
-        // find-or-create WITHOUT the spill disk check: get_or_create
-        // calls load_cell for spilled cells (recursion otherwise)
-        CellState* c;
-        {
-            auto& shard = shards_[owner(static_cast<int32_t>(h32), idx)];
-            auto it = shard.find(CellKey{static_cast<int32_t>(h32), idx});
-            c = it != shard.end()
-                    ? it->second.get()
-                    : create_empty(static_cast<int32_t>(h32), idx);
+        if (expect != nullptr &&
+            !(static_cast<int32_t>(h32) == expect->h &&
+              idx == expect->idx)) {
+            return nullptr;
         }
+        auto cell = std::make_unique<CellState>();
+        CellState* c = cell.get();
+        c->h = static_cast<int32_t>(h32);
+        c->idx = idx;
+        c->last_touch = batch_seq_;
         c->size = size;
         c->sub_cell_size = sub;
         c->radius = sub / 2.0f;
@@ -873,42 +893,55 @@ class Engine {
 
         for (uint32_t i = 0; i < n_pts; ++i) {
             Point pt;
-            if (!get(&pt, 16)) return false;
+            if (!get(&pt, 16)) return nullptr;
             // re-derive slot + distance from the position (cell.rs:189-195)
             const pchex::HexResult hr = pchex::hex_quantize(
                 pt.p[0], pt.p[1], pt.p[2], c->radius);
             const Key3 s{hr.sub[0], hr.sub[1], hr.sub[2]};
             int64_t key;
             if (pack_slot_key(s, &key)) {
-                const size_t i = c->slots.find_or_vacant(key);
-                if (c->slots.key_at(i) == kEmptyKey) {
-                    c->slots.claim(i, key, hr.dist, pt);
+                const size_t slot = c->slots.find_or_vacant(key);
+                if (c->slots.key_at(slot) == kEmptyKey) {
+                    c->slots.claim(slot, key, hr.dist, pt);
                 }
             } else {
                 c->slots_oor.try_emplace(s, hr.dist, pt);
             }
         }
         uint8_t n_entries;
-        if (!get(&n_entries, 1)) return false;
+        if (!get(&n_entries, 1)) return nullptr;
         for (uint8_t i = 0; i < n_entries; ++i) {
             Key3 k;
             uint32_t count;
-            if (!get(k.data(), 12) || !get(&count, 4)) return false;
+            if (!get(k.data(), 12) || !get(&count, 4)) return nullptr;
             OverflowGroup g;
             if (count == 0) {
                 g.tombstone = true;
             } else {
                 g.pts.resize(count);
-                if (!get(g.pts.data(), 16ull * count)) return false;
+                if (!get(g.pts.data(), 16ull * count)) return nullptr;
             }
             c->overflow.emplace(k, std::move(g));
         }
+        return cell;
+    }
+
+    // C-ABI initial load (single-threaded callers): keyed by the file's
+    // own header; replaces any resident cell with that key
+    bool load_cell(const uint8_t* data, int64_t len) {
+        auto cell = parse_cell(data, len, nullptr);
+        if (!cell) return false;
+        const CellKey key{cell->h, cell->idx};
+        shards_[owner(key.h, key.idx)][key] = std::move(cell);
         return true;
     }
 
     // --- store writing ----------------------------------------------------
 
     int64_t save_all(const std::string& dir, int n_threads) {
+        if (load_error_.load(std::memory_order_acquire)) {
+            return -1;  // never overwrite a store we failed to read
+        }
         const double t0 = Profile::now();
         std::vector<const CellState*> cells;
         int32_t max_h = -1;
@@ -971,9 +1004,10 @@ class Engine {
     float sub_grid_dim_;
     int32_t max_level_ = 0;
     std::string store_dir_;
-    int64_t cell_budget_ = 0;
+    int64_t cell_budget_ = -1;  // < 0: unlimited (keep all cells in RAM)
     uint64_t batch_seq_ = 0;
     int64_t spill_errors_ = 0;
+    std::atomic<bool> load_error_{false};
     Profile prof_;
     // the cell registry, sharded by deterministic ownership so insert
     // workers never contend (and never rehash each other's tables)

@@ -91,7 +91,12 @@ class CellCache:
     def __init__(self, working_directory: Path,
                  capacity: int = DEFAULT_CACHE_SIZE, writer=None):
         self.working_directory = Path(working_directory)
-        self.capacity = capacity
+        # floor at 1: with capacity 0 a freshly loaded cell would evict
+        # (and save) BEFORE the caller's mutation, and the next get would
+        # reload the stale bytes — the same lost-update class the pin
+        # mechanism guards against. One resident cell is the minimum for
+        # the get-then-mutate contract.
+        self.capacity = max(1, capacity)
         self.writer = writer
         self._inflight: set[str] = set()
         self._cells: OrderedDict[CellId, Cell] = OrderedDict()

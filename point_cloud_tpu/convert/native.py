@@ -78,8 +78,10 @@ class NativeConverter:
         )
         # spilling doubles as lazy incremental merge (lib.rs:86-101): a
         # cell miss checks the store directory first, so an existing
-        # store's cells stream in on touch instead of loading up front
-        budget = cache_size if cache_size else DEFAULT_CACHE_SIZE
+        # store's cells stream in on touch instead of loading up front.
+        # cache_size=0 means "spill everything between batches" (matching
+        # Converter's literal interpretation), None means the default
+        budget = DEFAULT_CACHE_SIZE if cache_size is None else cache_size
         lib.pc_engine_set_spill(
             self._engine, str(self.working_directory).encode(), int(budget)
         )
@@ -99,6 +101,12 @@ class NativeConverter:
             col.ctypes.data_as(ctypes.c_void_p),
             len(batch),
         )
+        if levels < 0:
+            raise OSError(
+                "corrupt or mismatched cell file encountered while lazily "
+                "loading the existing store; conversion aborted (the store "
+                "is left untouched — no writes happen after a load error)"
+            )
         if levels > self.metadata.hierarchies:
             self.metadata.hierarchies = levels
 
@@ -121,7 +129,16 @@ class NativeConverter:
             self._engine, str(self.working_directory).encode(),
             self.n_threads,
         )
-        errors += self._lib.pc_engine_spill_errors(self._engine)
+        if errors < 0:
+            # a lazy-load error latched: refuse to overwrite the store
+            self._lib.pc_engine_destroy(self._engine)
+            self._engine = None
+            raise OSError(
+                "store save aborted: a corrupt cell file was encountered "
+                "during this conversion (store left as found)"
+            )
+        # NOTE: failed spills keep their cells resident, so a successful
+        # save_all supersedes transient spill errors
         # folders for every counted hierarchy (engine only creates levels
         # that hold cells; a merged store may count more)
         for h in range(self.metadata.hierarchies):

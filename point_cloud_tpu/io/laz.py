@@ -179,9 +179,11 @@ class LazChunkedStream:
             # LASzip streaming-writer convention: a writer that could not
             # seek back leaves -1 here and appends the real chunk-table
             # offset as the file's last 8 bytes
+            file_size = f.seek(0, 2)
             f.seek(-8, 2)
             (chunk_table_offset,) = struct.unpack("<q", f.read(8))
-            if chunk_table_offset < self._chunks_start:
+            if not (self._chunks_start <= chunk_table_offset
+                    <= file_size - 8):
                 raise ValueError(
                     "laszip chunk table offset invalid (streamed file "
                     "with a corrupt trailing offset)"

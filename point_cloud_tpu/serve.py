@@ -236,10 +236,11 @@ def make_handler(registry: StoreRegistry):
                     yaw = float(q.get("yaw", ["0"])[0])
                     pitch = float(q.get("pitch", ["-0.4"])[0])
                     dist = float(q["dist"][0]) if "dist" in q else None
+                    has_eye = any(k in q for k in ("px", "py", "pz"))
                     eye = (
                         [float(q["px"][0]), float(q["py"][0]),
                          float(q["pz"][0])]
-                        if "px" in q
+                        if has_eye  # any one present requires all three
                         else None
                     )
                     voronoi = (

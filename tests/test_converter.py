@@ -297,3 +297,29 @@ class TestOverflowCascade:
         assert len(h0_cells) == 1
         cell = Cell.from_path(h0_cells[0])
         assert any(v is None for v in cell.overflow.values())
+
+
+def test_zero_cache_size_matches_default(tmp_path):
+    """cache_size=0 floors to 1 resident cell: capacity 0 used to save a
+    freshly created cell before the caller mutated it, silently losing
+    every update (found by a round-2 verification probe)."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    n = 12_000
+    batch = PointBatch(
+        rng.uniform(-200, 200, (n, 3)).astype(np.float32),
+        rng.integers(0, 256, (n, 4)).astype(np.uint8),
+    )
+
+    def run(cache_size):
+        out = tmp_path / f"c{cache_size}"
+        with Converter(Metadata(), out, cache_size=cache_size) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        return {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in out.rglob("*") if p.is_file()
+        }
+
+    assert run(0) == run(65_536)

@@ -174,3 +174,29 @@ class TestEngineSpilling:
             with make(load_metadata(out), out, **kw) as conv:
                 conv.add_points_batch(b)
         assert_stores_equal(tmp_path / "host", tmp_path / "nat")
+
+    def test_corrupt_cell_aborts_without_store_writes(self, tmp_path):
+        """A corrupt cell file in an existing store must abort the merge
+        and leave every store file untouched (no silent data loss)."""
+        a = random_batch(4_000, seed=61)
+        out = tmp_path / "store"
+        with native_converter(load_metadata(out), out) as conv:
+            conv.add_points_batch(a)
+        before = store_files(out)
+
+        # truncate one cell mid-body (valid header, short points)
+        victim = next((out / "h_0").glob("*.bin"))
+        victim.write_bytes(victim.read_bytes()[:60])
+        before[str(victim.relative_to(out))] = victim.read_bytes()
+
+        b = random_batch(4_000, seed=62)
+        conv = native_converter(load_metadata(out), out, cache_size=4)
+        with pytest.raises(OSError, match="corrupt"):
+            conv.add_points_batch(b)
+            conv.close()
+        # a later close must also refuse to write
+        try:
+            conv.close()
+        except OSError:
+            pass
+        assert store_files(out) == before, "store was modified after a load error"
