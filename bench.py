@@ -78,10 +78,23 @@ def _convert_once(converter_cls, positions, colors, n_points) -> float:
     try:
         t0 = time.perf_counter()
         with converter_cls(Metadata(), out_dir) as conv:
+            # same read-ahead the convert_from_paths driver runs: batch
+            # k+1's device dispatch overlaps batch k's host/native merge
+            can_prefetch = hasattr(conv, "prefetch")
+            pending = None
             for i in range(0, n_points, BATCH):
-                conv.add_points_batch(
-                    PointBatch(positions[i : i + BATCH], colors[i : i + BATCH])
+                batch = PointBatch(
+                    positions[i : i + BATCH], colors[i : i + BATCH]
                 )
+                if can_prefetch:
+                    conv.prefetch(batch)
+                    if pending is not None:
+                        conv.add_points_batch(pending)
+                    pending = batch
+                else:
+                    conv.add_points_batch(batch)
+            if pending is not None:
+                conv.add_points_batch(pending)
         elapsed = time.perf_counter() - t0
         assert conv.metadata.number_of_points == n_points
         return elapsed
@@ -249,12 +262,22 @@ def bench_render_fps(positions, colors) -> float:
 
 def bench_tunnel_pipeline(positions, colors) -> float:
     """Device-backed end-to-end conversion through the host<->TPU link
-    (BENCH_r01's configuration), 1 Mi points."""
-    from point_cloud_tpu.convert.pipelined import PipelinedConverter
+    (BENCH_r01's configuration), 1 Mi points. Uses the fastest
+    device-backed backend: the device dedup pass + C++ merge engine
+    (convert/native_device.py); falls back to the Python-merge wavefront
+    when no C++ toolchain exists."""
+    from point_cloud_tpu.native import hex_lockstep_ok
+
+    if hex_lockstep_ok():  # same gate NativeDeviceConverter's ctor applies
+        from point_cloud_tpu.convert.native_device import (
+            NativeDeviceConverter as cls,
+        )
+    else:
+        from point_cloud_tpu.convert.pipelined import PipelinedConverter as cls
 
     n = 1 << 20
-    _convert_once(PipelinedConverter, positions, colors, n)  # compile/warm
-    elapsed = _convert_once(PipelinedConverter, positions, colors, n)
+    _convert_once(cls, positions, colors, n)  # compile/warm
+    elapsed = _convert_once(cls, positions, colors, n)
     return n / elapsed / 1e6
 
 

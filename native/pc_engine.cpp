@@ -506,6 +506,27 @@ class Engine {
     // one full cascade over all hierarchy levels; returns the number of
     // levels entered (max hierarchy + 1)
     int32_t add_batch(const float* pos, const uint8_t* col, int64_t n) {
+        const int32_t levels = cascade_from(0, pos, col, n);
+        if (end_batch() < 0) return -1;
+        return levels;
+    }
+
+    // end-of-batch bookkeeping shared by add_batch and the device-merge
+    // flow (pc_engine_merge_level callers invoke this once per outer
+    // batch); returns -1 when a lazy-load error latched during the batch
+    int32_t end_batch() {
+        ++batch_seq_;
+        if (load_error_.load(std::memory_order_acquire)) {
+            return -1;  // corrupt store cell encountered during lazy load
+        }
+        maybe_spill();
+        return 0;
+    }
+
+    // the cascade body, entered at hierarchy ``h0`` (the device-merge
+    // flow hands its sub-threshold tail here); does NOT end the batch
+    int32_t cascade_from(int32_t h0, const float* pos, const uint8_t* col,
+                         int64_t n) {
         std::vector<Point> level;
         level.resize(n);
         for (int64_t i = 0; i < n; ++i) {
@@ -513,9 +534,9 @@ class Engine {
             std::memcpy(level[i].rgba, col + 4 * i, 4);
         }
 
-        prof_.input_rows += n;
+        if (h0 == 0) prof_.input_rows += n;
         const size_t n_workers = shards_.size();
-        int32_t h = 0;
+        int32_t h = h0;
         std::vector<Key3> cidx, nidx;
         std::vector<int64_t> skey;
         std::vector<float> sdist;
@@ -696,46 +717,199 @@ class Engine {
             const double t1 = Profile::now();
             prof_.t_insert += t1 - t0b;
 
-            // pass D (parallel): overflow accounting per (cell, group) —
-            // once per level, each group in canonical record order
-            std::vector<std::vector<FlushGroup>> flushed_per(n_workers);
-            run_sharded(n_workers, m, [&](size_t t) {
-                for (CellState* c : touched[t]) {
-                    for (auto& [nidx, vec] : c->pending) {
-                        std::sort(vec.begin(), vec.end(), record_less);
-                        stage_group(c, nidx, std::move(vec),
-                                    &flushed_per[t]);
-                    }
-                    c->pending.clear();
-                }
-            });
-            const double t2 = Profile::now();
-            prof_.t_stage += t2 - t1;
-
-            // next level input: groups in global (cell, next) order
-            std::vector<FlushGroup> flushed;
-            for (auto& fg : flushed_per) {
-                for (FlushGroup& g : fg) flushed.push_back(std::move(g));
-            }
-            std::sort(flushed.begin(), flushed.end(),
-                      [](const FlushGroup& a, const FlushGroup& b) {
-                          if (a.cell != b.cell) return a.cell < b.cell;
-                          return a.next < b.next;
-                      });
-            level.clear();
-            for (FlushGroup& g : flushed) {
-                level.insert(level.end(), g.pts.begin(), g.pts.end());
-            }
-            prof_.t_concat += Profile::now() - t2;
+            stage_and_flush(touched, m, &level);
             ++h;
         }
         max_level_ = std::max(max_level_, h);
-        ++batch_seq_;
-        if (load_error_.load(std::memory_order_acquire)) {
-            return -1;  // corrupt store cell encountered during lazy load
-        }
-        maybe_spill();
         return h;
+    }
+
+    // pass D + flush: stage each touched cell's pending losers (each
+    // group sorted to canonical record order), then build the next
+    // level's input rows in global (cell, next) order. ``m`` (the level's
+    // row count) gates the thread-spawn break-even.
+    void stage_and_flush(std::vector<std::vector<CellState*>>& touched,
+                         size_t m, std::vector<Point>* out) {
+        const size_t n_workers = shards_.size();
+        const double t1 = Profile::now();
+        // pass D (parallel): overflow accounting per (cell, group) —
+        // once per level, each group in canonical record order
+        std::vector<std::vector<FlushGroup>> flushed_per(n_workers);
+        run_sharded(n_workers, m, [&](size_t t) {
+            for (CellState* c : touched[t]) {
+                for (auto& [nidx, vec] : c->pending) {
+                    std::sort(vec.begin(), vec.end(), record_less);
+                    stage_group(c, nidx, std::move(vec), &flushed_per[t]);
+                }
+                c->pending.clear();
+            }
+        });
+        const double t2 = Profile::now();
+        prof_.t_stage += t2 - t1;
+
+        // next level input: groups in global (cell, next) order
+        std::vector<FlushGroup> flushed;
+        for (auto& fg : flushed_per) {
+            for (FlushGroup& g : fg) flushed.push_back(std::move(g));
+        }
+        std::sort(flushed.begin(), flushed.end(),
+                  [](const FlushGroup& a, const FlushGroup& b) {
+                      if (a.cell != b.cell) return a.cell < b.cell;
+                      return a.next < b.next;
+                  });
+        out->clear();
+        for (FlushGroup& g : flushed) {
+            out->insert(out->end(), g.pts.begin(), g.pts.end());
+        }
+        prof_.t_concat += Profile::now() - t2;
+    }
+
+    // one device-deduped level: rows arrive in the device pass's sorted
+    // order (cell-grouped) with precomputed keys and batch-winner flags
+    // (convert/device.py step 1-2); winners LSM-merge against the stored
+    // slot grids (the strict-< displace rule of cell.rs:80), batch losers
+    // and displaced incumbents stage through the overflow accounting, and
+    // the flushed groups become the next level's input (readable via
+    // take_level). Returns the flushed row count, or -1 when a lazy-load
+    // error latched. The caller owns batch boundaries: call end_batch()
+    // once per outer batch (spill + error check).
+    int64_t merge_level(int32_t h, int64_t n, const float* pos,
+                        const uint8_t* col, const int32_t* cell_idx,
+                        const int32_t* sub_idx, const float* dist,
+                        const uint8_t* winner, const int32_t* next_idx) {
+        out_level_.clear();
+        const size_t m = static_cast<size_t>(n);
+        prof_.level_rows += n;
+        if (h == 0) prof_.input_rows += n;
+        const float cs = cell_size(h);
+        const float next_cs = cs / 2.0f;
+        const size_t n_workers = shards_.size();
+
+        std::vector<Point> level(m);
+        std::vector<Key3> cidx(m), nidx(m);
+        std::vector<int64_t> skey(m);
+        const double t0 = Profile::now();
+        run_parallel(n_workers, m, [&](size_t lo, size_t hi, size_t) {
+            for (size_t i = lo; i < hi; ++i) {
+                std::memcpy(level[i].p, pos + 3 * i, 12);
+                std::memcpy(level[i].rgba, col + 4 * i, 4);
+                cidx[i] = Key3{cell_idx[3 * i], cell_idx[3 * i + 1],
+                               cell_idx[3 * i + 2]};
+                nidx[i] = Key3{next_idx[3 * i], next_idx[3 * i + 1],
+                               next_idx[3 * i + 2]};
+                const Key3 sub{sub_idx[3 * i], sub_idx[3 * i + 1],
+                               sub_idx[3 * i + 2]};
+                int64_t key;
+                skey[i] = pack_slot_key(sub, &key) ? key : INT64_MIN;
+            }
+        });
+        const double t0b = Profile::now();
+        prof_.t_keys += t0b - t0;
+
+        // owner partition (same as cascade pass B)
+        std::vector<uint8_t> own;
+        std::vector<int64_t> order;
+        std::array<int64_t, 257> offsets{};
+        if (n_workers > 1) {
+            own.resize(m);
+            run_parallel(n_workers, m, [&](size_t lo, size_t hi, size_t) {
+                for (size_t i = lo; i < hi; ++i) {
+                    own[i] = static_cast<uint8_t>(owner(h, cidx[i]));
+                }
+            });
+            std::array<int64_t, 256> counts{};
+            for (size_t i = 0; i < m; ++i) counts[own[i]]++;
+            for (size_t t = 0; t < n_workers; ++t) {
+                offsets[t + 1] = offsets[t] + counts[t];
+            }
+            std::array<int64_t, 256> cursor{};
+            for (size_t t = 0; t < n_workers; ++t) cursor[t] = offsets[t];
+            order.resize(m);
+            for (size_t i = 0; i < m; ++i) {
+                order[cursor[own[i]]++] = static_cast<int64_t>(i);
+            }
+        } else {
+            offsets[1] = static_cast<int64_t>(m);
+        }
+
+        // winner merge + loser staging (pass C variant: only winners
+        // probe the slot tables; dist comes from the device, bit-identical
+        // to pchex — PERF.md "numerical parity")
+        std::vector<std::vector<CellState*>> touched(n_workers);
+        run_sharded(n_workers, m, [&](size_t t) {
+            constexpr int64_t kPD = 16;  // slot-probe prefetch depth
+            const bool direct = n_workers == 1;
+            CellState* last_cell = nullptr;
+            Key3 last_idx{};
+            std::vector<Point>* last_pending = nullptr;
+            Key3 last_pending_key{};
+            for (int64_t k = offsets[t]; k < offsets[t + 1]; ++k) {
+                const int64_t i = direct ? k : order[k];
+                const Point& pt = level[i];
+                if (last_cell == nullptr || !(cidx[i] == last_idx)) {
+                    last_cell = get_or_create(h, cidx[i]);
+                    last_idx = cidx[i];
+                    last_pending = nullptr;
+                }
+                CellState* c = last_cell;
+                if (k + kPD < offsets[t + 1]) {
+                    const int64_t j = direct ? k + kPD : order[k + kPD];
+                    if (winner[j] && skey[j] != INT64_MIN &&
+                        cidx[j] == last_idx) {
+                        c->slots.prefetch(skey[j]);
+                    }
+                }
+                Point loser;
+                Key3 nk;
+                if (winner[i]) {
+                    if (!insert_keyed(c, pt, skey[i], dist[i], &loser)) {
+                        continue;  // claimed a vacant slot: no loser
+                    }
+                    // a displaced incumbent's next index differs from the
+                    // newcomer's; recompute only then
+                    nk = loser.bits(0) == pt.bits(0) &&
+                                 loser.bits(1) == pt.bits(1) &&
+                                 loser.bits(2) == pt.bits(2)
+                             ? nidx[i]
+                             : Key3{pchex::cell_coord(loser.p[0], next_cs),
+                                    pchex::cell_coord(loser.p[1], next_cs),
+                                    pchex::cell_coord(loser.p[2], next_cs)};
+                } else {
+                    loser = pt;  // batch loser: straight to staging
+                    nk = nidx[i];
+                }
+                if (last_pending != nullptr && nk == last_pending_key) {
+                    last_pending->push_back(loser);
+                    continue;
+                }
+                auto [it, fresh] = c->pending.try_emplace(nk);
+                if (c->pending.size() == 1 && fresh) {
+                    touched[t].push_back(c);
+                }
+                it->second.push_back(loser);
+                last_pending = &it->second;
+                last_pending_key = nk;
+            }
+        });
+        const double t1 = Profile::now();
+        prof_.t_insert += t1 - t0b;
+
+        stage_and_flush(touched, m, &out_level_);
+        max_level_ = std::max(max_level_, h + 1);
+        if (load_error_.load(std::memory_order_acquire)) return -1;
+        return static_cast<int64_t>(out_level_.size());
+    }
+
+    // copy out (and release) the rows merge_level flushed
+    int64_t take_level(float* pos, uint8_t* col) {
+        const int64_t n = static_cast<int64_t>(out_level_.size());
+        for (int64_t i = 0; i < n; ++i) {
+            std::memcpy(pos + 3 * i, out_level_[i].p, 12);
+            std::memcpy(col + 4 * i, out_level_[i].rgba, 4);
+        }
+        out_level_.clear();
+        out_level_.shrink_to_fit();
+        return n;
     }
 
     // cell.rs:108-153 / core/cell.py add_points_in_overflow, exactly
@@ -1007,6 +1181,7 @@ class Engine {
     int64_t cell_budget_ = -1;  // < 0: unlimited (keep all cells in RAM)
     uint64_t batch_seq_ = 0;
     int64_t spill_errors_ = 0;
+    std::vector<Point> out_level_;  // merge_level -> take_level handoff
     std::atomic<bool> load_error_{false};
     Profile prof_;
     // the cell registry, sharded by deterministic ownership so insert
@@ -1053,6 +1228,29 @@ int64_t pc_engine_num_cells(void* e) {
 
 void pc_engine_set_spill(void* e, const char* dir, int64_t budget) {
     static_cast<Engine*>(e)->set_spill(dir, budget);
+}
+
+int32_t pc_engine_cascade_from(void* e, int32_t h, const float* pos,
+                               const uint8_t* col, int64_t n) {
+    return static_cast<Engine*>(e)->cascade_from(h, pos, col, n);
+}
+
+int64_t pc_engine_merge_level(void* e, int32_t h, int64_t n,
+                              const float* pos, const uint8_t* col,
+                              const int32_t* cell_idx,
+                              const int32_t* sub_idx, const float* dist,
+                              const uint8_t* winner,
+                              const int32_t* next_idx) {
+    return static_cast<Engine*>(e)->merge_level(
+        h, n, pos, col, cell_idx, sub_idx, dist, winner, next_idx);
+}
+
+int64_t pc_engine_take_level(void* e, float* pos, uint8_t* col) {
+    return static_cast<Engine*>(e)->take_level(pos, col);
+}
+
+int32_t pc_engine_end_batch(void* e) {
+    return static_cast<Engine*>(e)->end_batch();
 }
 
 int64_t pc_engine_spill_errors(void* e) {

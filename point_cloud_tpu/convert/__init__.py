@@ -10,9 +10,13 @@ from .pipeline import group_points_host, merge_point_maps  # noqa: F401
 
 
 def __getattr__(name):
-    # lazy: importing DeviceConverter pulls in jax
+    # lazy: importing these pulls in jax (and the native build)
     if name == "DeviceConverter":
         from .device import DeviceConverter
 
         return DeviceConverter
+    if name == "NativeDeviceConverter":
+        from .native_device import NativeDeviceConverter
+
+        return NativeDeviceConverter
     raise AttributeError(name)

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Run the whole cascade in the C++ engine (host-only, fastest "
              "when the accelerator link is thin; keeps all cells in RAM).",
     )
+    parser.add_argument(
+        "--device-native", action="store_true",
+        help="Device dedup pass + C++ merge engine: the TPU pipeline with "
+             "the per-level host half running natively (fastest device-"
+             "backed mode; see convert/native_device.py).",
+    )
     def positive_int(text: str) -> int:
         value = int(text)
         if value < 1:
@@ -110,6 +116,11 @@ def main(argv=None) -> int:
 
         factory = NativeConverter
         batch_size = batch_size or 1 << 18
+    elif args.device_native:
+        from .native_device import NativeDeviceConverter
+
+        factory = NativeDeviceConverter
+        batch_size = batch_size or 1 << 18
     elif args.mesh:
         from ..parallel.mesh_converter import make_mesh_converter_factory
 
@@ -123,7 +134,7 @@ def main(argv=None) -> int:
     else:
         batch_size = batch_size or DEFAULT_BATCH_SIZE
 
-    if args.device or args.mesh:
+    if args.device or args.mesh or args.device_native:
         from ..ops.runtime import setup_jax_cache
 
         setup_jax_cache()

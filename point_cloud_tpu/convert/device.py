@@ -63,8 +63,10 @@ def _row_boundaries(rows: np.ndarray) -> np.ndarray:
     return np.concatenate([[0], np.nonzero(change)[0] + 1])
 
 
-class DeviceConverter(Converter):
-    """Drop-in converter whose dedup math runs on the JAX default device."""
+class DevicePrefetchMixin:
+    """Cross-batch pipelining: dispatch the next batch's level-0 device
+    pass while the host merges the current one. Shared by the Python-cell
+    DeviceConverter and the engine-backed NativeDeviceConverter."""
 
     def prefetch(self, batch: PointBatch) -> None:
         """Dispatch the next batch's level-0 device pass asynchronously.
@@ -96,6 +98,10 @@ class DeviceConverter(Converter):
         if entry is not None and entry[0] is positions:
             return entry[1]
         return None
+
+
+class DeviceConverter(DevicePrefetchMixin, Converter):
+    """Drop-in converter whose dedup math runs on the JAX default device."""
 
     def add_points_batch(self, batch: PointBatch) -> None:
         self._update_bounding_box(batch)

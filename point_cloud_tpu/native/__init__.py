@@ -134,6 +134,24 @@ def load_native():
         ]
         lib.pc_engine_spill_errors.restype = ctypes.c_int64
         lib.pc_engine_spill_errors.argtypes = [ctypes.c_void_p]
+        lib.pc_engine_cascade_from.restype = ctypes.c_int32
+        lib.pc_engine_cascade_from.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.pc_engine_merge_level.restype = ctypes.c_int64
+        lib.pc_engine_merge_level.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.pc_engine_take_level.restype = ctypes.c_int64
+        lib.pc_engine_take_level.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pc_engine_end_batch.restype = ctypes.c_int32
+        lib.pc_engine_end_batch.argtypes = [ctypes.c_void_p]
         lib.pc_laz_decompress_chunk.restype = ctypes.c_int64
         lib.pc_laz_decompress_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,

@@ -175,6 +175,141 @@ class TestEngineSpilling:
                 conv.add_points_batch(b)
         assert_stores_equal(tmp_path / "host", tmp_path / "nat")
 
+def native_device_converter(*args, **kwargs):
+    from point_cloud_tpu.convert.native_device import NativeDeviceConverter
+
+    try:
+        return NativeDeviceConverter(*args, **kwargs)
+    except RuntimeError:
+        pytest.skip("no C++ toolchain")
+
+
+class TestNativeDeviceParity:
+    """Device dedup pass + C++ merge engine (pc_engine_merge_level):
+    stores must stay byte-identical to the host oracle across both the
+    per-level device-merge path and the native tail cascade."""
+
+    @pytest.fixture(params=[0, None], ids=["all_device_levels", "default"])
+    def threshold(self, request, monkeypatch):
+        """0 forces every level (even tiny tails) through merge_level;
+        None keeps the default, exercising the cascade_from tail."""
+        if request.param is not None:
+            from point_cloud_tpu.convert import native_device
+
+            monkeypatch.setattr(
+                native_device, "HOST_CASCADE_THRESHOLD", request.param
+            )
+        return request.param
+
+    @pytest.mark.parametrize(
+        "name,n,kwargs,config",
+        [
+            ("sparse", 10_000, dict(lo=-300, hi=300), MetadataConfig()),
+            ("dense", 30_000, dict(lo=-2, hi=2), MetadataConfig()),
+            (
+                "overflow",
+                5_000,
+                dict(lo=-0.5, hi=0.5),
+                MetadataConfig(cell_point_overflow_limit=40),
+            ),
+        ],
+    )
+    def test_store_byte_identical_to_host(self, tmp_path, threshold, name,
+                                          n, kwargs, config):
+        batch = random_batch(n, seed=hash(name) % 2**31, **kwargs)
+        with Converter(Metadata(config=dataclasses.replace(config)),
+                       tmp_path / "host") as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        with native_device_converter(
+            Metadata(config=dataclasses.replace(config)), tmp_path / "nd"
+        ) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        assert_stores_equal(tmp_path / "host", tmp_path / "nd")
+
+    def test_incremental_merge_parity(self, tmp_path, threshold):
+        a = random_batch(5_000, seed=21)
+        b = random_batch(5_000, seed=22, lo=-150, hi=150)
+        for make, d in [(Converter, "host"),
+                        (native_device_converter, "nd")]:
+            out = tmp_path / d
+            with make(load_metadata(out), out) as conv:
+                conv.add_points_batch(a)
+            with make(load_metadata(out), out) as conv:
+                conv.add_points_batch(b)
+        assert_stores_equal(tmp_path / "host", tmp_path / "nd")
+
+    def test_tiny_budget_byte_identical(self, tmp_path, threshold):
+        """Spilling composes with the device-merge path: cells evicted
+        between batches reload lazily inside merge_level workers."""
+        n = 20_000
+        batch = random_batch(n, seed=99, lo=-300, hi=300)
+        with Converter(Metadata(), tmp_path / "host", cache_size=2) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        with native_device_converter(
+            Metadata(), tmp_path / "nd", cache_size=2
+        ) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        assert_stores_equal(tmp_path / "host", tmp_path / "nd")
+
+    def test_prefetch_driver_loop(self, tmp_path, threshold):
+        """convert_from_paths drives prefetch (read-ahead batch) — the
+        engine-backed converter must pick dispatched level-0 passes up."""
+        from point_cloud_tpu.convert.converter import convert_from_paths
+        from point_cloud_tpu.convert.native_device import (
+            NativeDeviceConverter,
+        )
+        from point_cloud_tpu.io.ply import write_ply
+
+        batch = random_batch(12_000, seed=77, lo=-200, hi=200)
+        src = tmp_path / "cloud.ply"
+        write_ply(src, batch)
+        try:
+            convert_from_paths(
+                [src], tmp_path / "nd", batch_size=4_000,
+                converter_factory=NativeDeviceConverter,
+            )
+        except RuntimeError:
+            pytest.skip("no C++ toolchain")
+        with Converter(load_metadata(tmp_path / "host"),
+                       tmp_path / "host") as conv:
+            for i in range(0, 12_000, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        assert_stores_equal(tmp_path / "host", tmp_path / "nd")
+
+    def test_corrupt_cell_aborts_without_store_writes(self, tmp_path,
+                                                      threshold):
+        """The latched lazy-load error propagates through merge_level /
+        end_batch and blocks every store write."""
+        a = random_batch(4_000, seed=61)
+        out = tmp_path / "store"
+        with native_device_converter(load_metadata(out), out) as conv:
+            conv.add_points_batch(a)
+        before = store_files(out)
+
+        victim = next((out / "h_0").glob("*.bin"))
+        victim.write_bytes(victim.read_bytes()[:60])
+        before[str(victim.relative_to(out))] = victim.read_bytes()
+
+        b = random_batch(4_000, seed=62)
+        conv = native_device_converter(load_metadata(out), out,
+                                       cache_size=4)
+        with pytest.raises(OSError, match="corrupt"):
+            conv.add_points_batch(b)
+            conv.close()
+        try:
+            conv.close()
+        except OSError:
+            pass
+        assert store_files(out) == before, (
+            "store was modified after a load error"
+        )
+
+
+class TestEngineSpillingCorruption:
     def test_corrupt_cell_aborts_without_store_writes(self, tmp_path):
         """A corrupt cell file in an existing store must abort the merge
         and leave every store file untouched (no silent data loss)."""
