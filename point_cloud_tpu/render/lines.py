@@ -111,11 +111,16 @@ def rasterize_lines(
     view_proj: np.ndarray,
     samples_per_segment: int = 256,
 ) -> np.ndarray:
-    """Scan-convert world-space segments onto an (H, W, 3) image in place."""
+    """Scan-convert world-space segments onto an (H, W, 3) image in place.
+
+    ``color`` is float [0,1]; u8 images (the frame pipeline's native
+    output since the device-side resolve) get it scaled to 8-bit."""
     if len(segments) == 0:
         return image
     height, width = image.shape[:2]
     color = np.asarray(color, np.float32)
+    if image.dtype == np.uint8:
+        color = np.clip(color * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
     a = np.concatenate(
         [segments[:, 0], np.ones((len(segments), 1), np.float32)], axis=1

@@ -41,6 +41,10 @@ class RenderSettings:
     footprint: int = 5  # splat.py DEFAULT_FOOTPRINT rationale
     # per-hierarchy visibility toggles (debug plugin, src/plugins/debug.rs:344-371)
     hidden_hierarchies: set = field(default_factory=set)
+    # transfer the f32 depth plane to the host with every frame. RGB-only
+    # consumers (the PNG server, fps bench) turn this off: through a thin
+    # accelerator link the depth plane costs more than the u8 RGB image
+    transfer_depth: bool = True
 
 
 def hierarchy_tables(metadata: Metadata) -> tuple[np.ndarray, np.ndarray]:
@@ -280,4 +284,8 @@ class PointRenderer:
                 if visible_counts else 0
             ),
         }
-        return np.asarray(rgb), np.asarray(depth), stats
+        return (
+            np.asarray(rgb),
+            np.asarray(depth) if s.transfer_depth else None,
+            stats,
+        )

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 CLEAR_COLOR = (0.16, 0.16, 0.16)  # wgpu.rs:310-316
+# the same grey as an 8-bit pixel: round(0.16 * 255 + 0.5) — what
+# write_png produced from the f32 clear color before frames went u8
+CLEAR_COLOR_U8 = tuple(int(c * 255.0 + 0.5) for c in CLEAR_COLOR)
 CLEAR_DEPTH = 1.0
 # static KxK fragment window per splat. Each fragment costs ~30 ns in the
 # XLA scatter-min (PERF.md), so the footprint is the raster knob: 5 covers
@@ -143,14 +146,18 @@ def rasterize_splats(
 
 @partial(jax.jit, static_argnames=("height", "width"))
 def resolve_framebuffer(framebuffer: Framebuffer, colors, height: int, width: int):
-    """Framebuffer -> (rgb image (H, W, 3) f32, depth (H, W) f32).
+    """Framebuffer -> (rgb image (H, W, 3) u8, depth (H, W) f32).
 
-    ``colors`` is the (N, 4) u8 color table indexed by point id.
+    ``colors`` is the (N, 4) u8 color table indexed by point id. RGB
+    resolves to u8 *on device*: point pixels take the exact table color,
+    clear pixels the 8-bit wgpu clear grey (CLEAR_COLOR_U8) — identical
+    bytes to the old f32->PNG conversion at 1/4 the host-link traffic
+    (PERF.md: the frame readback rides a ~40 MB/s tunnel here).
     """
     hit = framebuffer.point_id != _NO_ID
     ids = jnp.where(hit, framebuffer.point_id, 0)
-    rgb = colors[ids, :3].astype(jnp.float32) / 255.0
-    clear = jnp.asarray(CLEAR_COLOR, jnp.float32)
+    rgb = colors[ids, :3]
+    clear = jnp.asarray(CLEAR_COLOR_U8, jnp.uint8)
     rgb = jnp.where(hit[:, None], rgb, clear[None, :])
     return (
         rgb.reshape(height, width, 3),

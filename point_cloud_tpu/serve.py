@@ -42,7 +42,11 @@ class StoreServer:
         self.store_dir = Path(store_dir)
         self.metadata = Metadata.from_path(self.store_dir / "metadata.json")
         self._render_lock = threading.Lock()
-        self._settings = RenderSettings(width=width, height=height)
+        # PNG frames need RGB only; skipping the f32 depth plane halves
+        # the per-frame device->host traffic (renderer.RenderSettings)
+        self._settings = RenderSettings(
+            width=width, height=height, transfer_depth=False
+        )
         self._renderer = PointRenderer(self.metadata, self._settings)
 
         def loader(cell_id):

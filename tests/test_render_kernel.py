@@ -314,7 +314,12 @@ class TestFullFrame:
         assert stats["points_visible"] > 0
         # some pixels covered (not all clear color / clear depth)
         assert (depth < 1.0).sum() > 50
-        assert np.abs(rgb - 0.16).max() > 0.1
+        assert rgb.dtype == np.uint8  # device-side u8 resolve
+        from point_cloud_tpu.render.splat import CLEAR_COLOR_U8
+
+        assert np.abs(
+            rgb.astype(np.int32) - CLEAR_COLOR_U8[0]
+        ).max() > 25  # not all clear grey
 
     def test_voronoi_vs_flat_depth_differs(self, tmp_path):
         import jax.numpy as jnp
