@@ -40,13 +40,24 @@ class NativeConverter:
     """Drop-in Converter backed by the C++ engine (native/pc_engine.cpp)."""
 
     def __init__(self, metadata: Metadata, working_directory,
-                 cache_size: int | None = None, n_threads: int = 8):
+                 cache_size: int | None = None,
+                 n_threads: int | None = None):
         # cache_size = cells kept in RAM (like the other converters'
         # LRU): beyond it the engine spills the coldest cells to their
         # store files between batches and reloads them lazily on touch —
         # results are identical at any size, only disk traffic changes
         from ..convert.converter import DEFAULT_CACHE_SIZE
         from ..native import load_native, hex_lockstep_ok
+
+        if n_threads is None:
+            # match the visible cores: the engine's cell shards are CPU-
+            # bound, and oversubscribing a small host costs ~12% in
+            # context switches (PERF.md, measured on the 1-core bench box)
+            import os
+
+            n_threads = min(8, len(os.sched_getaffinity(0))
+                            if hasattr(os, "sched_getaffinity")
+                            else os.cpu_count() or 1)
 
         lib = load_native()
         if lib is None:
