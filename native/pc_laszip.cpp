@@ -22,6 +22,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -1059,6 +1060,8 @@ class Rgb12v2 {
 
     void init(const U8* item) { std::memcpy(last_, item, 6); }
 
+    const U8* last() const { return last_; }
+
     void read(ArithmeticDecoder* dec, U8* item) {
         U16 r = 0, g = 0, b = 0;
         const U16 lr = get_u16(last_), lg = get_u16(last_ + 2),
@@ -1227,6 +1230,550 @@ class Byte2 {
     std::vector<U8> last_;
 };
 
+// =====================================================================
+// LASzip 3.x layered item codecs — LAS 1.4 point formats 6-10
+//
+// Chunk layout (the "layered chunked" scheme, LASzip VLR compressor 3):
+//   [raw first point][U32 byte count per layer][layer payloads],
+// layers in item order; POINT14 owns 9 layers (channel/returns/XY, Z,
+// classification, flags, intensity, scan angle, user data, point source,
+// GPS time), RGB14 one, RGBNIR14 two, WAVEPACKET14 one, BYTE14 one per
+// extra byte. Four decompression contexts keyed by the scanner channel;
+// a context is created on first use seeded from the active context's
+// last record, exactly once per chunk (models reset per chunk).
+//
+// Fidelity note: the layer framing, context machinery, changed-values
+// bit layout and field model shapes follow LASzip 3.4's
+// las{read,write}itemcompressed_v3; the return-count context tables and
+// the wavepacket layer reuse this file's v2 building blocks. Both
+// directions ship and round-trip losslessly in-tree; bit-level
+// certification against laszip-generated corpora is the documented
+// remaining step (no network egress here — docs/PARITY.md).
+
+// 16x16 extensions of the v2 8x8 return-context tables for the 4-bit
+// LAS 1.4 return counters: m buckets the (count, index) structure into 6
+// contexts, l is the |count - index| level clamped to 8 contexts.
+inline U32 map6ctx(U32 n, U32 r) {
+    if (n <= 1) return r <= 1 ? 0 : 5;  // single (or degenerate) return
+    if (r == 1) return 1;               // first of many
+    if (r >= n) return 2;               // last of many
+    if (r == 2) return 3;               // early intermediate
+    if (2 * r <= n) return 4;           // first half
+    return 5;                           // second half
+}
+inline U32 level8ctx(U32 n, U32 r) {
+    const I32 d = static_cast<I32>(n) - static_cast<I32>(r);
+    const U32 a = static_cast<U32>(d < 0 ? -d : d);
+    return a > 7 ? 7 : a;
+}
+
+// POINT14 record accessors (LAS 1.4, 30 bytes):
+//   X i32 @0, Y i32 @4, Z i32 @8, intensity u16 @12,
+//   @14: return number (bits 0-3) | number of returns (bits 4-7),
+//   @15: classification flags (0-3) | scanner channel (4-5) |
+//        scan direction (6) | edge of flight line (7),
+//   classification u8 @16, user data u8 @17, scan angle i16 @18,
+//   point source id u16 @20, GPS time f64 @22.
+
+class Point14v3 {
+  public:
+    static constexpr int kNumLayers = 9;
+    enum Layer {
+        kLxy = 0, kLz, kLcls, kLflags, kLint, kLscan, kLuser, kLpsid,
+        kLgps,
+    };
+
+    ~Point14v3() {
+        for (auto& c : ctx_) {
+            if (c == nullptr) continue;
+            for (auto*& m : c->classification) delete m;
+            for (auto*& m : c->flags) delete m;
+            for (auto*& m : c->user_data) delete m;
+        }
+    }
+
+    void init(const U8* item) {
+        current_ = (item[15] >> 4) & 3;
+        ctx_init(current_, item);
+    }
+
+    U32 context() const { return current_; }
+
+    void read(ArithmeticDecoder* const* dec, U8* item) {
+        Ctx* c = ctx_[current_].get();
+        const U8* last = c->last;
+        const U32 last_rn = last[14] & 15;
+        const U32 last_nr = (last[14] >> 4) & 15;
+        const U32 lpr = (last_rn == 1 ? 1 : 0) |
+                        (last_rn >= last_nr ? 2 : 0) |
+                        (c->last_gps_changed ? 4 : 0);
+        const U32 changed =
+            dec[kLxy]->decode_symbol(&c->changed_values[lpr]);
+        if (changed & 64) {  // scanner channel switch
+            const U32 diff = dec[kLxy]->decode_symbol(&c->scanner_channel);
+            const U32 cc = (current_ + diff + 1) & 3;
+            if (ctx_[cc] == nullptr) ctx_init(cc, c->last);
+            current_ = cc;
+            c = ctx_[cc].get();
+            last = c->last;
+        }
+        const U32 l_rn = last[14] & 15;
+        const U32 l_nr = (last[14] >> 4) & 15;
+        const bool gps_changed = (changed & 16) != 0;
+
+        U32 nr = l_nr;
+        if (changed & 4) {
+            nr = dec[kLxy]->decode_symbol(&c->number_of_returns[l_nr]);
+        }
+        U32 rn;
+        switch (changed & 3) {
+            case 0: rn = l_rn; break;
+            case 1: rn = (l_rn + 1) & 15; break;
+            case 2: rn = (l_rn + 15) & 15; break;
+            default:
+                rn = gps_changed
+                         ? dec[kLxy]->decode_symbol(&c->return_number[l_rn])
+                         : (l_rn +
+                            dec[kLxy]->decode_symbol(
+                                &c->return_number_gps_same) +
+                            2) &
+                               15;
+                break;
+        }
+        const U32 m = map6ctx(nr, rn);
+        const U32 l = level8ctx(nr, rn);
+        const U32 mi = (m << 1) | (gps_changed ? 1 : 0);
+        const U32 cpr = ((rn == 1 ? 1u : 0u) << 1) | (rn >= nr ? 1u : 0u);
+
+        // X/Y from the channel/returns/XY layer (median-of-5 prediction)
+        I32 median = c->median_x[mi].get();
+        I32 diff = c->ic_dX.decompress(dec[kLxy], median, nr == 1);
+        const I32 x = get_i32(last) + diff;
+        c->median_x[mi].add(diff);
+        U32 k_bits = c->ic_dX.k();
+        median = c->median_y[mi].get();
+        diff = c->ic_dY.decompress(
+            dec[kLxy], median,
+            (nr == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20));
+        const I32 y = get_i32(last + 4) + diff;
+        c->median_y[mi].add(diff);
+        // Z layer
+        k_bits = (c->ic_dX.k() + c->ic_dY.k()) / 2;
+        const I32 z = c->ic_Z.decompress(
+            dec[kLz], c->last_z[l],
+            (nr == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18));
+        c->last_z[l] = z;
+        // classification layer
+        const U32 ci = (cpr << 5) | (last[16] & 31);
+        const U8 cls = static_cast<U8>(dec[kLcls]->decode_symbol(
+            lazy(&c->classification[ci], 256)));
+        // flags layer: the 6 non-channel bits of byte 15
+        const U32 lf =
+            (last[15] & 0x0F) | ((last[15] >> 6) & 3) << 4;
+        const U32 f =
+            dec[kLflags]->decode_symbol(lazy(&c->flags[lf], 64));
+        const U8 b15 = static_cast<U8>(
+            (f & 0x0F) | (current_ << 4) | ((f >> 4) & 3) << 6);
+        // intensity layer
+        const U32 ii = (cpr << 1) | (gps_changed ? 1 : 0);
+        const U16 intensity = static_cast<U16>(c->ic_intensity.decompress(
+            dec[kLint], c->last_intensity[ii], cpr));
+        c->last_intensity[ii] = intensity;
+        // scan angle layer
+        U16 scan_angle = get_u16(last + 18);
+        if (changed & 8) {
+            scan_angle = static_cast<U16>(c->ic_scan_angle.decompress(
+                dec[kLscan], scan_angle, gps_changed ? 1 : 0));
+        }
+        // user data layer
+        const U8 user = static_cast<U8>(dec[kLuser]->decode_symbol(
+            lazy(&c->user_data[last[17] >> 2], 256)));
+        // point source layer
+        U16 psid = get_u16(last + 20);
+        if (changed & 32) {
+            psid = static_cast<U16>(
+                c->ic_psid.decompress(dec[kLpsid], psid, 0));
+        }
+        // GPS time layer (the v2 sequence-tracking scheme per context)
+        U8 gps[8];
+        std::memcpy(gps, last + 22, 8);
+        if (gps_changed) c->gps.read(dec[kLgps], gps);
+        c->last_gps_changed = gps_changed;
+
+        put_i32(item, x);
+        put_i32(item + 4, y);
+        put_i32(item + 8, z);
+        put_u16(item + 12, intensity);
+        item[14] = static_cast<U8>(rn | (nr << 4));
+        item[15] = b15;
+        item[16] = cls;
+        item[17] = user;
+        put_u16(item + 18, scan_angle);
+        put_u16(item + 20, psid);
+        std::memcpy(item + 22, gps, 8);
+        std::memcpy(c->last, item, 30);
+    }
+
+    void write(ArithmeticEncoder* const* enc, const U8* item) {
+        Ctx* c = ctx_[current_].get();
+        const U32 last_rn = c->last[14] & 15;
+        const U32 last_nr = (c->last[14] >> 4) & 15;
+        const U32 lpr = (last_rn == 1 ? 1 : 0) |
+                        (last_rn >= last_nr ? 2 : 0) |
+                        (c->last_gps_changed ? 4 : 0);
+
+        const U32 cc = (item[15] >> 4) & 3;
+        const bool channel_changed = cc != current_;
+        // the changed-values symbol is coded with the OLD context's
+        // model, but every field compares against the NEW context's last
+        // record (the decoder switches before applying them)
+        Ctx* target = c;
+        if (channel_changed) {
+            if (ctx_[cc] == nullptr) ctx_init(cc, c->last);
+            target = ctx_[cc].get();
+        }
+        const U8* last = target->last;
+        const U32 l_rn = last[14] & 15;
+        const U32 l_nr = (last[14] >> 4) & 15;
+        const U32 rn = item[14] & 15;
+        const U32 nr = (item[14] >> 4) & 15;
+        const bool gps_changed =
+            std::memcmp(item + 22, last + 22, 8) != 0;
+        const bool nr_changed = nr != l_nr;
+        const bool scan_changed =
+            get_u16(item + 18) != get_u16(last + 18);
+        const bool psid_changed =
+            get_u16(item + 20) != get_u16(last + 20);
+        U32 rn_mode;
+        if (rn == l_rn) {
+            rn_mode = 0;
+        } else if (rn == ((l_rn + 1) & 15)) {
+            rn_mode = 1;
+        } else if (rn == ((l_rn + 15) & 15)) {
+            rn_mode = 2;
+        } else {
+            rn_mode = 3;
+        }
+        const U32 changed = (channel_changed ? 64 : 0) |
+                            (psid_changed ? 32 : 0) |
+                            (gps_changed ? 16 : 0) |
+                            (scan_changed ? 8 : 0) |
+                            (nr_changed ? 4 : 0) | rn_mode;
+        enc[kLxy]->encode_symbol(&c->changed_values[lpr], changed);
+        if (channel_changed) {
+            enc[kLxy]->encode_symbol(&c->scanner_channel,
+                                     (cc - current_ - 1) & 3);
+            current_ = cc;
+            c = target;
+        }
+        if (nr_changed) {
+            enc[kLxy]->encode_symbol(&c->number_of_returns[l_nr], nr);
+        }
+        if (rn_mode == 3) {
+            if (gps_changed) {
+                enc[kLxy]->encode_symbol(&c->return_number[l_rn], rn);
+            } else {
+                enc[kLxy]->encode_symbol(&c->return_number_gps_same,
+                                         (rn - l_rn - 2) & 15);
+            }
+        }
+        const U32 m = map6ctx(nr, rn);
+        const U32 l = level8ctx(nr, rn);
+        const U32 mi = (m << 1) | (gps_changed ? 1 : 0);
+        const U32 cpr = ((rn == 1 ? 1u : 0u) << 1) | (rn >= nr ? 1u : 0u);
+
+        I32 median = c->median_x[mi].get();
+        I32 diff = get_i32(item) - get_i32(last);
+        c->ic_dX.compress(enc[kLxy], median, diff, nr == 1);
+        c->median_x[mi].add(diff);
+        U32 k_bits = c->ic_dX.k();
+        median = c->median_y[mi].get();
+        diff = get_i32(item + 4) - get_i32(last + 4);
+        c->ic_dY.compress(enc[kLxy], median, diff,
+                          (nr == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20));
+        c->median_y[mi].add(diff);
+        k_bits = (c->ic_dX.k() + c->ic_dY.k()) / 2;
+        c->ic_Z.compress(enc[kLz], c->last_z[l], get_i32(item + 8),
+                         (nr == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18));
+        c->last_z[l] = get_i32(item + 8);
+
+        const U32 ci = (cpr << 5) | (last[16] & 31);
+        enc[kLcls]->encode_symbol(lazy(&c->classification[ci], 256),
+                                  item[16]);
+        const U32 lf = (last[15] & 0x0F) | ((last[15] >> 6) & 3) << 4;
+        const U32 f = (item[15] & 0x0F) | ((item[15] >> 6) & 3) << 4;
+        enc[kLflags]->encode_symbol(lazy(&c->flags[lf], 64), f);
+        const U32 ii = (cpr << 1) | (gps_changed ? 1 : 0);
+        c->ic_intensity.compress(enc[kLint], c->last_intensity[ii],
+                                 get_u16(item + 12), cpr);
+        c->last_intensity[ii] = get_u16(item + 12);
+        if (scan_changed) {
+            c->ic_scan_angle.compress(enc[kLscan], get_u16(last + 18),
+                                      get_u16(item + 18),
+                                      gps_changed ? 1 : 0);
+        }
+        enc[kLuser]->encode_symbol(lazy(&c->user_data[last[17] >> 2], 256),
+                                   item[17]);
+        if (psid_changed) {
+            c->ic_psid.compress(enc[kLpsid], get_u16(last + 20),
+                                get_u16(item + 20), 0);
+        }
+        if (gps_changed) c->gps.write(enc[kLgps], item + 22);
+        c->last_gps_changed = gps_changed;
+        std::memcpy(c->last, item, 30);
+    }
+
+  private:
+    struct Ctx {
+        Ctx()
+            : changed_values{ArithmeticModel(128), ArithmeticModel(128),
+                             ArithmeticModel(128), ArithmeticModel(128),
+                             ArithmeticModel(128), ArithmeticModel(128),
+                             ArithmeticModel(128), ArithmeticModel(128)},
+              scanner_channel(3),
+              number_of_returns{
+                  ArithmeticModel(16), ArithmeticModel(16),
+                  ArithmeticModel(16), ArithmeticModel(16),
+                  ArithmeticModel(16), ArithmeticModel(16),
+                  ArithmeticModel(16), ArithmeticModel(16),
+                  ArithmeticModel(16), ArithmeticModel(16),
+                  ArithmeticModel(16), ArithmeticModel(16),
+                  ArithmeticModel(16), ArithmeticModel(16),
+                  ArithmeticModel(16), ArithmeticModel(16)},
+              return_number{ArithmeticModel(16), ArithmeticModel(16),
+                            ArithmeticModel(16), ArithmeticModel(16),
+                            ArithmeticModel(16), ArithmeticModel(16),
+                            ArithmeticModel(16), ArithmeticModel(16),
+                            ArithmeticModel(16), ArithmeticModel(16),
+                            ArithmeticModel(16), ArithmeticModel(16),
+                            ArithmeticModel(16), ArithmeticModel(16),
+                            ArithmeticModel(16), ArithmeticModel(16)},
+              return_number_gps_same(16),
+              ic_dX(32, 2),
+              ic_dY(32, 22),
+              ic_Z(32, 20),
+              ic_intensity(16, 4),
+              ic_scan_angle(16, 2),
+              ic_psid(16, 1) {
+            for (auto& s : median_x) s.init();
+            for (auto& s : median_y) s.init();
+            for (auto& z : last_z) z = 0;
+            for (auto& i : last_intensity) i = 0;
+            for (auto*& p : classification) p = nullptr;
+            for (auto*& p : flags) p = nullptr;
+            for (auto*& p : user_data) p = nullptr;
+        }
+        U8 last[30];
+        bool last_gps_changed = false;
+        ArithmeticModel changed_values[8];
+        ArithmeticModel scanner_channel;
+        ArithmeticModel number_of_returns[16];
+        ArithmeticModel return_number[16];
+        ArithmeticModel return_number_gps_same;
+        IntegerCompressor ic_dX, ic_dY, ic_Z;
+        IntegerCompressor ic_intensity, ic_scan_angle, ic_psid;
+        StreamingMedian5 median_x[12], median_y[12];
+        I32 last_z[8];
+        U16 last_intensity[8];
+        ArithmeticModel* classification[64];
+        ArithmeticModel* flags[64];
+        ArithmeticModel* user_data[64];
+        GpsTime11v2 gps;
+    };
+
+    static ArithmeticModel* lazy(ArithmeticModel** slot, U32 syms) {
+        if (*slot == nullptr) *slot = new ArithmeticModel(syms);
+        return *slot;
+    }
+
+    void ctx_init(U32 cc, const U8* seed) {
+        ctx_[cc] = std::make_unique<Ctx>();
+        std::memcpy(ctx_[cc]->last, seed, 30);
+        ctx_[cc]->gps.init(seed + 22);
+    }
+
+    std::unique_ptr<Ctx> ctx_[4];
+    U32 current_ = 0;
+};
+
+// RGB14: the v2 RGB scheme with one state per scanner-channel context,
+// coded into a single layer
+class Rgb14v3 {
+  public:
+    static constexpr int kNumLayers = 1;
+
+    void init(const U8* item, U32 context) {
+        current_ = context;
+        ctx_init(context, item);
+    }
+
+    void read(ArithmeticDecoder* dec, U8* item, U32 context) {
+        sync(context);
+        ctx_[current_]->read(dec, item);
+    }
+
+    void write(ArithmeticEncoder* enc, const U8* item, U32 context) {
+        sync(context);
+        ctx_[current_]->write(enc, item);
+    }
+
+  private:
+    void ctx_init(U32 cc, const U8* seed) {
+        ctx_[cc] = std::make_unique<Rgb12v2>();
+        ctx_[cc]->init(seed);
+    }
+    void sync(U32 context) {
+        if (context == current_) return;
+        if (ctx_[context] == nullptr) {
+            // seed from the active context's last RGB with fresh models
+            // (mirrors POINT14's context creation — both sides derive
+            // the same state)
+            ctx_init(context, ctx_[current_]->last());
+        }
+        current_ = context;
+    }
+    std::unique_ptr<Rgb12v2> ctx_[4];
+    U32 current_ = 0;
+};
+
+// NIR channel of RGBNIR14: 16-bit near-infrared, byte-diff coded like one
+// RGB channel, own layer
+class Nir14v3 {
+  public:
+    void init(const U8* item, U32 context) {
+        current_ = context;
+        ctx_init(context, get_u16(item));
+    }
+
+    U16 read(ArithmeticDecoder* dec, U32 context) {
+        sync(context);
+        Ctx& c = *ctx_[current_];
+        const U32 sym = dec->decode_symbol(&c.used);
+        U16 nir = c.last;
+        if (sym & 1) {
+            const U32 corr = dec->decode_symbol(&c.diff_lo);
+            nir = (nir & 0xFF00) |
+                  u8_fold(static_cast<I32>(corr) + (c.last & 0xFF));
+        }
+        if (sym & 2) {
+            const U32 corr = dec->decode_symbol(&c.diff_hi);
+            nir = (nir & 0x00FF) |
+                  (static_cast<U16>(
+                       u8_fold(static_cast<I32>(corr) + (c.last >> 8)))
+                   << 8);
+        }
+        c.last = nir;
+        return nir;
+    }
+
+    void write(ArithmeticEncoder* enc, U16 nir, U32 context) {
+        sync(context);
+        Ctx& c = *ctx_[current_];
+        const bool lo = (nir & 0xFF) != (c.last & 0xFF);
+        const bool hi = (nir >> 8) != (c.last >> 8);
+        enc->encode_symbol(&c.used, (lo ? 1 : 0) | (hi ? 2 : 0));
+        if (lo) {
+            enc->encode_symbol(
+                &c.diff_lo,
+                u8_fold(static_cast<I32>(nir & 0xFF) - (c.last & 0xFF)));
+        }
+        if (hi) {
+            enc->encode_symbol(
+                &c.diff_hi,
+                u8_fold(static_cast<I32>(nir >> 8) - (c.last >> 8)));
+        }
+        c.last = nir;
+    }
+
+  private:
+    struct Ctx {
+        explicit Ctx(U16 seed) : used(4), diff_lo(256), diff_hi(256),
+                                 last(seed) {}
+        ArithmeticModel used, diff_lo, diff_hi;
+        U16 last;
+    };
+    void ctx_init(U32 cc, U16 seed) {
+        ctx_[cc] = std::make_unique<Ctx>(seed);
+    }
+    void sync(U32 context) {
+        if (context == current_) return;
+        if (ctx_[context] == nullptr) {
+            ctx_init(context, ctx_[current_]->last);
+        }
+        current_ = context;
+    }
+    std::unique_ptr<Ctx> ctx_[4];
+    U32 current_ = 0;
+};
+
+// BYTE14 / WAVEPACKET14: per-byte delta models with one state per
+// scanner-channel context. BYTE14 puts each byte in its own layer (the
+// LASzip 3 selective-decompression unit); WAVEPACKET14 codes its 29
+// bytes into one layer (simplified vs laszip's structured wavepacket
+// models — lossless, flagged for certification).
+class Bytes14v3 {
+  public:
+    Bytes14v3(U32 n, bool layer_per_byte)
+        : n_(n), layer_per_byte_(layer_per_byte) {}
+
+    U32 num_layers() const { return layer_per_byte_ ? n_ : 1; }
+
+    void init(const U8* item, U32 context) {
+        current_ = context;
+        ctx_init(context, item);
+    }
+
+    void read(ArithmeticDecoder* const* dec, U8* item, U32 context) {
+        sync(context);
+        Ctx& c = *ctx_[current_];
+        for (U32 i = 0; i < n_; ++i) {
+            ArithmeticDecoder* d = dec[layer_per_byte_ ? i : 0];
+            const U32 sym = d->decode_symbol(&c.models[i]);
+            item[i] = u8_fold(static_cast<I32>(sym) + c.last[i]);
+        }
+        std::memcpy(c.last.data(), item, n_);
+    }
+
+    void write(ArithmeticEncoder* const* enc, const U8* item,
+               U32 context) {
+        sync(context);
+        Ctx& c = *ctx_[current_];
+        for (U32 i = 0; i < n_; ++i) {
+            ArithmeticEncoder* e = enc[layer_per_byte_ ? i : 0];
+            e->encode_symbol(
+                &c.models[i],
+                u8_fold(static_cast<I32>(item[i]) - c.last[i]));
+        }
+        std::memcpy(c.last.data(), item, n_);
+    }
+
+  private:
+    struct Ctx {
+        explicit Ctx(U32 n) {
+            for (U32 i = 0; i < n; ++i) models.emplace_back(256);
+            last.assign(n, 0);
+        }
+        std::vector<ArithmeticModel> models;
+        std::vector<U8> last;
+    };
+    void ctx_init(U32 cc, const U8* seed) {
+        ctx_[cc] = std::make_unique<Ctx>(n_);
+        std::memcpy(ctx_[cc]->last.data(), seed, n_);
+    }
+    void sync(U32 context) {
+        if (context == current_) return;
+        if (ctx_[context] == nullptr) {
+            ctx_[context] = std::make_unique<Ctx>(n_);
+            ctx_[context]->last = ctx_[current_]->last;
+        }
+        current_ = context;
+    }
+    U32 n_;
+    bool layer_per_byte_;
+    std::unique_ptr<Ctx> ctx_[4];
+    U32 current_ = 0;
+};
+
 // ---------------------------------------------------------------------
 // chunk codec: item dispatch
 
@@ -1235,6 +1782,11 @@ constexpr U16 kItemByte = 0;
 constexpr U16 kItemPoint10 = 6;
 constexpr U16 kItemGpsTime11 = 7;
 constexpr U16 kItemRgb12 = 8;
+constexpr U16 kItemPoint14 = 10;
+constexpr U16 kItemRgb14 = 11;
+constexpr U16 kItemRgbNir14 = 12;
+constexpr U16 kItemWavePacket14 = 13;
+constexpr U16 kItemByte14 = 14;
 
 struct ItemSet {
     Point10v2* point10 = nullptr;
@@ -1408,6 +1960,274 @@ int64_t pc_laz_compress_chunk(const uint8_t* in, int64_t n_points,
     if (stride + static_cast<I64>(coded.size()) > out_cap) return -1;
     std::memcpy(out + stride, coded.data(), coded.size());
     return stride + static_cast<I64>(coded.size());
+}
+
+// --- LASzip 3.x layered chunks (LAS 1.4 formats 6-10) -----------------
+
+namespace {
+
+// per-item layer counts; returns -1 on an unsupported item list (POINT14
+// must lead — it owns the scanner-channel context the other items follow)
+I64 validate14(const U16* types, const U16* sizes, int n, I64* stride,
+               U32* n_layers) {
+    *stride = 0;
+    *n_layers = 0;
+    if (n < 1 || types[0] != kItemPoint14) return -1;
+    for (int i = 0; i < n; ++i) {
+        switch (types[i]) {
+            case kItemPoint14:
+                if (i != 0 || sizes[i] != 30) return -1;
+                *n_layers += Point14v3::kNumLayers;
+                break;
+            case kItemRgb14:
+                if (sizes[i] != 6) return -1;
+                *n_layers += 1;
+                break;
+            case kItemRgbNir14:
+                if (sizes[i] != 8) return -1;
+                *n_layers += 2;  // rgb + nir
+                break;
+            case kItemWavePacket14:
+                if (sizes[i] != 29) return -1;
+                *n_layers += 1;
+                break;
+            case kItemByte14:
+                if (sizes[i] < 1) return -1;
+                *n_layers += sizes[i];  // one layer per extra byte
+                break;
+            default:
+                return -1;
+        }
+        *stride += sizes[i];
+    }
+    return 0;
+}
+
+struct ItemSet14 {
+    Point14v3 point;
+    std::unique_ptr<Rgb14v3> rgb;
+    std::unique_ptr<Nir14v3> nir;
+    std::unique_ptr<Bytes14v3> wavepacket;
+    std::unique_ptr<Bytes14v3> bytes;
+};
+
+}  // namespace
+
+// Decompress one layered chunk: `in` = [raw first point][u32 per-layer
+// byte counts][layer payloads]. Returns bytes consumed, or -1 on
+// unsupported items / truncated input.
+int64_t pc_laz14_decompress_chunk(const uint8_t* in, int64_t in_len,
+                                  const uint16_t* item_types,
+                                  const uint16_t* item_sizes, int n_items,
+                                  int64_t n_points, uint8_t* out) {
+    I64 stride;
+    U32 n_layers;
+    if (validate14(item_types, item_sizes, n_items, &stride, &n_layers) <
+            0 ||
+        n_points < 1 || in_len < stride) {
+        return -1;
+    }
+    std::memcpy(out, in, stride);  // raw first point
+    if (n_points == 1) return stride + 4 * n_layers;
+
+    if (in_len < stride + 4 * static_cast<I64>(n_layers)) return -1;
+    std::vector<U32> layer_len(n_layers);
+    I64 off = stride;
+    I64 total = 0;
+    for (U32 i = 0; i < n_layers; ++i) {
+        std::memcpy(&layer_len[i], in + off, 4);
+        off += 4;
+        total += layer_len[i];
+    }
+    if (in_len < off + total) return -1;
+    std::vector<std::unique_ptr<ArithmeticDecoder>> owners;
+    std::vector<ArithmeticDecoder*> dec;
+    owners.reserve(n_layers);
+    dec.reserve(n_layers);
+    for (U32 i = 0; i < n_layers; ++i) {
+        owners.push_back(
+            std::make_unique<ArithmeticDecoder>(in + off, layer_len[i]));
+        dec.push_back(owners.back().get());
+        off += layer_len[i];
+    }
+
+    ItemSet14 set;
+    {
+        const U8* p = out;
+        for (int i = 0; i < n_items; ++i) {
+            switch (item_types[i]) {
+                case kItemPoint14:
+                    set.point.init(p);
+                    break;
+                case kItemRgb14:
+                    set.rgb = std::make_unique<Rgb14v3>();
+                    set.rgb->init(p, set.point.context());
+                    break;
+                case kItemRgbNir14:
+                    set.rgb = std::make_unique<Rgb14v3>();
+                    set.rgb->init(p, set.point.context());
+                    set.nir = std::make_unique<Nir14v3>();
+                    set.nir->init(p + 6, set.point.context());
+                    break;
+                case kItemWavePacket14:
+                    set.wavepacket =
+                        std::make_unique<Bytes14v3>(29, false);
+                    set.wavepacket->init(p, set.point.context());
+                    break;
+                case kItemByte14:
+                    set.bytes =
+                        std::make_unique<Bytes14v3>(item_sizes[i], true);
+                    set.bytes->init(p, set.point.context());
+                    break;
+            }
+            p += item_sizes[i];
+        }
+    }
+    for (I64 k = 1; k < n_points; ++k) {
+        U8* p = out + k * stride;
+        U32 layer = 0;
+        for (int i = 0; i < n_items; ++i) {
+            // the non-POINT14 items follow the context POINT14 just
+            // switched to for this point (POINT14 leads, validated)
+            switch (item_types[i]) {
+                case kItemPoint14:
+                    set.point.read(dec.data() + layer, p);
+                    layer += Point14v3::kNumLayers;
+                    break;
+                case kItemRgb14:
+                    set.rgb->read(dec[layer], p, set.point.context());
+                    layer += 1;
+                    break;
+                case kItemRgbNir14:
+                    set.rgb->read(dec[layer], p, set.point.context());
+                    put_u16(p + 6, set.nir->read(dec[layer + 1],
+                                                 set.point.context()));
+                    layer += 2;
+                    break;
+                case kItemWavePacket14:
+                    set.wavepacket->read(dec.data() + layer, p,
+                                         set.point.context());
+                    layer += 1;
+                    break;
+                case kItemByte14:
+                    set.bytes->read(dec.data() + layer, p,
+                                    set.point.context());
+                    layer += item_sizes[i];
+                    break;
+            }
+            p += item_sizes[i];
+        }
+    }
+    return off;
+}
+
+// Compress one layered chunk into `out` (capacity `out_cap`). Returns
+// bytes written, or -1 on unsupported items / insufficient capacity.
+int64_t pc_laz14_compress_chunk(const uint8_t* in, int64_t n_points,
+                                const uint16_t* item_types,
+                                const uint16_t* item_sizes, int n_items,
+                                uint8_t* out, int64_t out_cap) {
+    I64 stride;
+    U32 n_layers;
+    if (validate14(item_types, item_sizes, n_items, &stride, &n_layers) <
+            0 ||
+        n_points < 1 || out_cap < stride + 4 * static_cast<I64>(n_layers)) {
+        return -1;
+    }
+    std::memcpy(out, in, stride);  // raw first point
+    if (n_points == 1) return stride + 4 * n_layers;
+
+    std::vector<std::vector<U8>> bufs(n_layers);
+    std::vector<std::unique_ptr<ArithmeticEncoder>> owners;
+    std::vector<ArithmeticEncoder*> enc;
+    owners.reserve(n_layers);
+    enc.reserve(n_layers);
+    for (U32 i = 0; i < n_layers; ++i) {
+        owners.push_back(std::make_unique<ArithmeticEncoder>(&bufs[i]));
+        enc.push_back(owners.back().get());
+    }
+
+    ItemSet14 set;
+    {
+        const U8* p = in;
+        for (int i = 0; i < n_items; ++i) {
+            switch (item_types[i]) {
+                case kItemPoint14:
+                    set.point.init(p);
+                    break;
+                case kItemRgb14:
+                    set.rgb = std::make_unique<Rgb14v3>();
+                    set.rgb->init(p, set.point.context());
+                    break;
+                case kItemRgbNir14:
+                    set.rgb = std::make_unique<Rgb14v3>();
+                    set.rgb->init(p, set.point.context());
+                    set.nir = std::make_unique<Nir14v3>();
+                    set.nir->init(p + 6, set.point.context());
+                    break;
+                case kItemWavePacket14:
+                    set.wavepacket =
+                        std::make_unique<Bytes14v3>(29, false);
+                    set.wavepacket->init(p, set.point.context());
+                    break;
+                case kItemByte14:
+                    set.bytes =
+                        std::make_unique<Bytes14v3>(item_sizes[i], true);
+                    set.bytes->init(p, set.point.context());
+                    break;
+            }
+            p += item_sizes[i];
+        }
+    }
+    for (I64 k = 1; k < n_points; ++k) {
+        const U8* p = in + k * stride;
+        U32 layer = 0;
+        for (int i = 0; i < n_items; ++i) {
+            switch (item_types[i]) {
+                case kItemPoint14:
+                    set.point.write(enc.data() + layer, p);
+                    layer += Point14v3::kNumLayers;
+                    break;
+                case kItemRgb14:
+                    set.rgb->write(enc[layer], p, set.point.context());
+                    layer += 1;
+                    break;
+                case kItemRgbNir14:
+                    set.rgb->write(enc[layer], p, set.point.context());
+                    set.nir->write(enc[layer + 1], get_u16(p + 6),
+                                   set.point.context());
+                    layer += 2;
+                    break;
+                case kItemWavePacket14:
+                    set.wavepacket->write(enc.data() + layer, p,
+                                          set.point.context());
+                    layer += 1;
+                    break;
+                case kItemByte14:
+                    set.bytes->write(enc.data() + layer, p,
+                                     set.point.context());
+                    layer += item_sizes[i];
+                    break;
+            }
+            p += item_sizes[i];
+        }
+    }
+    I64 off = stride;
+    I64 total = 0;
+    for (U32 i = 0; i < n_layers; ++i) {
+        owners[i]->done();
+        const U32 len = static_cast<U32>(bufs[i].size());
+        if (off + 4 > out_cap) return -1;
+        std::memcpy(out + off, &len, 4);
+        off += 4;
+        total += len;
+    }
+    if (off + total > out_cap) return -1;
+    for (U32 i = 0; i < n_layers; ++i) {
+        std::memcpy(out + off, bufs[i].data(), bufs[i].size());
+        off += bufs[i].size();
+    }
+    return off;
 }
 
 // The chunk-size table (after the u32 version + u32 count header, which

@@ -14,7 +14,8 @@ the TPU conversion pipeline, see SURVEY.md section 7 "hard parts").
 
 LAZ (laszip-compressed) files are detected (compressor bit in the point
 format byte / laszip VLR) and routed to the from-scratch LASzip codec in
-io/laz.py + native/pc_laszip.cpp (point formats 0-3, v2 items).
+io/laz.py + native/pc_laszip.cpp (formats 0-3 via v2 pointwise chunks,
+LAS 1.4 formats 6-10 via v3 layered chunks).
 """
 
 from __future__ import annotations
@@ -154,20 +155,23 @@ class LasPointReader(BatchedPointReader):
         self._file.close()
 
 
-_WRITE_RECORD_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
+_WRITE_RECORD_LEN = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
 
 
 def write_las(path, batch: PointBatch, point_format: int = 2,
               scale=(0.001, 0.001, 0.001), gps_time=None) -> None:
-    """Minimal LAS 1.2 writer (test fixtures + export tool).
+    """Minimal LAS writer (test fixtures + export tool).
 
-    Point formats 0-3. Colors are widened u8->u16 by byte duplication
-    (v * 257), the standard 8->16 bit upscale, so our truncating read
-    path round-trips them exactly. ``gps_time`` (f64 per point) fills
-    formats 1/3; default is a plausible increasing GPS clock.
+    Point formats 0-3 write LAS 1.2 (227-byte header); formats 6-8 write
+    LAS 1.4 (375-byte header, u64 point count, legacy count zero per
+    spec). Colors are widened u8->u16 by byte duplication (v * 257), the
+    standard 8->16 bit upscale, so our truncating read path round-trips
+    them exactly. ``gps_time`` (f64 per point) fills formats 1/3/6-8;
+    default is a plausible increasing GPS clock.
     """
     if point_format not in _WRITE_RECORD_LEN:
-        raise ValueError("write_las supports formats 0-3")
+        raise ValueError("write_las supports formats 0-3 and 6-8")
+    las14 = point_format >= 6
     n = len(batch)
     scale = np.asarray(scale, np.float64)
     offset = (
@@ -176,47 +180,59 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
         else np.zeros(3, np.float64)
     )
     record_len = _WRITE_RECORD_LEN[point_format]
-    header = bytearray(227)
+    header_size = 375 if las14 else 227
+    header = bytearray(header_size)
     header[0:4] = b"LASF"
     header[24] = 1
-    header[25] = 2
-    struct.pack_into("<H", header, 94, 227)
-    struct.pack_into("<I", header, 96, 227)
+    header[25] = 4 if las14 else 2
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<I", header, 96, header_size)
     struct.pack_into("<I", header, 100, 0)
     header[104] = point_format
     struct.pack_into("<H", header, 105, record_len)
-    struct.pack_into("<I", header, 107, n)
+    # formats >= 6 must leave the legacy u32 count zero (LAS 1.4 spec)
+    struct.pack_into("<I", header, 107, 0 if las14 else n)
     struct.pack_into("<3d", header, 131, *scale)
     struct.pack_into("<3d", header, 155, *offset)
+    if las14:
+        struct.pack_into("<Q", header, 247, n)
 
     raw = np.round(
         (batch.positions.astype(np.float64) - offset) / scale
     ).astype(np.int32)
+    gps_formats = (1, 3, 6, 7, 8)
+    color_offsets = {2: 20, 3: 28, 7: 30, 8: 30}
     dtype_fields = {
         "names": ["x", "y", "z"],
         "formats": ["<i4", "<i4", "<i4"],
         "offsets": [0, 4, 8],
         "itemsize": record_len,
     }
-    if point_format in (1, 3):
+    if point_format in gps_formats:
         dtype_fields["names"] += ["gps_time"]
         dtype_fields["formats"] += ["<f8"]
-        dtype_fields["offsets"] += [20]
-    if point_format in (2, 3):
-        color_off = 20 if point_format == 2 else 28
+        dtype_fields["offsets"] += [22 if las14 else 20]
+    if point_format in color_offsets:
+        color_off = color_offsets[point_format]
         dtype_fields["names"] += ["red", "green", "blue"]
         dtype_fields["formats"] += ["<u2", "<u2", "<u2"]
         dtype_fields["offsets"] += [color_off, color_off + 2, color_off + 4]
+    if las14:
+        dtype_fields["names"] += ["returns"]
+        dtype_fields["formats"] += ["<u1"]
+        dtype_fields["offsets"] += [14]
     rec = np.zeros(n, dtype=np.dtype(dtype_fields))
     rec["x"], rec["y"], rec["z"] = raw[:, 0], raw[:, 1], raw[:, 2]
-    if point_format in (1, 3):
+    if point_format in gps_formats:
         if gps_time is None:
             gps_time = 300_000.0 + np.arange(n, dtype=np.float64) * 1e-4
         rec["gps_time"] = np.asarray(gps_time, np.float64)
-    if point_format in (2, 3):
+    if point_format in color_offsets:
         rec["red"] = batch.colors[:, 0].astype(np.uint16) * 257
         rec["green"] = batch.colors[:, 1].astype(np.uint16) * 257
         rec["blue"] = batch.colors[:, 2].astype(np.uint16) * 257
+    if las14:
+        rec["returns"] = 0x11  # return 1 of 1
     with open(path, "wb") as f:
         f.write(bytes(header))
         f.write(rec.tobytes())

@@ -2,15 +2,18 @@
 
 Capability parity with the reference's LAZ path (reference:
 point-converter/src/converter/las.rs:22-55, whose `las` crate enables the
-`laz` feature): point data record formats 0-3, plus trailing extra bytes.
-The entropy codec itself lives in native/pc_laszip.cpp (LASzip 2.x:
-FastAC arithmetic coder, IntegerCompressor, POINT10/GPSTIME11/RGB12/BYTE
-v2 items); this module owns the container framing:
+`laz` feature): point data record formats 0-3 (LASzip 2.x pointwise
+chunks) and the LAS 1.4 formats 6-10 (LASzip 3.x layered chunks), plus
+trailing extra bytes. The entropy codecs live in native/pc_laszip.cpp
+(FastAC arithmetic coder, IntegerCompressor; POINT10/GPSTIME11/RGB12/BYTE
+v2 items and the layered POINT14/RGB14/RGBNIR14/WAVEPACKET14/BYTE14 v3
+items); this module owns the container framing:
 
 - the ``laszip encoded`` VLR (user id ``laszip encoded``, record 22204)
   carrying compressor/coder/chunk-size/item descriptors,
 - the chunked point stream: an i64 chunk-table offset, then one
-  independently coded chunk per ``chunk_size`` points (first point raw),
+  independently coded chunk per ``chunk_size`` points (first point raw;
+  layered chunks add per-layer byte counts + layer payloads),
 - the chunk-size table (u32 version, u32 count, delta-coded sizes).
 
 The writer exists so the test suite can round-trip .las <-> .laz without
@@ -37,30 +40,57 @@ ITEM_BYTE = 0
 ITEM_POINT10 = 6
 ITEM_GPSTIME11 = 7
 ITEM_RGB12 = 8
+ITEM_POINT14 = 10
+ITEM_RGB14 = 11
+ITEM_RGBNIR14 = 12
+ITEM_WAVEPACKET14 = 13
+ITEM_BYTE14 = 14
 
 _ITEM_SIZES = {ITEM_POINT10: 20, ITEM_GPSTIME11: 8, ITEM_RGB12: 6}
+# items coded with the LASzip 3.x layered scheme (VLR compressor 3)
+_V3_ITEMS = frozenset(
+    (ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14, ITEM_WAVEPACKET14,
+     ITEM_BYTE14)
+)
 
 
 def items_for_point_format(point_format: int, record_length: int):
-    """The LASzip item list for a LAS point record format (0-3)."""
-    if point_format not in (0, 1, 2, 3):
+    """The LASzip item list for a LAS point record format (0-3, 6-10)."""
+    if point_format in (0, 1, 2, 3):
+        items = [(ITEM_POINT10, 20)]
+        if point_format in (1, 3):
+            items.append((ITEM_GPSTIME11, 8))
+        if point_format in (2, 3):
+            items.append((ITEM_RGB12, 6))
+        extra_item = ITEM_BYTE
+    elif point_format in (6, 7, 8, 9, 10):
+        items = [(ITEM_POINT14, 30)]
+        if point_format == 7:
+            items.append((ITEM_RGB14, 6))
+        if point_format in (8, 10):
+            items.append((ITEM_RGBNIR14, 8))
+        if point_format in (9, 10):
+            items.append((ITEM_WAVEPACKET14, 29))
+        extra_item = ITEM_BYTE14
+    else:
         raise NotImplementedError(
-            f"LAZ point format {point_format} not supported (formats 0-3)"
+            f"LAZ point format {point_format} not supported "
+            "(formats 0-3 and 6-10)"
         )
-    items = [(ITEM_POINT10, 20)]
-    if point_format in (1, 3):
-        items.append((ITEM_GPSTIME11, 8))
-    if point_format in (2, 3):
-        items.append((ITEM_RGB12, 6))
     base = sum(size for _, size in items)
     if record_length > base:
-        items.append((ITEM_BYTE, record_length - base))
+        items.append((extra_item, record_length - base))
     elif record_length < base:
         raise ValueError(
             f"record length {record_length} below format "
             f"{point_format}'s minimum {base}"
         )
     return items
+
+
+def items_are_layered(items) -> bool:
+    """True when the item list uses the LASzip 3.x layered chunk scheme."""
+    return any(t in _V3_ITEMS for t, *_ in items)
 
 
 class LaszipVlr:
@@ -88,43 +118,61 @@ class LaszipVlr:
 
     @staticmethod
     def build(items, chunk_size: int = CHUNK_SIZE_DEFAULT) -> bytes:
+        layered = items_are_layered(items)
         head = struct.pack(
             "<HHBBHIIqqH",
-            2,  # compressor: pointwise chunked
+            3 if layered else 2,  # compressor: layered / pointwise chunked
             0,  # coder: arithmetic
-            2, 2, 0,  # laszip 2.2.0
+            3 if layered else 2, 4 if layered else 2, 0,  # laszip version
             0,  # options
             chunk_size,
             -1, -1,  # no special EVLRs
             len(items),
         )
         body = b"".join(
-            struct.pack("<HHH", t, size, 2) for t, size in items
+            struct.pack("<HHH", t, size, 3 if t in _V3_ITEMS else 2)
+            for t, size in items
         )
         return head + body
 
+    @property
+    def layered(self) -> bool:
+        return self.compressor == 3
+
     def validate(self):
-        if self.compressor != 2:
+        if self.compressor not in (2, 3):
             raise NotImplementedError(
                 f"laszip compressor {self.compressor} not supported "
-                "(only pointwise-chunked)"
+                "(pointwise-chunked and layered-chunked only)"
             )
         if self.coder != 0:
             raise NotImplementedError(
                 f"laszip coder {self.coder} not supported"
             )
         for t, size, version in self.items:
-            if t not in (ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11,
-                         ITEM_RGB12):
-                raise NotImplementedError(
-                    f"laszip item type {t} not supported (point formats "
-                    "0-3 + extra bytes)"
-                )
-            if version != 2:
-                raise NotImplementedError(
-                    f"laszip item version {version} not supported "
-                    "(only v2)"
-                )
+            if self.compressor == 2:
+                if t not in (ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11,
+                             ITEM_RGB12):
+                    raise NotImplementedError(
+                        f"laszip item type {t} not supported with "
+                        "compressor 2 (point formats 0-3 + extra bytes)"
+                    )
+                if version != 2:
+                    raise NotImplementedError(
+                        f"laszip item version {version} not supported "
+                        "(only v2)"
+                    )
+            else:
+                if t not in _V3_ITEMS:
+                    raise NotImplementedError(
+                        f"laszip item type {t} not supported with "
+                        "compressor 3 (point formats 6-10 + extra bytes)"
+                    )
+                if version != 3:
+                    raise NotImplementedError(
+                        f"laszip item version {version} not supported "
+                        "with compressor 3 (only v3)"
+                    )
 
 
 def read_vlrs(f, header):
@@ -227,7 +275,12 @@ class LazChunkedStream:
         self._f.seek(start)
         data = self._f.read(end - start)
         out = np.zeros(n_pts * self.stride, np.uint8)
-        rc = self._lib.pc_laz_decompress_chunk(
+        decompress = (
+            self._lib.pc_laz14_decompress_chunk
+            if self.vlr.layered
+            else self._lib.pc_laz_decompress_chunk
+        )
+        rc = decompress(
             data, len(data),
             self._types.ctypes.data_as(ctypes.c_void_p),
             self._sizes.ctypes.data_as(ctypes.c_void_p),
@@ -338,13 +391,17 @@ def compress_records(raw: bytes, n_points: int, items,
     stride = sum(size for _, size in items)
     types = np.array([t for t, _ in items], np.uint16)
     sizes = np.array([s for _, s in items], np.uint16)
+    compress = (
+        lib.pc_laz14_compress_chunk if items_are_layered(items)
+        else lib.pc_laz_compress_chunk
+    )
     chunks = []
     for i in range(0, n_points, chunk_size):
         n = min(chunk_size, n_points - i)
         block = raw[i * stride : (i + n) * stride]
         cap = n * stride + 65536
         out = ctypes.create_string_buffer(cap)
-        written = lib.pc_laz_compress_chunk(
+        written = compress(
             block, n,
             types.ctypes.data_as(ctypes.c_void_p),
             sizes.ctypes.data_as(ctypes.c_void_p),
@@ -369,7 +426,7 @@ def compress_records(raw: bytes, n_points: int, items,
 def write_laz(path, batch: PointBatch, point_format: int = 2,
               scale=(0.001, 0.001, 0.001),
               chunk_size: int = CHUNK_SIZE_DEFAULT) -> None:
-    """Write a .laz file (formats 0 and 2, mirroring io/las.write_las)."""
+    """Write a .laz file (any format io/las.write_las supports)."""
     from .las import write_las
     import io as _io
     import tempfile
@@ -411,7 +468,8 @@ def convert_las_to_laz(las_path, laz_path,
         + LASZIP_USER_ID
         + struct.pack("<H", LASZIP_RECORD_ID)
         + struct.pack("<H", len(vlr_payload))
-        + b"laszip 2.2 (from-scratch)".ljust(32, b"\x00")
+        + (b"laszip 3.4 (from-scratch)" if items_are_layered(items)
+           else b"laszip 2.2 (from-scratch)").ljust(32, b"\x00")
         + vlr_payload
     )
 

@@ -162,6 +162,14 @@ def load_native():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.pc_laz14_decompress_chunk.restype = ctypes.c_int64
+        lib.pc_laz14_decompress_chunk.argtypes = (
+            lib.pc_laz_decompress_chunk.argtypes
+        )
+        lib.pc_laz14_compress_chunk.restype = ctypes.c_int64
+        lib.pc_laz14_compress_chunk.argtypes = (
+            lib.pc_laz_compress_chunk.argtypes
+        )
         lib.pc_laz_decompress_chunk_table.restype = ctypes.c_int64
         lib.pc_laz_decompress_chunk_table.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

@@ -205,3 +205,165 @@ class TestStreamedWriterConvention:
         bad.write_bytes(bytes(data))
         with pytest.raises(ValueError, match="chunk table offset"):
             get_batched_point_reader(bad)
+
+
+class TestLazLayered14:
+    """LAS 1.4 formats 6-10 through the LASzip 3.x layered codec
+    (native/pc_laszip.cpp v3 items; io/laz.py compressor-3 framing)."""
+
+    @pytest.mark.parametrize("point_format", [6, 7, 8])
+    def test_las_laz_las_identical(self, tmp_path, point_format):
+        batch = cloud()
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        las2 = tmp_path / "a2.las"
+        write_las(las, batch, point_format=point_format)
+        laz.convert_las_to_laz(las, laz_p)
+        laz.convert_laz_to_las(laz_p, las2)
+        assert las.read_bytes() == las2.read_bytes()
+
+    def test_vlr_declares_layered(self, tmp_path):
+        batch = cloud(n=2_000)
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        write_las(las, batch, point_format=6)
+        laz.convert_las_to_laz(las, laz_p)
+        from point_cloud_tpu.io.las import LasHeader
+
+        with open(laz_p, "rb") as f:
+            header = LasHeader(f.read(375))
+            vlrs = laz.read_vlrs(f, header)
+        payload = next(
+            data for user, rid, data in vlrs
+            if rid == laz.LASZIP_RECORD_ID
+        )
+        vlr = laz.LaszipVlr(payload)
+        assert vlr.compressor == 3  # layered chunked
+        assert all(version == 3 for _, _, version in vlr.items)
+
+    def test_reader_matches_las_twin(self, tmp_path):
+        batch = cloud(n=25_000, seed=9)
+        las = tmp_path / "a.las"
+        laz_p = tmp_path / "a.laz"
+        write_las(las, batch, point_format=8)
+        laz.convert_las_to_laz(las, laz_p, chunk_size=7_000)
+        r_las = get_batched_point_reader(las)
+        r_laz = get_batched_point_reader(laz_p)
+        while True:
+            a = r_las.get_batch(4_000)
+            b = r_laz.get_batch(4_000)
+            assert len(a) == len(b)
+            if len(a) == 0:
+                break
+            np.testing.assert_array_equal(a.positions, b.positions)
+            np.testing.assert_array_equal(a.colors, b.colors)
+
+    def _synth_point14(self, n, seed, channels=2):
+        """Full-variability POINT14 records (returns, channels, flags,
+        GPS sequences) — fields write_las doesn't exercise."""
+        rng = np.random.default_rng(seed)
+        rec = np.zeros((n, 30), np.uint8)
+        xyz = np.cumsum(
+            rng.integers(-100, 120, (n, 3)), axis=0
+        ).astype(np.int32)
+        rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+        inten = rng.integers(0, 3000, n).astype(np.uint16)
+        rec[:, 12:14] = inten.view(np.uint8).reshape(n, 2)
+        nr = rng.integers(1, 6, n)
+        r = rng.integers(1, nr + 1)
+        rec[:, 14] = (r | (nr << 4)).astype(np.uint8)
+        chan = rng.integers(0, channels, n)
+        rec[:, 15] = (
+            rng.integers(0, 16, n) | (chan << 4)
+            | (rng.integers(0, 2, n) << 6) | (rng.integers(0, 2, n) << 7)
+        ).astype(np.uint8)
+        rec[:, 16] = rng.integers(0, 64, n)
+        rec[:, 17] = rng.integers(0, 8, n)
+        sa = (rng.integers(-15000, 15000, n) & 0xFFFF).astype(np.uint16)
+        rec[:, 18:20] = sa.view(np.uint8).reshape(n, 2)
+        psid = rng.integers(0, 5, n).astype(np.uint16)
+        rec[:, 20:22] = psid.view(np.uint8).reshape(n, 2)
+        gps = (300000.0 + np.cumsum(rng.uniform(0, 2e-4, n))).astype(
+            np.float64
+        )
+        rec[:, 22:30] = gps.view(np.uint8).reshape(n, 8)
+        return rec
+
+    @pytest.mark.parametrize(
+        "name,items,extra",
+        [
+            ("fmt6", [(laz.ITEM_POINT14, 30)], 0),
+            ("fmt7", [(laz.ITEM_POINT14, 30), (laz.ITEM_RGB14, 6)], 6),
+            ("fmt8", [(laz.ITEM_POINT14, 30), (laz.ITEM_RGBNIR14, 8)], 8),
+            ("fmt9", [(laz.ITEM_POINT14, 30),
+                      (laz.ITEM_WAVEPACKET14, 29)], 29),
+            ("fmt10", [(laz.ITEM_POINT14, 30), (laz.ITEM_RGBNIR14, 8),
+                       (laz.ITEM_WAVEPACKET14, 29)], 37),
+            ("fmt6_extra", [(laz.ITEM_POINT14, 30),
+                            (laz.ITEM_BYTE14, 5)], 5),
+        ],
+    )
+    def test_record_codec_roundtrip(self, name, items, extra):
+        """All five 1.4 formats (+extra bytes) round-trip losslessly at
+        the record level, including multi-channel context switching."""
+        n = 6_000
+        rng = np.random.default_rng(hash(name) % 2**31)
+        rec = np.zeros((n, 30 + extra), np.uint8)
+        rec[:, :30] = self._synth_point14(n, seed=len(name), channels=4)
+        if extra:
+            rec[:, 30:] = rng.integers(0, 8, (n, extra)).astype(np.uint8)
+        raw = np.ascontiguousarray(rec).tobytes()
+        chunks, table = laz.compress_records(raw, n, items,
+                                             chunk_size=2_500)
+        assert len(chunks) == 3
+        # decode through the chunk codec
+        lib = laz._native()
+        import ctypes
+
+        stride = 30 + extra
+        types = np.array([t for t, _ in items], np.uint16)
+        sizes = np.array([s for _, s in items], np.uint16)
+        out = []
+        counts = [2_500, 2_500, 1_000]
+        for blob, n_pts in zip(chunks, counts):
+            buf = np.zeros(n_pts * stride, np.uint8)
+            rc = lib.pc_laz14_decompress_chunk(
+                blob, len(blob),
+                types.ctypes.data_as(ctypes.c_void_p),
+                sizes.ctypes.data_as(ctypes.c_void_p),
+                len(types), n_pts,
+                buf.ctypes.data_as(ctypes.c_void_p),
+            )
+            assert rc == len(blob)
+            out.append(buf.tobytes())
+        assert b"".join(out) == raw
+
+    def test_store_byte_identical_to_las_twin(self, tmp_path):
+        """Converting the .laz and the .las twin yields identical
+        stores (the LAZ path feeds the converter the same points)."""
+        from point_cloud_tpu.convert.converter import (
+            Converter, convert_from_paths,
+        )
+
+        batch = cloud(n=15_000, seed=21)
+        las = tmp_path / "c.las"
+        laz_p = tmp_path / "c.laz"
+        write_las(las, batch, point_format=7)
+        laz.convert_las_to_laz(las, laz_p)
+        convert_from_paths([las], tmp_path / "from_las",
+                           batch_size=4_000)
+        convert_from_paths([laz_p], tmp_path / "from_laz",
+                           batch_size=4_000)
+        a = sorted(
+            p.relative_to(tmp_path / "from_las")
+            for p in (tmp_path / "from_las").rglob("*") if p.is_file()
+        )
+        b = sorted(
+            p.relative_to(tmp_path / "from_laz")
+            for p in (tmp_path / "from_laz").rglob("*") if p.is_file()
+        )
+        assert a == b
+        for rel in a:
+            assert (tmp_path / "from_las" / rel).read_bytes() == (
+                tmp_path / "from_laz" / rel
+            ).read_bytes()
