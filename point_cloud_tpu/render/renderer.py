@@ -45,6 +45,13 @@ class RenderSettings:
     # consumers (the PNG server, fps bench) turn this off: through a thin
     # accelerator link the depth plane costs more than the u8 RGB image
     transfer_depth: bool = True
+    # compact cull survivors before rasterizing: the scatter-min pays per
+    # row (survivor, culled, or padding alike), and typically only
+    # 20-40% survive. Buffers are sized from the previous frame's
+    # survivor counts (read back asynchronously — no new device syncs);
+    # a frame right after a big visibility jump may clip its newest
+    # splats, self-correcting next frame
+    compact_raster: bool = True
 
 
 def hierarchy_tables(metadata: Metadata) -> tuple[np.ndarray, np.ndarray]:
@@ -143,6 +150,35 @@ class PointRenderer:
             cache.pop(next(iter(cache)))
         cache[key] = entry
         return entry
+
+    # --- raster compaction sizing (previous-frame survivor counts) ---------
+
+    def _note_survivors(self, bucket: int, count_dev) -> None:
+        """Stash a bucket's survivor count (device scalar) for the next
+        frame's compaction sizing; the device->host copy starts now so
+        collecting it next frame doesn't stall the dispatch chain."""
+        counts = getattr(self, "_survivor_counts", None)
+        if counts is None:
+            counts = self._survivor_counts = {}
+        try:
+            count_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        counts[bucket] = count_dev
+
+    def _survivor_buffer_size(self, bucket: int, n: int):
+        """pow2 compacted-raster size from the previous frame's survivor
+        count + 30% headroom; None until the bucket has history."""
+        counts = getattr(self, "_survivor_counts", None)
+        if counts is None or bucket not in counts:
+            return None
+        count = counts[bucket]
+        if not isinstance(count, int):
+            count = int(np.asarray(count))
+            counts[bucket] = count
+        from ..ops.dedup import pad_to_bucket
+
+        return pad_to_bucket(max(int(count * 1.3), 1), minimum=1 << 10)
 
     def render(self, streamer: CellStreamer, camera: Camera,
                streaming_frustums=None, paused: bool = False):
@@ -244,20 +280,35 @@ class PointRenderer:
                 id_base, id_base + n_real, dtype=np.int32
             )
 
+            count_dev = keep.sum()  # device scalar; sync later
+            ids_dev = jnp.asarray(point_ids)
+            raster_valid = keep
+            out_size = (
+                self._survivor_buffer_size(bucket, n)
+                if s.compact_raster else None
+            )
+            if out_size is not None and out_size < n:
+                from .splat import compact_rows
+
+                view_pos, ndc, radius, ids_dev, raster_valid = (
+                    compact_rows(keep, view_pos, ndc, radius, ids_dev,
+                                 out_size)
+                )
             framebuffer = rasterize_splats(
                 framebuffer,
                 view_pos,
                 ndc,
                 radius,
-                jnp.asarray(point_ids),
-                keep,
+                ids_dev,
+                raster_valid,
                 jnp.asarray(proj),
                 height=s.height,
                 width=s.width,
                 footprint=s.footprint,
                 voronoi=s.voronoi,
             )
-            visible_counts.append(keep.sum())  # device scalar; sync later
+            visible_counts.append(count_dev)
+            self._note_survivors(bucket, count_dev)
             all_colors.append(colors)
             id_base += n_real
 

@@ -59,6 +59,38 @@ def make_framebuffer(height: int, width: int) -> Framebuffer:
     )
 
 
+@partial(jax.jit, static_argnames=("out_size",))
+def compact_rows(keep, view_pos, ndc, radius, point_id, out_size: int):
+    """Pack the cull survivors into a dense ``out_size``-row buffer.
+
+    The scatter-min rasterizer pays ~30 ns per fragment whether a row is
+    a survivor, a culled point, or pow2 padding — compacting first makes
+    raster cost track the *visible* count (typically 20-40% of rows).
+    Survivors beyond ``out_size`` are dropped (mode="drop"); the renderer
+    sizes ``out_size`` from the previous frame's survivor count with
+    headroom, so that only ever clips a frame right after a large
+    visibility jump, and self-corrects on the next frame.
+
+    Scatter cost is per element, so only a 1-element/row permutation
+    index scatters; the row payloads follow as (cheap) gathers.
+    """
+    n = keep.shape[0]
+    count = jnp.sum(keep.astype(jnp.int32))
+    idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, idx, out_size)  # non-survivors scatter to OOB
+    perm = jnp.zeros(out_size, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    out_valid = jnp.arange(out_size, dtype=jnp.int32) < count
+    return (
+        view_pos[perm],
+        ndc[perm],
+        radius[perm],
+        point_id[perm],
+        out_valid,
+    )
+
+
 @partial(jax.jit, static_argnames=("height", "width", "footprint", "voronoi"))
 def rasterize_splats(
     framebuffer: Framebuffer,
@@ -120,10 +152,15 @@ def rasterize_splats(
     frag_valid = inside & on_screen & valid[:, None]
     frag_valid &= (frag_depth >= 0.0) & (frag_depth <= 1.0)
 
+    # invalid fragments get an index one past the buffer: mode="drop"
+    # discards out-of-bounds indices, but NOT -1 (JAX scatter indices
+    # wrap, so -1 would silently hit the last pixel — a corner-pixel
+    # corruption this exact test setup caught)
+    oob = height * width
     flat_idx = (
         frag_y.astype(jnp.int32) * width + frag_x.astype(jnp.int32)
     ).reshape(-1)
-    flat_idx = jnp.where(frag_valid.reshape(-1), flat_idx, -1)  # -1 drops
+    flat_idx = jnp.where(frag_valid.reshape(-1), flat_idx, oob)
     frag_depth_flat = frag_depth.reshape(-1)
     frag_ids = jnp.broadcast_to(
         point_id[:, None].astype(jnp.int32), d2.shape
@@ -136,9 +173,9 @@ def rasterize_splats(
     # pass's exact-minimum fragments; exact ties keep the smallest id
     improved = new_depth < old_depth
     ids = jnp.where(improved, _NO_ID, framebuffer.point_id)
-    min_at_frag = new_depth[jnp.clip(flat_idx, 0, None)]
-    is_winner = (frag_depth_flat == min_at_frag) & (flat_idx >= 0)
-    ids = ids.at[jnp.where(is_winner, flat_idx, -1)].min(
+    min_at_frag = new_depth[jnp.clip(flat_idx, 0, oob - 1)]
+    is_winner = (frag_depth_flat == min_at_frag) & (flat_idx < oob)
+    ids = ids.at[jnp.where(is_winner, flat_idx, oob)].min(
         frag_ids, mode="drop"
     )
     return Framebuffer(depth=new_depth, point_id=ids)

@@ -439,8 +439,13 @@ class TestFrameStability:
         cam = Camera()
         cam.projection.far = 5000.0
         streamer = CellStreamer(metadata, loader=loader, max_loading=6)
+        # compact_raster=False: the strict guarantee — zero new compiles
+        # after frame 1 even while the loaded set grows. (Compaction adds
+        # pow2-bounded shapes keyed on survivor counts; its stability is
+        # asserted separately below.)
         renderer = PointRenderer(
-            metadata, RenderSettings(width=160, height=90, footprint=5)
+            metadata, RenderSettings(width=160, height=90, footprint=5,
+                                     compact_raster=False)
         )
 
         sizes_cache = {}
@@ -460,3 +465,40 @@ class TestFrameStability:
         assert sizes_cache[2] == sizes_cache[0], (
             f"kernel recompiles after frame 1: {sizes_cache}"
         )
+
+        # default path (compaction on): once the scene and camera are
+        # stable, survivor counts repeat, so compacted shapes repeat —
+        # zero new compiles between consecutive stable frames
+        renderer2 = PointRenderer(
+            metadata, RenderSettings(width=160, height=90, footprint=5)
+        )
+        frustums = update_streaming_frustums(
+            metadata, cam.transform, cam.projection, cam.frustum(), 2.0
+        )
+        streamer.update(frustums, cam.transform)
+        while streamer.fill_load_slots():
+            pass
+        for _ in range(2):  # warm: first sight + first compacted shapes
+            renderer2.render(streamer, cam, streaming_frustums=frustums)
+        stable_before = (
+            cull_lod_pass._cache_size(),
+            rasterize_splats._cache_size(),
+            resolve_framebuffer._cache_size(),
+        )
+        rgb_a, _, _ = renderer2.render(streamer, cam,
+                                       streaming_frustums=frustums)
+        rgb_b, _, _ = renderer2.render(streamer, cam,
+                                       streaming_frustums=frustums)
+        stable_after = (
+            cull_lod_pass._cache_size(),
+            rasterize_splats._cache_size(),
+            resolve_framebuffer._cache_size(),
+        )
+        assert stable_after == stable_before
+        # compaction preserves the rendered image (same fragments, order-
+        # independent scatter-min)
+        np.testing.assert_array_equal(rgb_a, rgb_b)
+        rgb_ref, depth_ref, _ = renderer.render(
+            streamer, cam, streaming_frustums=frustums
+        )
+        np.testing.assert_array_equal(rgb_a, rgb_ref)
