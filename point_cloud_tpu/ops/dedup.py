@@ -42,12 +42,23 @@ from ..core.hex import jax_axial_from_world, jax_axial_to_offset, jax_cell_index
 
 _I32_MAX = np.int32(2**31 - 1)
 
-# sort backend: "bitonic" (ops/bitonic.py — seconds to compile at any
-# shape, ~same run time) or "xla" (lax.sort — slightly faster at small
-# shapes but compile time grows with shape: ~36 s at 2^18, see PERF.md)
+# sort backend (PCT_SORT):
+#   "auto"    — pallas on TPU, bitonic elsewhere (the measured winners)
+#   "pallas"  — tiled VMEM kernel (ops/sort_pallas.py): 12.2 ms vs the
+#               bitonic's 15.6 ms at 2^20 on the v5e, 7.1 vs 11.7 ms at
+#               2^18 (PERF.md); interpret-mode (slow) off-TPU
+#   "bitonic" — lax-loop network (ops/bitonic.py), seconds to compile at
+#               any shape; the CPU-mesh/test default
+#   "xla"     — lax.sort; compile time grows with shape (~36 s at 2^18)
 import os as _os
 
-_SORT_BACKEND = _os.environ.get("PCT_SORT", "bitonic")
+_SORT_BACKEND = _os.environ.get("PCT_SORT", "auto")
+
+
+def _resolve_backend() -> str:
+    if _SORT_BACKEND == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "bitonic"
+    return _SORT_BACKEND
 
 def _i32(v: int) -> np.int32:
     """Python int (as u32 bit pattern) -> i32 constant."""
@@ -114,6 +125,58 @@ def hex_keys(positions, cell_size, sub_cell_radius):
     return cell_idx, sub_idx, dist
 
 
+def _hash_sort(positions, valid, cell_size, sub_cell_radius):
+    """Shared front half: hex keys -> hashes -> 4-column sort.
+
+    Returns (ch_s, sh_s, perm, cell_idx, sub_idx, dist). Padding rows
+    carry ch == i32::MAX (real hashes are clamped to 0x7FFFFFFE), so
+    ``ch_s != i32::MAX`` recovers the sorted valid mask without a gather.
+    """
+    n = positions.shape[0]
+    cell_idx, sub_idx, dist = hex_keys(positions, cell_size, sub_cell_radius)
+
+    cols_cell = tuple(cell_idx[:, i] for i in range(3))
+    cols_all = cols_cell + tuple(sub_idx[:, i] for i in range(3))
+    cell_hash = _hash_cols(cols_cell, _PRIMES_A) & np.int32(0x7FFFFFFE)
+    slot_hash = _hash_cols(cols_all, _PRIMES_B)
+    cell_hash = jnp.where(valid, cell_hash, _I32_MAX)  # padding sorts last
+    slot_hash = jnp.where(valid, slot_hash, np.int32(0))
+
+    # distance as order-preserving int bits (f32 >= 0; inf/nan sort high)
+    dist_bits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+    dist_bits = jnp.where(valid, dist_bits, _I32_MAX)
+
+    arrival = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    # under shard_map the fori_loop carry must have uniform varying-axis
+    # types; mixing an unvarying iota with varying keys trips the check, so
+    # tie arrival to a varying operand (no-op arithmetic)
+    arrival = arrival + (cell_hash & jnp.int32(0))
+    backend = _resolve_backend()
+    if backend == "xla":
+        ch_s, sh_s, _, perm = jax.lax.sort(
+            (cell_hash, slot_hash, dist_bits, arrival),
+            num_keys=3,
+            is_stable=True,
+        )
+    elif backend == "pallas" and n >= 1024:
+        # tiled VMEM kernel (ops/sort_pallas.py); the arrival column is
+        # < 2^30 here, which its sub-tile padding contract requires
+        from .sort_pallas import pallas_sort4
+
+        ch_s, sh_s, _, perm = pallas_sort4(
+            cell_hash, slot_hash, dist_bits, arrival
+        )
+    else:
+        # O(1)-compile bitonic network (ops/bitonic.py); arrival as the
+        # 4th key makes the order total, which equals the stable 3-key sort
+        from .bitonic import bitonic_sort4
+
+        ch_s, sh_s, _, perm = bitonic_sort4(
+            cell_hash, slot_hash, dist_bits, arrival
+        )
+    return ch_s, sh_s, perm, cell_idx, sub_idx, dist
+
+
 @jax.jit
 def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
     """One fused dedup pass over a padded batch.
@@ -137,53 +200,10 @@ def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
       suspect: (N,) bool, rows inside hash-collision runs (host fallback).
     """
     n = positions.shape[0]
-    cell_idx, sub_idx, dist = hex_keys(positions, cell_size, sub_cell_radius)
+    ch_s, sh_s, perm, cell_idx, sub_idx, dist = _hash_sort(
+        positions, valid, cell_size, sub_cell_radius
+    )
     next_cell_idx = jax_cell_index(positions, next_cell_size)
-
-    cols_cell = tuple(cell_idx[:, i] for i in range(3))
-    cols_all = cols_cell + tuple(sub_idx[:, i] for i in range(3))
-    cell_hash = _hash_cols(cols_cell, _PRIMES_A) & np.int32(0x7FFFFFFE)
-    slot_hash = _hash_cols(cols_all, _PRIMES_B)
-    cell_hash = jnp.where(valid, cell_hash, _I32_MAX)  # padding sorts last
-    slot_hash = jnp.where(valid, slot_hash, np.int32(0))
-
-    # distance as order-preserving int bits (f32 >= 0; inf/nan sort high)
-    dist_bits = jax.lax.bitcast_convert_type(dist, jnp.int32)
-    dist_bits = jnp.where(valid, dist_bits, _I32_MAX)
-
-    arrival = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
-    # under shard_map the fori_loop carry must have uniform varying-axis
-    # types; mixing an unvarying iota with varying keys trips the check, so
-    # tie arrival to a varying operand (no-op arithmetic)
-    arrival = arrival + (cell_hash & jnp.int32(0))
-    if _SORT_BACKEND == "xla":
-        ch_s, sh_s, _, perm = jax.lax.sort(
-            (cell_hash, slot_hash, dist_bits, arrival),
-            num_keys=3,
-            is_stable=True,
-        )
-    elif _SORT_BACKEND == "pallas":
-        # experimental VMEM-resident kernel (see ops/sort_pallas.py STATUS)
-        from .sort_pallas import MAX_PALLAS_ROWS, pallas_bitonic_sort4
-
-        if 1024 <= n <= MAX_PALLAS_ROWS:
-            ch_s, sh_s, _, perm = pallas_bitonic_sort4(
-                cell_hash, slot_hash, dist_bits, arrival
-            )
-        else:
-            from .bitonic import bitonic_sort4
-
-            ch_s, sh_s, _, perm = bitonic_sort4(
-                cell_hash, slot_hash, dist_bits, arrival
-            )
-    else:
-        # O(1)-compile bitonic network (ops/bitonic.py); arrival as the
-        # 4th key makes the order total, which equals the stable 3-key sort
-        from .bitonic import bitonic_sort4
-
-        ch_s, sh_s, _, perm = bitonic_sort4(
-            cell_hash, slot_hash, dist_bits, arrival
-        )
 
     cell_idx_s = cell_idx[perm]
     sub_idx_s = sub_idx[perm]
@@ -252,12 +272,53 @@ def dedup_pass_light(positions, valid, cell_size, sub_cell_radius):
     host from the permuted positions (core/hex.py keeps the NumPy and jnp
     paths in IEEE lockstep), so callers rebuild it locally. Batches are
     capped at 2^29 rows by the packing (far above any practical bucket).
+
+    Unlike :func:`dedup_pass`, the collision audit here is gather-free:
+    TPU per-row gathers/scatters at 2^20 rows cost more than the sort
+    itself (PERF.md), so instead of gathering the 6 true key columns and
+    scattering per-segment flags, this path gathers only the 3 position
+    columns, recomputes the keys on-device (bit-identical: same
+    elementwise f32 program), and propagates mismatch flags across the
+    contiguous sorted runs with cumsum/cummax fills. The packed result is
+    bit-identical to the dedup_pass formulation (byte-parity suites
+    compare the resulting stores against the host oracle).
     """
-    out = dedup_pass(
-        positions, valid, cell_size, sub_cell_radius, jnp.float32(1.0)
+    n = positions.shape[0]
+    ch_s, sh_s, perm, _, _, _ = _hash_sort(
+        positions, valid, cell_size, sub_cell_radius
     )
-    perm, winner = out[0], out[1]
-    suspect = out[7]
+    valid_s = ch_s != _I32_MAX  # real hashes are clamped below i32::MAX
+
+    same_hash = (ch_s == jnp.roll(ch_s, 1)) & (sh_s == jnp.roll(sh_s, 1))
+    first = jnp.logical_not(same_hash).at[0].set(True)
+    winner = first & valid_s
+
+    # audit: recompute true keys of the sorted rows from permuted
+    # positions (3-column gather instead of 6) and flag runs where the
+    # hash pair repeats but the true key changes
+    pos_s = positions[perm]
+    cell_idx_s = jax_cell_index(pos_s, cell_size)
+    axial_s = jax_axial_from_world(pos_s, sub_cell_radius)
+    sub_idx_s = jax_axial_to_offset(axial_s)
+    key_s = jnp.concatenate([cell_idx_s, sub_idx_s], axis=1)
+    diff_prev = jnp.any(key_s != jnp.roll(key_s, 1, axis=0), axis=1)
+    mismatch = same_hash & diff_prev & valid_s
+    mismatch = mismatch.at[0].set(False)
+
+    # run-fill without segment scatters: runs are contiguous, so "any
+    # mismatch in my run" = cumsum(mismatch) rose between the run's start
+    # and its end; start/end values spread via (reverse-)cummax fills.
+    # mismatch is always False on a run's first row (same_hash is), so the
+    # cumsum at the start equals the pre-run value.
+    # s is nondecreasing, so a forward cummax lands on the most recent
+    # run start, and a reverse cummin on the nearest following run end
+    s = jnp.cumsum(mismatch.astype(jnp.int32))
+    start_s = jax.lax.cummax(jnp.where(first, s, np.int32(-1)))
+    last = jnp.roll(first, -1).at[n - 1].set(True)  # run's last row
+    end_vals = jnp.where(last, s, _I32_MAX)
+    end_s = jnp.flip(jax.lax.cummin(jnp.flip(end_vals)))
+    suspect = (end_s > start_s) & valid_s
+
     return (
         perm
         | (winner.astype(jnp.int32) << 30)

@@ -1,33 +1,49 @@
-"""Pallas TPU kernel: VMEM-resident bitonic multi-key sort.
+"""Pallas TPU kernel: tiled VMEM bitonic multi-key sort.
 
-The lax-loop bitonic sort (ops/bitonic.py) round-trips HBM on every
-substage: at 2^18 rows that is ~171 substages x 4 MB of traffic, ~30 ms.
-This kernel loads the four int32 key columns into VMEM once, runs the
-whole network on-chip with statically-unrolled substages, and writes back
-once — HBM traffic drops from ~1.4 GB to 8 MB.
+The lax-loop bitonic (ops/bitonic.py) round-trips HBM on every substage
+(~210 substages x 16 MB at 2^20). This kernel sorts 2^15-element tiles
+entirely in VMEM and only touches HBM for the cross-tile merge substages,
+with a layout chosen for how Mosaic actually lowers data movement:
 
-TPU-shaped details: data lives as (rows, 128) — Mosaic crashes on 1-D
-rolls but handles 2-D lane/sublane rolls natively. The flattened partner
-exchange ``roll by d`` decomposes into a sublane (row) roll for the
-``d // 128`` part plus a lane roll with a row-carry select for ``d % 128``
-(all shifts static, so each lowers to a cheap vector shift).
+* Round 1's kernel (see git history) flattened the array row-major across
+  lanes, so every small-distance exchange was a lane roll plus a row-carry
+  select — measured ~130x SLOWER than the lax bitonic (PERF.md): Mosaic
+  lowers cross-lane rolls + i1-mask selects to scalar-ish code.
+* This version stores a tile SUBLANE-MAJOR: element i lives at
+  (row = i % SUB, lane = i // SUB) of a (SUB, 128) block. A bitonic
+  exchange at distance d < SUB — 92 of a tile sort's 120 substages — is
+  then a pure *sublane regrouping*: reshape (SUB, 128) ->
+  (SUB/2d, 2, d, 128), compare the two halves, select, stack back. No
+  rolls, no carries, last dim stays 128 throughout. Only the 28 substages
+  with d >= SUB cross lanes (two static lane rolls + select; the
+  lane-splitting reshape is rejected by this libtpu's Mosaic:
+  "infer-vector-layout: unsupported shape cast").
+* Cross-tile substages (d >= TILE) run OUTSIDE the kernel as plain XLA
+  elementwise min/max over a (T/2dt, 2, dt*SUB, 128) reshape — XLA is
+  already optimal for those (contiguous, fusable).
 
-STATUS — experimental, off by default (PCT_SORT=pallas to opt in).
-Round-2 measurement on the v5e (PERF.md): at 2^14 rows the first call
-takes 131 s (Mosaic compile happens server-side through the tunnel) and
-steady state runs 250 ms — the lax-loop bitonic sorts 16x the rows in
-~30 ms, i.e. this kernel is ~130x slower per element. The per-substage
-full-array compare/roll/select path is the bottleneck, so a *tiled*
-variant assembled from the same substages cannot close the gap; closing
-it needs a different algorithm inside the tile (e.g. a rank-based
-counting merge or per-lane sorting networks over registers). Until then
-the lax-loop bitonic (ops/bitonic.py, ~2 s compile / ~30 ms at 2^18)
-remains the default. Kept for the record plus a Mosaic pitfall it
-documents: selects with i1-valued branches crash this libtpu's compiler
-— use boolean algebra.
+Two Mosaic limits shape the decomposition (both hit and measured, see
+PERF.md): compile time grows superlinearly with the unrolled substage
+count (one 136-substage kernel ran >20 min server-side), and scoped VMEM
+tops out at 16 MB (a 2^16-element tile needed 17.6 MB of stack) — hence
+2^15-element tiles and stage-chunked kernels.
+
+Direction bits come free: stage s's direction is (i >> s) & 1, which for
+in-tile stages is a static iota mask and for merge stages depends only on
+the tile index — computed from pl.program_id, so ONE compiled merge
+kernel (stage passed as a scalar-prefetch arg) serves every merge level,
+and one set of sort kernels serves every tile count via the grid.
+
+Sorts four i32 columns lexicographically ascending, any pow2 n >= 1024
+(n < TILE pads up with +inf-like rows; the 4th column must stay below
+2^30 so padding sorts strictly last — the dedup pipeline's arrival column
+always does). See ops/dedup.py for the caller contract; select with
+PCT_SORT=pallas.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,97 +51,251 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_PALLAS_ROWS = 1 << 18
-LANES = 128
+SUB = 256  # sublane extent of a tile block
+LANES = 128  # lane extent (fixed by the VPU)
+TILE = SUB * LANES  # 2^15 elements per tile
+LOG_TILE = TILE.bit_length() - 1
+_I32_MAX = np.int32(2**31 - 1)
+_PAD_ARRIVAL_BASE = np.int32(1 << 30)
 
 
-def _lex_gt(a, b):
+def _lex_gt4(a, b):
     a1, a2, a3, a4 = a
     b1, b2, b3, b4 = b
-    return (
-        (a1 > b1)
-        | ((a1 == b1) & (a2 > b2))
-        | ((a1 == b1) & (a2 == b2) & (a3 > b3))
-        | ((a1 == b1) & (a2 == b2) & (a3 == b3) & (a4 > b4))
+    return (a1 > b1) | (
+        (a1 == b1)
+        & (
+            (a2 > b2)
+            | ((a2 == b2) & ((a3 > b3) | ((a3 == b3) & (a4 > b4))))
+        )
     )
 
 
-def _roll_flat(x, d: int, lane_idx):
-    """Roll the row-major flattening of (R, 128) right by static d."""
-    rows = x.shape[0]
-    n = rows * LANES
-    d = d % n
-    q, r = divmod(d, LANES)
-    if q:
-        x = pltpu.roll(x, q, 0)
-    if r:
-        a = pltpu.roll(x, r, 1)  # lane roll (within rows)
-        b = pltpu.roll(a, 1, 0)  # row-carry for the wrapped lanes
-        x = jnp.where(lane_idx >= r, a, b)
-    return x
+def _swap_halves(lo, hi, up):
+    """Compare-exchange: ascending pairs where ``up``. Strict total order
+    assumed (the arrival column is unique), so descending uses not(gt).
+    NB boolean algebra on masks only — i1-valued select *branches* crash
+    this libtpu's Mosaic (round-1 finding, still avoided)."""
+    gt = _lex_gt4(lo, hi)
+    swap = gt == up  # up: swap iff lo>hi; down: swap iff not(lo>hi)
+    new_lo = [jnp.where(swap, h, l) for l, h in zip(lo, hi)]
+    new_hi = [jnp.where(swap, l, h) for l, h in zip(lo, hi)]
+    return new_lo, new_hi
 
 
-def _make_kernel(n: int):
-    log_n = int(np.log2(n))
-    rows = n // LANES
+def _exchange(cols, d: int, up):
+    """One bitonic substage at element distance ``d`` (static, < TILE) on
+    four (SUB, LANES) sublane-major columns. ``up`` is a bool array
+    broadcastable to the lo-half shape (or a scalar)."""
+    if d < SUB:
+        shape = (SUB // (2 * d), 2, d, LANES)
+        r = [c.reshape(shape) for c in cols]
+        lo = [x[:, 0] for x in r]
+        hi = [x[:, 1] for x in r]
+        nl, nh = _swap_halves(lo, hi, up)
+        return [
+            jnp.stack([l, h], axis=1).reshape(SUB, LANES)
+            for l, h in zip(nl, nh)
+        ]
+    # lane-crossing exchange via two static lane rolls + select
+    dl = d // SUB
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    is_lo = (lane & dl) == 0
+    partners = [
+        jnp.where(
+            is_lo,
+            pltpu.roll(c, LANES - dl, 1),
+            pltpu.roll(c, dl, 1),
+        )
+        for c in cols
+    ]
+    gt = _lex_gt4(cols, partners)
+    lt = _lex_gt4(partners, cols)
+    same = up == is_lo
+    want = (same & gt) | (~same & lt)
+    return [jnp.where(want, p, c) for c, p in zip(cols, partners)]
 
+
+def _up_slice(up_full, d: int):
+    """Slice a (SUB, LANES) direction mask to the lo-half shape of the
+    ``d``-distance exchange (pairs share their direction bit)."""
+    if d < SUB:
+        return up_full.reshape(SUB // (2 * d), 2, d, LANES)[:, 0]
+    return up_full  # lane case needs the full mask (roll formulation)
+
+
+# stage chunks per kernel, (first, last) inclusive — bounds each Mosaic
+# program's compile time and stack footprint (module docstring)
+_SORT_STAGE_CHUNKS = ((1, 8), (9, 11), (12, 13), (14, LOG_TILE))
+
+
+def _make_sort_chunk_kernel(first_st: int, last_st: int):
     def kernel(k1, k2, k3, k4, o1, o2, o3, o4):
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        idx = row_idx * LANES + lane_idx
         cols = [k1[:], k2[:], k3[:], k4[:]]
-
-        for stage in range(1, log_n + 1):
-            block_up = (idx & np.int32(1 << stage)) == 0
-            for sub in range(stage - 1, -1, -1):
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        i_local = lane * SUB + row  # sublane-major element index
+        for st in range(first_st, last_st + 1):
+            if st < LOG_TILE:
+                up_full = (i_local & np.int32(1 << st)) == 0
+            for sub in range(st - 1, -1, -1):
                 d = 1 << sub
-                is_low = (idx & np.int32(d)) == 0
-                partners = [
-                    jnp.where(
-                        is_low,
-                        _roll_flat(c, n - d, lane_idx),  # left by d
-                        _roll_flat(c, d, lane_idx),  # right by d
-                    )
-                    for c in cols
-                ]
-                gt = _lex_gt(cols, partners)
-                lt = _lex_gt(partners, cols)
-                # NB: boolean algebra, not where() — Mosaic (this libtpu)
-                # crashes on selects with i1-valued branches
-                same = block_up == is_low
-                want_swap = (same & gt) | (jnp.logical_not(same) & lt)
-                cols = [
-                    jnp.where(want_swap, p, c)
-                    for c, p in zip(cols, partners)
-                ]
-
+                if st < LOG_TILE:
+                    up = _up_slice(up_full, d)
+                else:
+                    # the final sort stage's direction is the tile-index
+                    # parity: the first cross-tile merge then sees
+                    # alternating asc/desc tiles, the bitonic invariant
+                    up = (pl.program_id(0) & 1) == 0
+                cols = _exchange(cols, d, up)
         o1[:] = cols[0]
         o2[:] = cols[1]
         o3[:] = cols[2]
         o4[:] = cols[3]
 
+    kernel.__name__ = f"sort_tile_st{first_st}_{last_st}"
     return kernel
 
 
-def pallas_bitonic_sort4(k1, k2, k3, k4):
-    """Sort four equal-length pow2 int32 columns lexicographically.
+_SORT_CHUNK_KERNELS = [
+    _make_sort_chunk_kernel(a, b) for a, b in _SORT_STAGE_CHUNKS
+]
 
-    Length must be a power of two, >= 1024 (so the (rows, 128) layout has
-    at least 8 sublanes) and <= MAX_PALLAS_ROWS (VMEM budget).
+
+def _merge_tile_kernel(shift_ref, k1, k2, k3, k4, o1, o2, o3, o4):
+    """In-tile substages (d = TILE/2..1) of a merge stage s > LOG_TILE;
+    the direction is per-tile: (tile >> (s - LOG_TILE)) & 1, with
+    s - LOG_TILE passed as the scalar-prefetch ``shift`` so one compile
+    serves every merge stage."""
+    up = ((pl.program_id(0) >> shift_ref[0]) & 1) == 0
+    cols = [k1[:], k2[:], k3[:], k4[:]]
+    for sub in range(LOG_TILE - 1, -1, -1):
+        cols = _exchange(cols, 1 << sub, up)
+    o1[:] = cols[0]
+    o2[:] = cols[1]
+    o3[:] = cols[2]
+    o4[:] = cols[3]
+
+
+def _tile_specs(n_tiles: int):
+    spec = pl.BlockSpec(
+        (SUB, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32)
+    ] * 4
+    return spec, out_shape
+
+
+def _call_sort_tiles(cols, n_tiles: int, interpret: bool):
+    spec, out_shape = _tile_specs(n_tiles)
+    for kernel in _SORT_CHUNK_KERNELS:
+        cols = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            out_shape=out_shape,
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 4,
+            interpret=interpret,
+        )(*cols)
+    return list(cols)
+
+
+def _call_merge_tiles(cols, n_tiles: int, shift: int, interpret: bool):
+    _, out_shape = _tile_specs(n_tiles)
+    # index maps under PrefetchScalarGridSpec also receive the scalar ref
+    spec = pl.BlockSpec(
+        (SUB, LANES), lambda t, s_ref: (t, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 4,
+    )
+    return pl.pallas_call(
+        _merge_tile_kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray([shift], jnp.int32), *cols)
+
+
+def _cross_exchange(cols, n_tiles: int, d: int, stage: int):
+    """Cross-tile substage (d >= TILE) as plain XLA elementwise compare:
+    reshape pairs tile t with t ^ (d/TILE) block-aligned — contiguous,
+    fully fusable, no gathers."""
+    dt = d // TILE
+    rows = n_tiles * SUB
+    shape = (n_tiles // (2 * dt), 2, dt * SUB, LANES)
+    tile_of_row = np.arange(rows, dtype=np.int64) // SUB
+    up_rows = ((tile_of_row >> (stage - LOG_TILE)) & 1) == 0
+    up = up_rows.reshape(n_tiles // (2 * dt), 2, dt * SUB, 1)[:, 0]
+    r = [c.reshape(shape) for c in cols]
+    lo = [x[:, 0] for x in r]
+    hi = [x[:, 1] for x in r]
+    nl, nh = _swap_halves(lo, hi, jnp.asarray(up))
+    return [
+        jnp.stack([l, h], axis=1).reshape(rows, LANES)
+        for l, h in zip(nl, nh)
+    ]
+
+
+def _to_tiles(c, n_tiles: int):
+    """flat (n,) -> (T*SUB, LANES) with element i at (t*SUB + i%SUB,
+    (i%TILE)//SUB) — the sublane-major tile layout."""
+    return (
+        c.reshape(n_tiles, LANES, SUB)
+        .transpose(0, 2, 1)
+        .reshape(n_tiles * SUB, LANES)
+    )
+
+
+def _from_tiles(c, n_tiles: int):
+    return (
+        c.reshape(n_tiles, SUB, LANES)
+        .transpose(0, 2, 1)
+        .reshape(n_tiles * TILE)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_sort4_impl(k1, k2, k3, k4, interpret: bool):
+    n = k1.shape[0]
+    if n < TILE:
+        pad = TILE - n
+        fill = jnp.full(pad, _I32_MAX, jnp.int32)
+        arrival = _PAD_ARRIVAL_BASE + jax.lax.broadcasted_iota(
+            jnp.int32, (pad, 1), 0
+        ).reshape(pad)
+        k1, k2, k3 = (
+            jnp.concatenate([k, fill]) for k in (k1, k2, k3)
+        )
+        k4 = jnp.concatenate([k4, arrival])
+    n_pad = k1.shape[0]
+    n_tiles = n_pad // TILE
+    log_n = n_pad.bit_length() - 1
+
+    cols = [_to_tiles(c, n_tiles) for c in (k1, k2, k3, k4)]
+    cols = _call_sort_tiles(cols, n_tiles, interpret)
+    for s in range(LOG_TILE + 1, log_n + 1):
+        for sub in range(s - 1, LOG_TILE - 1, -1):
+            cols = _cross_exchange(cols, n_tiles, 1 << sub, s)
+        cols = _call_merge_tiles(cols, n_tiles, s - LOG_TILE, interpret)
+    out = [_from_tiles(c, n_tiles) for c in cols]
+    return tuple(o[:n] for o in out)
+
+
+def pallas_sort4(k1, k2, k3, k4, interpret: bool | None = None):
+    """Sort four equal-length pow2 i32 columns lexicographically.
+
+    Length must be pow2 >= 1024. For n < TILE the columns are padded with
+    (i32::MAX, i32::MAX, i32::MAX, 2^30 + i) rows, which sort strictly
+    last provided every real k4 is < 2^30 (the dedup arrival column is).
+    ``interpret`` defaults to True off-TPU so tests run on the CPU mesh.
     """
     n = k1.shape[0]
-    assert n <= MAX_PALLAS_ROWS, "exceeds VMEM budget; use bitonic_sort4"
-    assert n >= 1024 and n % LANES == 0, "needs n = pow2 >= 1024"
-    rows = n // LANES
-    shape2d = (rows, LANES)
-    out_shape = [jax.ShapeDtypeStruct(shape2d, jnp.int32)] * 4
-    outs = pl.pallas_call(
-        _make_kernel(n),
-        out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-    )(
-        k1.reshape(shape2d), k2.reshape(shape2d),
-        k3.reshape(shape2d), k4.reshape(shape2d),
-    )
-    return tuple(o.reshape(n) for o in outs)
+    assert n >= 1024 and (n & (n - 1)) == 0, "needs n = pow2 >= 1024"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pallas_sort4_impl(k1, k2, k3, k4, interpret)

@@ -100,18 +100,18 @@ class TestDedupPass:
         batch = random_batch(4_000, seed=10, lo=-40, hi=40)
 
         orig = dd._hash_cols
-        orig_pass = dd.dedup_pass
+        orig_light = dd.dedup_pass_light
         try:
             dd._hash_cols = lambda cols, primes: orig(cols, primes) & 1
             import jax
 
-            dd.dedup_pass = jax.jit(dd.dedup_pass.__wrapped__)
+            dd.dedup_pass_light = jax.jit(dd.dedup_pass_light.__wrapped__)
             perm, winner, cell_idx, sub_idx, dist, next_idx = (
                 dd.dedup_batch_host(batch.positions, cell_size, sub)
             )
         finally:
             dd._hash_cols = orig
-            dd.dedup_pass = orig_pass
+            dd.dedup_pass_light = orig_light
 
         keys = np.concatenate([cell_idx, sub_idx], axis=1)
         uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
@@ -121,6 +121,62 @@ class TestDedupPass:
             w = rows[winner[rows]]
             assert len(w) == 1
             assert dist[w[0]] == dist[rows].min()
+
+    def test_light_pass_matches_full_pass(self):
+        """dedup_pass_light's gather-free audit must pack bit-identical
+        (perm, winner, suspect) to the dedup_pass formulation — checked
+        with forced 1-bit hashes so collision runs are everywhere."""
+        import jax
+        import jax.numpy as jnp
+
+        import point_cloud_tpu.ops.dedup as dd
+
+        config = MetadataConfig()
+        cell_size = config.cell_size(2)
+        sub = config.sub_cell_size(cell_size)
+        radius = np.float32(sub) / np.float32(2.0)
+        batch = random_batch(3_000, seed=11, lo=-40, hi=40)
+        n_pad = dd.pad_to_bucket(len(batch.positions), minimum=1 << 10)
+        pos = np.zeros((n_pad, 3), np.float32)
+        pos[: len(batch.positions)] = batch.positions
+        valid = np.zeros(n_pad, bool)
+        valid[: len(batch.positions)] = True
+
+        orig = dd._hash_cols
+        try:
+            for collide in (False, True):
+                dd._hash_cols = (
+                    (lambda cols, primes: orig(cols, primes) & 1)
+                    if collide
+                    else orig
+                )
+                # fresh lambdas: jax.jit shares caches across calls for
+                # the same function object, which would reuse the
+                # unpatched-hash trace from the first loop iteration
+                light = jax.jit(
+                    lambda *a: dd.dedup_pass_light.__wrapped__(*a)
+                )
+                full = jax.jit(lambda *a: dd.dedup_pass.__wrapped__(*a))
+                packed = np.asarray(light(
+                    jnp.asarray(pos), jnp.asarray(valid),
+                    jnp.float32(cell_size), jnp.float32(radius),
+                ))
+                out = full(
+                    jnp.asarray(pos), jnp.asarray(valid),
+                    jnp.float32(cell_size), jnp.float32(radius),
+                    jnp.float32(np.float32(cell_size) / 2.0),
+                )
+                perm, winner, suspect = out[0], out[1], out[7]
+                expected = np.asarray(
+                    perm
+                    | (winner.astype(jnp.int32) << 30)
+                    | (suspect.astype(jnp.int32) << 29)
+                )
+                np.testing.assert_array_equal(packed, expected), collide
+                if collide:
+                    assert (np.asarray(suspect)).any()
+        finally:
+            dd._hash_cols = orig
 
     def test_tie_break_earliest_arrival(self):
         """Duplicate positions: the first arrival must win (incumbent rule)."""

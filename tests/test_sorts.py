@@ -50,29 +50,38 @@ class TestBitonic:
 
 
 class TestPallasSortInterpret:
-    """Semantic validation of the experimental kernel via the Pallas
-    interpreter (the TPU-compiled path is opt-in, see sort_pallas.py)."""
+    """Semantic validation of the tiled kernel via the Pallas interpreter
+    (off-TPU it auto-selects interpret mode, see sort_pallas.py)."""
 
-    @pytest.mark.parametrize("n", [1 << 10, 1 << 12])
+    # < one tile (pad path), exactly one tile, and multi-tile (the
+    # cross-tile XLA merge + the scalar-prefetch merge kernel)
+    @pytest.mark.parametrize("n", [1 << 10, 1 << 14, 1 << 16, 1 << 18])
     def test_matches_lexsort(self, n):
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
+        from point_cloud_tpu.ops.sort_pallas import pallas_sort4
 
-        from point_cloud_tpu.ops import sort_pallas as sp
+        run_case(pallas_sort4, n, seed=n)
 
-        rng = np.random.default_rng(n)
-        cols = [rng.integers(-500, 500, n).astype(np.int32) for _ in range(3)]
+    def test_many_duplicates_total_by_arrival(self):
+        from point_cloud_tpu.ops.sort_pallas import pallas_sort4
+
+        run_case(pallas_sort4, 1 << 16, seed=1, lo=0, hi=4)
+
+    def test_dedup_shaped_keys(self):
+        """Keys shaped like the dedup pipeline's: clamped hashes, padding
+        rows at i32::MAX, arrival = iota (< 2^30, the padding contract)."""
+        from point_cloud_tpu.ops.sort_pallas import pallas_sort4
+
+        n = 1 << 14
+        rng = np.random.default_rng(7)
+        ch = rng.integers(0, 2**31 - 1, n).astype(np.int32)
+        sh = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+        db = rng.integers(0, 2**31 - 1, n).astype(np.int32)
+        ch[-37:] = 2**31 - 1  # "padding" rows of a padded batch
+        sh[-37:] = 0
+        db[-37:] = 2**31 - 1
         arrival = np.arange(n, dtype=np.int32)
-        rows = n // sp.LANES
-        outs = pl.pallas_call(
-            sp._make_kernel(n),
-            out_shape=[jax.ShapeDtypeStruct((rows, sp.LANES), jnp.int32)] * 4,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            interpret=True,
-        )(
-            *[jnp.asarray(c).reshape(rows, sp.LANES) for c in cols],
-            jnp.asarray(arrival).reshape(rows, sp.LANES),
+        out = pallas_sort4(
+            *(jnp.asarray(c) for c in (ch, sh, db)), jnp.asarray(arrival)
         )
-        got = np.stack([np.asarray(o).reshape(n) for o in outs], axis=1)
-        np.testing.assert_array_equal(got, oracle(cols, arrival))
+        got = np.stack([np.asarray(o) for o in out], axis=1)
+        np.testing.assert_array_equal(got, oracle([ch, sh, db], arrival))
