@@ -243,14 +243,27 @@ def cull_lod_pass(
     # --- occlusion (compute.wgsl:185-196) ------------------------------------
     if use_occlusion:
         assert depth is not None
+        from .splat import banked_gather
+
         hgt, wid = depth.shape
         u = (ndc[:, 0] * 0.5 + 0.5) * wid
         v = (ndc[:, 1] * -0.5 + 0.5) * hgt
         ui = jnp.clip(u.astype(jnp.int32), 0, wid - 1)
         vi = jnp.clip(v.astype(jnp.int32), 0, hgt - 1)
-        depth_at = depth[vi, ui]
+        # banked gather: the per-index scalar fetch is the slow TPU
+        # gather class (~80 ns/index, PERF.md primitive table)
+        depth_at = banked_gather(depth.reshape(-1), vi * wid + ui)
 
-        radius = spacings[hierarchy]
+        # 16-entry table lookup as a one-hot select — same slow-gather
+        # class avoided for MAX_HIERARCHIES compares per row instead
+        radius = jnp.sum(
+            jnp.where(
+                hier_ids[None, :] == hierarchy[:, None],
+                spacings[None, :],
+                jnp.float32(0.0),
+            ),
+            axis=1,
+        )
         moved_view = jnp.stack(
             [view_pos[:, 0], view_pos[:, 1], view_pos[:, 2] + radius,
              view_pos[:, 3]],
