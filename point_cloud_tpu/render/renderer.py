@@ -16,7 +16,10 @@ rasterize_splats); the host only slices per-bucket arrays.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.metadata import Metadata
@@ -26,8 +29,47 @@ from .splat import (
     make_framebuffer,
     rasterize_splats,
     resolve_framebuffer,
+    splat_pixel_radii,
 )
 from .streaming import CellStreamer
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def classify_splats(pos, hierarchy, keep, view, spacings, proj,
+                    width: int, height: int):
+    """One fused device pass per bucket: view-space transform, per-point
+    radius (one-hot over the 24-entry spacing table — the 1-D table
+    gather is the slow TPU class, PERF.md), projected pixel radii, and
+    the footprint classification (sub-pixel vs full-window splats).
+
+    Returns (view_pos, radius, small, large, n_small, n_large, n_keep);
+    the counts are device scalars for async readback.
+    """
+    n = pos.shape[0]
+    hpos = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    view_pos = hpos @ view.T
+    hier_ids = jnp.arange(spacings.shape[0], dtype=jnp.int32)
+    radius = jnp.sum(
+        jnp.where(
+            hier_ids[None, :] == hierarchy[:, None],
+            spacings[None, :],
+            jnp.float32(0.0),
+        ),
+        axis=1,
+    )
+    rx, ry = splat_pixel_radii(view_pos, radius, proj, width, height)
+    sub_pixel = (rx < 0.5) & (ry < 0.5)
+    small = keep & sub_pixel
+    large = keep & jnp.logical_not(sub_pixel)
+    return (
+        view_pos,
+        radius,
+        small,
+        large,
+        jnp.sum(small.astype(jnp.int32)),
+        jnp.sum(large.astype(jnp.int32)),
+        jnp.sum(keep.astype(jnp.int32)),
+    )
 
 
 @dataclass
@@ -45,12 +87,16 @@ class RenderSettings:
     # consumers (the PNG server, fps bench) turn this off: through a thin
     # accelerator link the depth plane costs more than the u8 RGB image
     transfer_depth: bool = True
-    # compact cull survivors before rasterizing: the scatter-min pays per
-    # row (survivor, culled, or padding alike), and typically only
-    # 20-40% survive. Buffers are sized from the previous frame's
-    # survivor counts (read back asynchronously — no new device syncs);
-    # a frame right after a big visibility jump may clip its newest
-    # splats, self-correcting next frame
+    # compact cull survivors before rasterizing and split them into
+    # footprint classes: the scatter-min pays per fragment row, and
+    # (a) culled/padding rows cost the same as survivors, (b) sub-pixel
+    # splats (the far majority in a deep store) can only ever light
+    # their center pixel, so they raster image-identically with a 1x1
+    # window instead of footprint^2 fragments. Buffers are sized from
+    # the previous frame's per-class survivor counts (read back
+    # asynchronously — no new device syncs); a frame right after a big
+    # visibility jump may clip its newest splats, self-correcting next
+    # frame
     compact_raster: bool = True
 
 
@@ -153,8 +199,8 @@ class PointRenderer:
 
     # --- raster compaction sizing (previous-frame survivor counts) ---------
 
-    def _note_survivors(self, bucket: int, count_dev) -> None:
-        """Stash a bucket's survivor count (device scalar) for the next
+    def _note_survivors(self, key, count_dev) -> None:
+        """Stash a (bucket, class) survivor count (device scalar) for the next
         frame's compaction sizing; the device->host copy starts now so
         collecting it next frame doesn't stall the dispatch chain."""
         counts = getattr(self, "_survivor_counts", None)
@@ -164,18 +210,18 @@ class PointRenderer:
             count_dev.copy_to_host_async()
         except AttributeError:
             pass
-        counts[bucket] = count_dev
+        counts[key] = count_dev
 
-    def _survivor_buffer_size(self, bucket: int, n: int):
+    def _survivor_buffer_size(self, key, n: int):
         """pow2 compacted-raster size from the previous frame's survivor
-        count + 30% headroom; None until the bucket has history."""
+        count + 30% headroom; None until the key has history."""
         counts = getattr(self, "_survivor_counts", None)
-        if counts is None or bucket not in counts:
+        if counts is None or key not in counts:
             return None
-        count = counts[bucket]
+        count = counts[key]
         if not isinstance(count, int):
             count = int(np.asarray(count))
-            counts[bucket] = count
+            counts[key] = count
         from ..ops.dedup import pad_to_bucket
 
         return pad_to_bucket(max(int(count * 1.3), 1), minimum=1 << 10)
@@ -267,48 +313,71 @@ class PointRenderer:
                 use_occlusion=use_occ,
             )
 
-            # view-space positions + per-point radius on device: pulling
-            # `hierarchy` to the host here would serialize the bucket loop
-            # on a device sync (VERDICT round 1, weak #5)
-            hpos = jnp.concatenate(
-                [pos_dev, jnp.ones((n, 1), jnp.float32)], axis=1
+            # view-space positions, per-point radius and the footprint
+            # classification all on device: pulling `hierarchy` to the
+            # host here would serialize the bucket loop on a device sync
+            # (VERDICT round 1, weak #5)
+            proj_dev = jnp.asarray(proj)
+            (view_pos, radius, small, large, cnt_small, cnt_large,
+             count_dev) = classify_splats(
+                pos_dev, hierarchy, keep, view_dev, spacings_dev,
+                proj_dev, s.width, s.height,
             )
-            view_pos = hpos @ view_dev.T
-            radius = spacings_dev[hierarchy]
             point_ids = np.zeros(n, np.int32)
             point_ids[:n_real] = np.arange(
                 id_base, id_base + n_real, dtype=np.int32
             )
-
-            count_dev = keep.sum()  # device scalar; sync later
             ids_dev = jnp.asarray(point_ids)
-            raster_valid = keep
-            out_size = (
-                self._survivor_buffer_size(bucket, n)
-                if s.compact_raster else None
-            )
-            if out_size is not None and out_size < n:
-                from .splat import compact_rows
 
-                view_pos, ndc, radius, ids_dev, raster_valid = (
-                    compact_rows(keep, view_pos, ndc, radius, ids_dev,
-                                 out_size)
+            def raster_subset(fb, mask, out_size, footprint):
+                row_args = (view_pos, ndc, radius, ids_dev)
+                valid = mask
+                if out_size is not None and out_size < n:
+                    from .splat import compact_rows
+
+                    *row_args, valid = compact_rows(
+                        mask, *row_args, out_size
+                    )
+                return rasterize_splats(
+                    fb, *row_args, valid, proj_dev,
+                    height=s.height, width=s.width,
+                    footprint=footprint, voronoi=s.voronoi,
                 )
-            framebuffer = rasterize_splats(
-                framebuffer,
-                view_pos,
-                ndc,
-                radius,
-                ids_dev,
-                raster_valid,
-                jnp.asarray(proj),
-                height=s.height,
-                width=s.width,
-                footprint=s.footprint,
-                voronoi=s.voronoi,
-            )
+
+            # footprint classing: sub-pixel splats (the far majority in a
+            # deep store) can only light their center pixel, so they
+            # raster image-identically at footprint 1 — 25x fewer
+            # fragments than the full window (splat_pixel_radii docs).
+            # First sight of a bucket has no survivor history: raster
+            # everything through the full-footprint path (also identical)
+            # and start the counters.
+            use_classes = s.compact_raster and s.footprint > 1
+            if use_classes:
+                out_small = self._survivor_buffer_size((bucket, "s"), n)
+                out_large = self._survivor_buffer_size((bucket, "l"), n)
+                if out_small is not None and out_large is not None:
+                    framebuffer = raster_subset(
+                        framebuffer, small, out_small, 1
+                    )
+                    framebuffer = raster_subset(
+                        framebuffer, large, out_large, s.footprint
+                    )
+                else:
+                    framebuffer = raster_subset(
+                        framebuffer, keep, None, s.footprint
+                    )
+                self._note_survivors((bucket, "s"), cnt_small)
+                self._note_survivors((bucket, "l"), cnt_large)
+            else:
+                out_all = (
+                    self._survivor_buffer_size((bucket, "a"), n)
+                    if s.compact_raster else None
+                )
+                framebuffer = raster_subset(
+                    framebuffer, keep, out_all, s.footprint
+                )
+                self._note_survivors((bucket, "a"), count_dev)
             visible_counts.append(count_dev)
-            self._note_survivors(bucket, count_dev)
             all_colors.append(colors)
             id_base += n_real
 

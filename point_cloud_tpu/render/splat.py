@@ -91,6 +91,24 @@ def compact_rows(keep, view_pos, ndc, radius, point_id, out_size: int):
     )
 
 
+def splat_pixel_radii(view_pos, radius, projection, width: int, height: int):
+    """Projected splat half-extents in pixels (exact raster arithmetic).
+
+    Shared by :func:`rasterize_splats` and the renderer's footprint
+    classifier — both must see bit-identical f32 values: a point with
+    rx < 0.5 and ry < 0.5 can only ever light its center pixel (every
+    neighbour fragment sits >= 0.5 px from the true center in some axis,
+    so its normalized offset exceeds 1 and fails the inside-circle test),
+    which is what makes the footprint-1 fast path image-identical.
+    """
+    w_clip = jnp.maximum(-view_pos[:, 2], 1e-6)  # perspective_rh: w = -z
+    rx = radius * projection[0, 0] / w_clip * (0.5 * width)
+    ry = radius * projection[1, 1] / w_clip * (0.5 * height)
+    rx = jnp.maximum(rx, 1e-6)
+    ry = jnp.maximum(ry, 1e-6)
+    return rx, ry
+
+
 _GATHER_BANK = 8
 
 
@@ -140,11 +158,7 @@ def rasterize_splats(
     py = (ndc[:, 1] * -0.5 + 0.5) * height
 
     # splat radius in pixels: r_ndc = radius * P[0,0] / w  (w = clip w)
-    w_clip = jnp.maximum(-view_pos[:, 2], 1e-6)  # perspective_rh: w = -z_view
-    rx = radius * projection[0, 0] / w_clip * (0.5 * width)
-    ry = radius * projection[1, 1] / w_clip * (0.5 * height)
-    rx = jnp.maximum(rx, 1e-6)
-    ry = jnp.maximum(ry, 1e-6)
+    rx, ry = splat_pixel_radii(view_pos, radius, projection, width, height)
 
     half = (k - 1) // 2
     offs = jnp.arange(-half, k - half, dtype=jnp.float32)

@@ -364,6 +364,66 @@ class TestFullFrame:
         assert (d_v < d_f - 1e-7).any()
 
 
+class TestFootprintClassing:
+    def test_subpixel_splats_identical_at_footprint_1(self):
+        """The classing invariant: splats with projected rx,ry < 0.5 px
+        light only their center pixel, so footprint 1 and footprint 5
+        produce the same framebuffer for them (renderer.classify_splats
+        routes them through the cheap path on this guarantee)."""
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.splat import (
+            make_framebuffer, rasterize_splats, splat_pixel_radii,
+        )
+
+        rng = np.random.default_rng(42)
+        n, h, w = 2048, 120, 160
+        # view-space points in front of the camera at varied depths
+        view_pos = np.zeros((n, 4), np.float32)
+        view_pos[:, 0] = rng.uniform(-40, 40, n)
+        view_pos[:, 1] = rng.uniform(-25, 25, n)
+        view_pos[:, 2] = -rng.uniform(20, 400, n)
+        view_pos[:, 3] = 1.0
+        proj = np.zeros((4, 4), np.float32)
+        proj[0, 0] = 1.8
+        proj[1, 1] = 2.4
+        proj[2, 2] = -1.002
+        proj[2, 3] = -2.002
+        proj[3, 2] = -1.0
+        clip = view_pos @ proj.T
+        ndc = (clip[:, :3] / clip[:, 3:4]).astype(np.float32)
+        radius = rng.uniform(0.01, 0.3, n).astype(np.float32)
+        ids = np.arange(1, n + 1, dtype=np.int32)
+
+        rx, ry = splat_pixel_radii(
+            jnp.asarray(view_pos), jnp.asarray(radius), jnp.asarray(proj),
+            w, h,
+        )
+        sub_pixel = np.asarray((rx < 0.5) & (ry < 0.5))
+        assert sub_pixel.any(), "fixture must contain sub-pixel splats"
+        valid = jnp.asarray(sub_pixel)
+
+        fb = make_framebuffer(h, w)
+        out5 = rasterize_splats(
+            fb, jnp.asarray(view_pos), jnp.asarray(ndc),
+            jnp.asarray(radius), jnp.asarray(ids), valid,
+            jnp.asarray(proj), height=h, width=w, footprint=5,
+        )
+        out1 = rasterize_splats(
+            fb, jnp.asarray(view_pos), jnp.asarray(ndc),
+            jnp.asarray(radius), jnp.asarray(ids), valid,
+            jnp.asarray(proj), height=h, width=w, footprint=1,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out5.depth), np.asarray(out1.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out5.point_id), np.asarray(out1.point_id)
+        )
+        # and the scene actually renders something
+        assert (np.asarray(out1.point_id) != 2**31 - 1).any()
+
+
 class TestLoadedCellsHash:
     def test_hash_matches_binary_search(self):
         """hash_member == the sorted-table binary search on random sets."""
