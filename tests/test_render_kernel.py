@@ -423,6 +423,36 @@ class TestFootprintClassing:
         # and the scene actually renders something
         assert (np.asarray(out1.point_id) != 2**31 - 1).any()
 
+        # the general ladder rule: a k x k window is exact for rmax < k/2
+        # — footprint 3 on the r < 1.5 class matches footprint 5
+        radius3 = rng.uniform(0.05, 1.2, n).astype(np.float32)
+        rx3, ry3 = splat_pixel_radii(
+            jnp.asarray(view_pos), jnp.asarray(radius3),
+            jnp.asarray(proj), w, h,
+        )
+        fits3 = np.asarray(
+            (jnp.maximum(rx3, ry3) < 1.5)
+            & jnp.logical_not((rx3 < 0.5) & (ry3 < 0.5))
+        )
+        assert fits3.any(), "fixture must contain 0.5..1.5 px splats"
+        v3 = jnp.asarray(fits3)
+        a = rasterize_splats(
+            fb, jnp.asarray(view_pos), jnp.asarray(ndc),
+            jnp.asarray(radius3), jnp.asarray(ids), v3,
+            jnp.asarray(proj), height=h, width=w, footprint=5,
+        )
+        b = rasterize_splats(
+            fb, jnp.asarray(view_pos), jnp.asarray(ndc),
+            jnp.asarray(radius3), jnp.asarray(ids), v3,
+            jnp.asarray(proj), height=h, width=w, footprint=3,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.depth), np.asarray(b.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.point_id), np.asarray(b.point_id)
+        )
+
 
 class TestLoadedCellsHash:
     def test_hash_matches_binary_search(self):
