@@ -250,8 +250,8 @@ def cull_lod_pass(
         v = (ndc[:, 1] * -0.5 + 0.5) * hgt
         ui = jnp.clip(u.astype(jnp.int32), 0, wid - 1)
         vi = jnp.clip(v.astype(jnp.int32), 0, hgt - 1)
-        # banked gather: the per-index scalar fetch is the slow TPU
-        # gather class (~80 ns/index, PERF.md primitive table)
+        # banked gather: a materializing 1-D fetch is the slow TPU
+        # gather class (~10 ns/index, PERF.md primitive table)
         depth_at = banked_gather(depth.reshape(-1), vi * wid + ui)
 
         # 16-entry table lookup as a one-hot select — same slow-gather

@@ -36,10 +36,12 @@ CLEAR_COLOR = (0.16, 0.16, 0.16)  # wgpu.rs:310-316
 # write_png produced from the f32 clear color before frames went u8
 CLEAR_COLOR_U8 = tuple(int(c * 255.0 + 0.5) for c in CLEAR_COLOR)
 CLEAR_DEPTH = 1.0
-# static KxK fragment window per splat. Each fragment costs ~30 ns in the
-# XLA scatter-min (PERF.md), so the footprint is the raster knob: 5 covers
-# splats up to 2 px radius at 25 frags/pt; 9 covers 4 px at 81 frags/pt
-# (3.5x slower). Splats larger than the window render clipped — the
+# static KxK fragment window per splat. Each fragment costs ~15 ns across
+# the two XLA scatter-mins (PERF.md), so the footprint is the raster knob:
+# 5 covers splats up to 2.5 px half-extent at 25 frags/pt; 9 covers 4.5 px
+# at 81 frags/pt (the renderer's window ladder routes each splat to the
+# smallest exact window, so large footprints only tax the splats that
+# need them). Splats larger than the window render clipped — the
 # scatter rasterizer's documented divergence from the reference's
 # billboard-quad hardware rasterization (render.wgsl:70-95).
 DEFAULT_FOOTPRINT = 5
@@ -63,7 +65,7 @@ def make_framebuffer(height: int, width: int) -> Framebuffer:
 def compact_rows(keep, view_pos, ndc, radius, point_id, out_size: int):
     """Pack the cull survivors into a dense ``out_size``-row buffer.
 
-    The scatter-min rasterizer pays ~30 ns per fragment whether a row is
+    The scatter-min rasterizer pays ~15 ns per fragment whether a row is
     a survivor, a culled point, or pow2 padding — compacting first makes
     raster cost track the *visible* count (typically 20-40% of rows).
     Survivors beyond ``out_size`` are dropped (mode="drop"); the renderer
@@ -115,9 +117,9 @@ _GATHER_BANK = 8
 def banked_gather(values, idx):
     """``values[idx]`` via an (M, 8)-row gather + one-hot lane select.
 
-    XLA's TPU 1-D gather costs ~80 ns/index; gathering 8-wide rows and
-    selecting the lane with a where/sum one-hot is ~10x faster at the
-    same index count (measured, PERF.md primitive table). The select
+    A materializing 1-D gather costs ~10 ns/index on this chip; gathering
+    8-wide rows and selecting the lane with a where/sum one-hot is ~2.8x
+    faster at the same index count (measured, PERF.md primitive table). The select
     keeps the exact gathered lane (where, not multiply, so NaN in other
     lanes never leaks); the one caveat vs a direct gather is -0.0
     returning as +0.0 through the sum — equal under every comparison the
