@@ -216,11 +216,35 @@ class PointRenderer:
             return None
         count = counts[key]
         if not isinstance(count, int):
+            # normally already an int: _flush_survivor_counts batch-reads
+            # every pending scalar at frame end (one tunnel round trip
+            # instead of one per key — ~19 ms each, the round-3 frame
+            # profile's dominant cost)
             count = int(np.asarray(count))
             counts[key] = count
         from ..ops.dedup import pad_to_bucket
 
         return pad_to_bucket(max(int(count * 1.3), 1), minimum=1 << 10)
+
+    def _flush_survivor_counts(self, extra=None):
+        """One batched device->host readback for every pending survivor
+        count, optionally appending ``extra`` (a device scalar) to the
+        same transfer; returns int(extra) when given."""
+        import jax.numpy as jnp
+
+        counts = getattr(self, "_survivor_counts", None) or {}
+        pending = [
+            (k, v) for k, v in counts.items() if not isinstance(v, int)
+        ]
+        scalars = [jnp.asarray(v, jnp.int32) for _, v in pending]
+        if extra is not None:
+            scalars.append(jnp.asarray(extra, jnp.int32))
+        if not scalars:
+            return None
+        host = np.asarray(jnp.stack(scalars))
+        for (k, _), val in zip(pending, host):
+            counts[k] = int(val)
+        return int(host[-1]) if extra is not None else None
 
     def render(self, streamer: CellStreamer, camera: Camera,
                streaming_frustums=None, paused: bool = False):
@@ -413,13 +437,13 @@ class PointRenderer:
         rgb, depth = resolve_framebuffer(
             framebuffer, jnp.asarray(color_table), s.height, s.width
         )
+        visible_total = self._flush_survivor_counts(
+            extra=sum(visible_counts) if visible_counts else None
+        )
         stats = {
             "cells": len(cells),
             "points_in": total_in,
-            "points_visible": (
-                int(np.asarray(sum(visible_counts)))
-                if visible_counts else 0
-            ),
+            "points_visible": visible_total or 0,
         }
         return (
             np.asarray(rgb),
