@@ -295,7 +295,11 @@ def dedup_pass_light(positions, valid, cell_size, sub_cell_radius):
 
     # audit: recompute true keys of the sorted rows from permuted
     # positions (3-column gather instead of 6) and flag runs where the
-    # hash pair repeats but the true key changes
+    # hash pair repeats but the true key changes. The gather stays
+    # direct: its only consumers are fused elementwise key math, which
+    # XLA folds into the gather (a banked (N/8,24)+one-hot variant
+    # measured slightly SLOWER here, 21.8 vs 20.2 ms for the whole pass
+    # — banking only pays for materializing gathers, PERF.md).
     pos_s = positions[perm]
     cell_idx_s = jax_cell_index(pos_s, cell_size)
     axial_s = jax_axial_from_world(pos_s, sub_cell_radius)
