@@ -241,22 +241,44 @@ def _cross_exchange(cols, n_tiles: int, d: int, stage: int):
     ]
 
 
-def _to_tiles(c, n_tiles: int):
+def _transpose_block_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:].T
+
+
+def _transpose_blocks(c, in_shape, out_shape, n_tiles: int,
+                      interpret: bool):
+    """Per-tile 2-D transpose as a Pallas kernel: XLA's transpose of
+    these (128, 256) blocks runs ~26x slower than Mosaic's native
+    relayout (measured at 2^20, PERF.md)."""
+    return pl.pallas_call(
+        _transpose_block_kernel,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * out_shape[0], out_shape[1]), jnp.int32
+        ),
+        in_specs=[
+            pl.BlockSpec(in_shape, lambda t: (t, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(out_shape, lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(c)
+
+
+def _to_tiles(c, n_tiles: int, interpret: bool):
     """flat (n,) -> (T*SUB, LANES) with element i at (t*SUB + i%SUB,
     (i%TILE)//SUB) — the sublane-major tile layout."""
-    return (
-        c.reshape(n_tiles, LANES, SUB)
-        .transpose(0, 2, 1)
-        .reshape(n_tiles * SUB, LANES)
+    return _transpose_blocks(
+        c.reshape(n_tiles * LANES, SUB), (LANES, SUB), (SUB, LANES),
+        n_tiles, interpret,
     )
 
 
-def _from_tiles(c, n_tiles: int):
-    return (
-        c.reshape(n_tiles, SUB, LANES)
-        .transpose(0, 2, 1)
-        .reshape(n_tiles * TILE)
-    )
+def _from_tiles(c, n_tiles: int, interpret: bool):
+    return _transpose_blocks(
+        c, (SUB, LANES), (LANES, SUB), n_tiles, interpret
+    ).reshape(n_tiles * TILE)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -276,13 +298,13 @@ def _pallas_sort4_impl(k1, k2, k3, k4, interpret: bool):
     n_tiles = n_pad // TILE
     log_n = n_pad.bit_length() - 1
 
-    cols = [_to_tiles(c, n_tiles) for c in (k1, k2, k3, k4)]
+    cols = [_to_tiles(c, n_tiles, interpret) for c in (k1, k2, k3, k4)]
     cols = _call_sort_tiles(cols, n_tiles, interpret)
     for s in range(LOG_TILE + 1, log_n + 1):
         for sub in range(s - 1, LOG_TILE - 1, -1):
             cols = _cross_exchange(cols, n_tiles, 1 << sub, s)
         cols = _call_merge_tiles(cols, n_tiles, s - LOG_TILE, interpret)
-    out = [_from_tiles(c, n_tiles) for c in cols]
+    out = [_from_tiles(c, n_tiles, interpret) for c in cols]
     return tuple(o[:n] for o in out)
 
 
