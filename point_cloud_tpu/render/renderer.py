@@ -69,22 +69,22 @@ def classify_splats(pos, hierarchy, keep, view, spacings, proj,
 
 
 def raster_bucket(n: int, minimum: int = 1 << 10) -> int:
-    """Smallest ladder size >= n from {1, 1.25, 1.5, 1.75} * 2^k.
+    """Power-of-two raster buffer size.
 
-    Raster cost is linear in buffer rows, so pow2 rounding (up to 2x
-    over the survivor count, ~1.44x mean) wastes real scatter time;
-    quarter steps cap the rounding at 1.25x (~1.11x mean) for 4x the
-    compiled-shape count — a one-time compile per shape per machine
-    (persistent cache), linear savings every frame.
+    NEGATIVE RESULT (measured, do not retry blindly): a quarter-step
+    ladder ({1, 1.25, 1.5, 1.75} * 2^k) cuts the mean rounding waste
+    from ~1.44x to ~1.11x, but survivor counts swing 2-3x across an
+    orbit and drift between orbits, so the finer boundaries kept
+    minting NEW compiled shapes mid-flight (5-17 s each on TPU) —
+    measured fps fell from 3.9 to 1.5-2.7 despite the cheaper steady
+    state. Shape-vocabulary stability beats rounding waste when
+    compiles are this expensive; pow2's 2x-wide steps keep the
+    vocabulary at 1-2 shapes per (bucket, class) key.
     """
-    if n <= minimum:
-        return minimum
-    base = 1 << ((n - 1).bit_length() - 1)
-    for frac in (4, 5, 6, 7, 8):
-        size = base * frac // 4
-        if size >= n:
-            return size
-    raise AssertionError("unreachable: frac=8 doubles base")
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
 
 
 @dataclass
@@ -228,8 +228,15 @@ class PointRenderer:
         counts[key] = count_dev
 
     def _survivor_buffer_size(self, key, n: int):
-        """Quarter-step compacted-raster size from the previous frame's
-        survivor count + 30% headroom; None until the key has history."""
+        """Sticky quarter-step compacted-raster size from the previous
+        frame's survivor count; None until the key has history.
+
+        Sticky: frame-to-frame survivor counts jitter a few percent as
+        the camera moves, and every NEW buffer size is a fresh raster
+        compile (5-17 s on TPU) — quarter steps without hysteresis
+        flapped across ladder boundaries mid-orbit and halved measured
+        fps. The held size only changes when the count outgrows it
+        (< 15% headroom left) or shrinks well below it (< half used)."""
         counts = getattr(self, "_survivor_counts", None)
         if counts is None or key not in counts:
             return None
@@ -241,7 +248,15 @@ class PointRenderer:
             # profile's dominant cost)
             count = int(np.asarray(count))
             counts[key] = count
-        return raster_bucket(max(int(count * 1.3), 1))
+        sizes = getattr(self, "_buffer_sizes", None)
+        if sizes is None:
+            sizes = self._buffer_sizes = {}
+        held = sizes.get(key)
+        if held is not None and count * 1.15 <= held <= count * 2.6:
+            return held
+        held = raster_bucket(max(int(count * 1.3), 1))
+        sizes[key] = held
+        return held
 
     def _flush_survivor_counts(self, extra=None):
         """One batched device->host readback for every pending survivor
@@ -451,17 +466,56 @@ class PointRenderer:
                 [color_table,
                  np.zeros((padded - len(color_table), 4), np.uint8)]
             )
+        # one packed device->host transfer for the image + the survivor
+        # counts (+ depth when requested): each separate np.asarray costs
+        # a link round trip (PERF.md)
+        from .splat import PACK_COUNTS, pack_frame
+
+        counts_map = getattr(self, "_survivor_counts", None) or {}
+        pending = [
+            (k, v) for k, v in counts_map.items()
+            if not isinstance(v, int)
+        ]
+        scalars = [v for _, v in pending]
+        if visible_counts:
+            scalars.append(sum(visible_counts))
+        stats = {"cells": len(cells), "points_in": total_in}
+        if len(scalars) <= PACK_COUNTS:
+            packed = pack_frame(
+                framebuffer,
+                jnp.asarray(color_table),
+                (jnp.stack(scalars) if scalars
+                 else jnp.zeros(1, jnp.int32)),
+                s.height,
+                s.width,
+                with_depth=s.transfer_depth,
+            )
+            buf = np.asarray(packed)
+            hw3 = s.height * s.width * 3
+            rgb = buf[:hw3].reshape(s.height, s.width, 3)
+            cvals = np.frombuffer(
+                bytes(buf[hw3 : hw3 + 4 * PACK_COUNTS]), np.int32
+            )
+            for (k, _), val in zip(pending, cvals):
+                counts_map[k] = int(val)
+            stats["points_visible"] = (
+                int(cvals[len(pending)]) if visible_counts else 0
+            )
+            depth = None
+            if s.transfer_depth:
+                off = hw3 + 4 * PACK_COUNTS
+                depth = np.frombuffer(
+                    bytes(buf[off:]), np.float32
+                ).reshape(s.height, s.width)
+            return rgb, depth, stats
+        # fallback (more pending count keys than pack slots)
         rgb, depth = resolve_framebuffer(
             framebuffer, jnp.asarray(color_table), s.height, s.width
         )
         visible_total = self._flush_survivor_counts(
             extra=sum(visible_counts) if visible_counts else None
         )
-        stats = {
-            "cells": len(cells),
-            "points_in": total_in,
-            "points_visible": visible_total or 0,
-        }
+        stats["points_visible"] = visible_total or 0
         return (
             np.asarray(rgb),
             np.asarray(depth) if s.transfer_depth else None,

@@ -243,3 +243,36 @@ def resolve_framebuffer(framebuffer: Framebuffer, colors, height: int, width: in
         rgb.reshape(height, width, 3),
         framebuffer.depth.reshape(height, width),
     )
+
+
+PACK_COUNTS = 32  # fixed count-slot tail; static packed-frame shape
+
+
+@partial(jax.jit, static_argnames=("height", "width", "with_depth"))
+def pack_frame(framebuffer: Framebuffer, colors, counts, height: int,
+               width: int, with_depth: bool):
+    """Resolve a frame and flatten EVERYTHING the host reads into one u8
+    buffer: [rgb | PACK_COUNTS i32 counts | optional f32 depth].
+
+    Through a high-latency link every device->host array costs its own
+    round trip (~19-28 ms here, PERF.md); a frame's outputs — the image,
+    the per-class survivor counts for next frame's buffer sizing, the
+    visible-total stat, and optionally the depth plane — ride one
+    transfer instead of three. ``counts`` is padded/truncated to
+    PACK_COUNTS so the shape stays static.
+    """
+    rgb, depth = resolve_framebuffer(framebuffer, colors, height, width)
+    n = counts.shape[0]
+    counts = jnp.concatenate(
+        [counts.astype(jnp.int32),
+         jnp.zeros(max(PACK_COUNTS - n, 0), jnp.int32)]
+    )[:PACK_COUNTS]
+    parts = [
+        rgb.reshape(-1),
+        jax.lax.bitcast_convert_type(counts, jnp.uint8).reshape(-1),
+    ]
+    if with_depth:
+        parts.append(
+            jax.lax.bitcast_convert_type(depth, jnp.uint8).reshape(-1)
+        )
+    return jnp.concatenate(parts)

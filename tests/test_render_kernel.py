@@ -365,22 +365,17 @@ class TestFullFrame:
 
 
 class TestRasterBucket:
-    def test_ladder(self):
+    def test_pow2(self):
         from point_cloud_tpu.render.renderer import raster_bucket
 
         assert raster_bucket(1) == 1024
         assert raster_bucket(1024) == 1024
-        assert raster_bucket(1025) == 1280
-        assert raster_bucket(1500) == 1536
-        assert raster_bucket(1537) == 1792
+        assert raster_bucket(1025) == 2048
         assert raster_bucket(2048) == 2048
         for n in range(1, 70000, 37):
             b = raster_bucket(n)
             assert b >= max(n, 1024)
-            assert b <= max(2 * n, 1024)
-            # ladder membership: b = frac/4 * 2^k for frac in 4..7
-            k = b.bit_length() - 1
-            assert (4 * b) % (1 << k) == 0
+            assert b <= max(2 * n, 1024) and (b & (b - 1)) == 0
 
 
 class TestFootprintClassing:
