@@ -364,6 +364,57 @@ class TestFullFrame:
         assert (d_v < d_f - 1e-7).any()
 
 
+class TestPackFrame:
+    def test_unpack_matches_resolve(self):
+        """pack_frame's single u8 buffer must unpack to exactly what
+        resolve_framebuffer returns, plus the count slots, in both
+        depth modes."""
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.splat import (
+            PACK_COUNTS, Framebuffer, pack_frame, resolve_framebuffer,
+        )
+
+        h, w = 24, 32
+        rng = np.random.default_rng(5)
+        depth_plane = rng.uniform(0, 1, h * w).astype(np.float32)
+        ids = rng.integers(0, 7, h * w).astype(np.int32)
+        ids[::5] = 2**31 - 1  # uncovered pixels
+        fb = Framebuffer(
+            depth=jnp.asarray(depth_plane), point_id=jnp.asarray(ids)
+        )
+        colors = jnp.asarray(
+            rng.integers(0, 256, (8, 4), dtype=np.uint8)
+        )
+        counts = jnp.asarray(
+            rng.integers(-(2**31), 2**31, 5, dtype=np.int64).astype(
+                np.int32
+            )
+        )
+        rgb_ref, depth_ref = resolve_framebuffer(fb, colors, h, w)
+        for with_depth in (False, True):
+            buf = np.asarray(
+                pack_frame(fb, colors, counts, h, w,
+                           with_depth=with_depth)
+            )
+            hw3 = h * w * 3
+            np.testing.assert_array_equal(
+                buf[:hw3].reshape(h, w, 3), np.asarray(rgb_ref)
+            )
+            cvals = np.frombuffer(
+                bytes(buf[hw3 : hw3 + 4 * PACK_COUNTS]), np.int32
+            )
+            np.testing.assert_array_equal(cvals[:5], np.asarray(counts))
+            assert (cvals[5:] == 0).all()
+            if with_depth:
+                got = np.frombuffer(
+                    bytes(buf[hw3 + 4 * PACK_COUNTS :]), np.float32
+                ).reshape(h, w)
+                np.testing.assert_array_equal(got, np.asarray(depth_ref))
+            else:
+                assert len(buf) == hw3 + 4 * PACK_COUNTS
+
+
 class TestRasterBucket:
     def test_pow2(self):
         from point_cloud_tpu.render.renderer import raster_bucket
