@@ -55,9 +55,17 @@ import os as _os
 _SORT_BACKEND = _os.environ.get("PCT_SORT", "auto")
 
 
+# set when the pallas backend fails to compile/launch (e.g. a Mosaic
+# regression on a different libtpu): auto-selection then degrades to the
+# bitonic permanently for the process (see dispatch_dedup)
+_PALLAS_BROKEN = False
+
+
 def _resolve_backend() -> str:
     if _SORT_BACKEND == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "bitonic"
+        if _PALLAS_BROKEN or jax.default_backend() != "tpu":
+            return "bitonic"
+        return "pallas"
     return _SORT_BACKEND
 
 def _i32(v: int) -> np.int32:
@@ -375,6 +383,7 @@ def dispatch_dedup(positions: np.ndarray, cell_size, sub_cell_size,
     sort overlap whatever host work happens before collection — the
     cross-batch pipelining hook used by DeviceConverter.prefetch.
     """
+    global _PALLAS_BROKEN, dedup_pass_light, dedup_pass
     n = len(positions) if n_valid is None else n_valid
     # bucket floor 2^15: fewer distinct shapes = fewer expensive TPU sort
     # compiles; padded rows cost ~nothing at run time
@@ -384,12 +393,38 @@ def dispatch_dedup(positions: np.ndarray, cell_size, sub_cell_size,
     valid = np.zeros(n_pad, bool)
     valid[:n] = True
 
-    packed = dedup_pass_light(
+    args = (
         jnp.asarray(pos_pad),
         jnp.asarray(valid),
         jnp.float32(np.float32(cell_size)),
         jnp.float32(np.float32(sub_cell_size) / np.float32(2.0)),
     )
+    try:
+        packed = dedup_pass_light(*args)
+    except Exception:
+        # the auto backend picks the Pallas sort on TPU; a Mosaic
+        # compile/launch failure on an unvetted libtpu must degrade to
+        # the always-available bitonic, not kill the conversion. Compile
+        # errors surface here (jit compilation is synchronous at call).
+        # The backend choice is baked into the traced jaxpr and
+        # jit._clear_cache does NOT drop the trace cache (measured), so
+        # recovery rebinds fresh jit wrappers around new lambdas.
+        if _resolve_backend() != "pallas":
+            raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pallas sort backend failed; falling back to bitonic",
+            exc_info=True,
+        )
+        _PALLAS_BROKEN = True
+        dedup_pass_light = jax.jit(
+            lambda *a, _f=dedup_pass_light.__wrapped__: _f(*a)
+        )
+        dedup_pass = jax.jit(
+            lambda *a, _f=dedup_pass.__wrapped__: _f(*a)
+        )
+        packed = dedup_pass_light(*args)
     return {"n": n, "packed": packed}
 
 

@@ -178,6 +178,63 @@ class TestDedupPass:
         finally:
             dd._hash_cols = orig
 
+    def test_pallas_failure_degrades_to_bitonic(self):
+        """If the (TPU-default) Pallas sort fails to compile/launch on
+        some libtpu, dispatch_dedup must fall back to the bitonic and
+        still produce correct results, not kill the conversion."""
+        import point_cloud_tpu.ops.dedup as dd
+        import point_cloud_tpu.ops.sort_pallas as sp
+
+        config = MetadataConfig()
+        cell_size = config.cell_size(2)
+        sub = config.sub_cell_size(cell_size)
+        batch = random_batch(2_000, seed=12, lo=-40, hi=40)
+
+        calls = {"n": 0}
+
+        def broken_sort(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError("simulated Mosaic failure")
+
+        def fake_resolve():
+            return "bitonic" if dd._PALLAS_BROKEN else "pallas"
+
+        import jax
+
+        orig_sort = sp.pallas_sort4
+        orig_resolve = dd._resolve_backend
+        orig_broken = dd._PALLAS_BROKEN
+        orig_light = dd.dedup_pass_light
+        orig_pass = dd.dedup_pass
+        try:
+            sp.pallas_sort4 = broken_sort
+            dd._resolve_backend = fake_resolve
+            dd._PALLAS_BROKEN = False
+            # fresh trace so the patched backend resolution applies (the
+            # module wrapper may hold cached traces from earlier tests)
+            dd.dedup_pass_light = jax.jit(
+                lambda *a, _f=orig_light.__wrapped__: _f(*a)
+            )
+            perm, winner, *_ = dd.dedup_batch_host(
+                batch.positions, cell_size, sub
+            )
+            assert calls["n"] >= 1  # the pallas path was attempted
+            assert dd._PALLAS_BROKEN
+            assert winner.sum() > 0
+            # matches a clean bitonic run bit for bit
+            dd._resolve_backend = lambda: "bitonic"
+            perm2, winner2, *_ = dd.dedup_batch_host(
+                batch.positions, cell_size, sub
+            )
+            np.testing.assert_array_equal(perm, perm2)
+            np.testing.assert_array_equal(winner, winner2)
+        finally:
+            sp.pallas_sort4 = orig_sort
+            dd._resolve_backend = orig_resolve
+            dd._PALLAS_BROKEN = orig_broken
+            dd.dedup_pass_light = orig_light
+            dd.dedup_pass = orig_pass
+
     def test_tie_break_earliest_arrival(self):
         """Duplicate positions: the first arrival must win (incumbent rule)."""
         config = MetadataConfig()
