@@ -364,6 +364,35 @@ class TestFullFrame:
         assert (d_v < d_f - 1e-7).any()
 
 
+class TestStickyBufferSize:
+    def test_holds_size_under_jitter_and_resizes_on_real_change(self):
+        """Every new buffer size is a raster recompile, so the sizing
+        must hold steady while counts jitter and only move on genuine
+        growth (head-room exhausted) or shrink (< ~half used)."""
+        from point_cloud_tpu.core.metadata import Metadata
+        from point_cloud_tpu.render.renderer import PointRenderer
+
+        r = PointRenderer(Metadata())
+        key = (3, 5)
+        r._note_survivors(key, 10_000)
+        first = r._survivor_buffer_size(key, 1 << 18)
+        assert first == 16384  # pow2(10_000 * 1.3)
+        # +/- 10% jitter: size must not move
+        for c in (9_000, 11_000, 10_500, 9_500):
+            r._note_survivors(key, c)
+            assert r._survivor_buffer_size(key, 1 << 18) == first
+        # genuine growth: head-room exhausted -> resize up
+        r._note_survivors(key, 15_000)
+        grown = r._survivor_buffer_size(key, 1 << 18)
+        assert grown > first
+        # genuine shrink: well under half used -> resize down
+        r._note_survivors(key, 2_000)
+        shrunk = r._survivor_buffer_size(key, 1 << 18)
+        assert shrunk < grown
+        # unknown key has no history
+        assert r._survivor_buffer_size((9, 9), 1 << 18) is None
+
+
 class TestPackFrame:
     def test_unpack_matches_resolve(self):
         """pack_frame's single u8 buffer must unpack to exactly what
