@@ -297,6 +297,25 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
                 self.get_cell(cell_id, pin=True)  # ensure loaded + kept
                 pinned.append(cell_id)
 
+        return self._stage_and_flush(
+            hierarchy, l_pos_chunks, l_col_chunks, l_cell_chunks,
+            l_next_chunks, pinned,
+        )
+
+    def _stage_and_flush(
+        self, hierarchy, l_pos_chunks, l_col_chunks, l_cell_chunks,
+        l_next_chunks, pinned,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Step 4: losers -> overflow accounting; returns next level input.
+
+        Input order of the chunks is irrelevant: one global canonical sort
+        (cell, next-cell, record bits) fixes both the group processing
+        order and each group's staged record order, so any producer —
+        single-device cascade or the owner-sharded mesh pass — flushes
+        byte-identical overflow state and feeds the next level in the
+        same order (the byte-parity invariant, CLAUDE.md #1).
+        """
+        config = self.metadata.config
         if not l_pos_chunks:
             return (
                 np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8)

@@ -426,7 +426,17 @@ def compress_records(raw: bytes, n_points: int, items,
 def write_laz(path, batch: PointBatch, point_format: int = 2,
               scale=(0.001, 0.001, 0.001),
               chunk_size: int = CHUNK_SIZE_DEFAULT) -> None:
-    """Write a .laz file (any format io/las.write_las supports)."""
+    """Write a .laz file (any format io/las.write_las supports).
+
+    Interoperability caveat: this codec round-trips against its own
+    decoder (tests/test_laz.py) but is uncertified against external
+    laszip implementations — no laszip-generated corpus is reachable in
+    this environment (ROADMAP #5). Formats 6-10 use the LASzip 3.x
+    layered scheme whose return-context tables here derive from the 2.x
+    models; files written in those formats may not open in stock laszip
+    until certified. Formats 0-3 follow the published 2.x pointwise
+    scheme and carry lower risk.
+    """
     from .las import write_las
     import io as _io
     import tempfile
@@ -444,7 +454,11 @@ def write_laz(path, batch: PointBatch, point_format: int = 2,
 
 def convert_las_to_laz(las_path, laz_path,
                        chunk_size: int = CHUNK_SIZE_DEFAULT) -> None:
-    """Losslessly re-frame a .las file as .laz (identical records)."""
+    """Losslessly re-frame a .las file as .laz (identical records).
+
+    Same interoperability caveat as :func:`write_laz`: uncertified
+    against external laszip readers (see ROADMAP #5).
+    """
     from .las import LasHeader
 
     with open(las_path, "rb") as f:

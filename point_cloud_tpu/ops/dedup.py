@@ -60,6 +60,12 @@ _SORT_BACKEND = _os.environ.get("PCT_SORT", "auto")
 # bitonic permanently for the process (see dispatch_dedup)
 _PALLAS_BROKEN = False
 
+# set after the first pallas-backed dispatch completes a synchronous
+# readback: async launch failures (which surface at the d2h transfer, not
+# at dispatch) are forced to appear inside dispatch_dedup's try block on
+# the first call so they trigger the same bitonic degrade
+_PALLAS_VETTED = False
+
 
 def _resolve_backend() -> str:
     if _SORT_BACKEND == "auto":
@@ -166,7 +172,10 @@ def _hash_sort(positions, valid, cell_size, sub_cell_radius):
             num_keys=3,
             is_stable=True,
         )
-    elif backend == "pallas" and n >= 1024:
+    elif backend == "pallas" and n >= 1024 and (n & (n - 1)) == 0:
+        # pallas requires power-of-two lengths (sub-tile padding contract);
+        # non-pow2 shapes (e.g. non-pow2 device counts under shard_map)
+        # fall through to the bitonic branch below
         # tiled VMEM kernel (ops/sort_pallas.py); the arrival column is
         # < 2^30 here, which its sub-tile padding contract requires
         from .sort_pallas import pallas_sort4
@@ -383,7 +392,7 @@ def dispatch_dedup(positions: np.ndarray, cell_size, sub_cell_size,
     sort overlap whatever host work happens before collection — the
     cross-batch pipelining hook used by DeviceConverter.prefetch.
     """
-    global _PALLAS_BROKEN, dedup_pass_light, dedup_pass
+    global _PALLAS_BROKEN, _PALLAS_VETTED, dedup_pass_light, dedup_pass
     n = len(positions) if n_valid is None else n_valid
     # bucket floor 2^15: fewer distinct shapes = fewer expensive TPU sort
     # compiles; padded rows cost ~nothing at run time
@@ -401,6 +410,12 @@ def dispatch_dedup(positions: np.ndarray, cell_size, sub_cell_size,
     )
     try:
         packed = dedup_pass_light(*args)
+        if not _PALLAS_VETTED and _resolve_backend() == "pallas":
+            # force a 4-byte synchronous readback once: pallas launch
+            # errors that surface asynchronously (at the later d2h in
+            # collect_dedup) must land inside this try on the first call
+            np.asarray(packed[:1])
+            _PALLAS_VETTED = True
     except Exception:
         # the auto backend picks the Pallas sort on TPU; a Mosaic
         # compile/launch failure on an unvetted libtpu must degrade to

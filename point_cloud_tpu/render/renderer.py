@@ -280,7 +280,11 @@ class PointRenderer:
 
     def render(self, streamer: CellStreamer, camera: Camera,
                streaming_frustums=None, paused: bool = False):
-        """Returns (rgb (H,W,3) f32, depth (H,W) f32, stats dict)."""
+        """Returns (rgb (H,W,3) u8, depth (H,W) f32 or None, stats dict).
+
+        ``depth`` is None unless ``settings.transfer_depth`` is set (the
+        depth plane stays on device to keep the per-frame readback small).
+        """
         s = self.settings
         view = camera.view_matrix()
         proj = camera.projection_matrix()

@@ -105,6 +105,11 @@ class AssetManager(Generic[Id, T]):
         self._loading: set[Id] = set()
         self._events: list[AssetEvent[Id]] = []
         self._completions: list[tuple[Id, T | None, Source, Exception | None]] = []
+        # signalled by loader threads when a completion lands; the frame
+        # loop blocks on it instead of a hand-tuned sleep yield (a
+        # zero-delay update loop would otherwise starve the pool threads
+        # of GIL time and loads would never complete)
+        self._completion_event = threading.Event()
 
     # --- load pipeline (asset.rs:448-576) ------------------------------------
 
@@ -124,6 +129,7 @@ class AssetManager(Generic[Id, T]):
                 asset, error = None, err
             with self._lock:
                 self._completions.append((asset_id, asset, source, error))
+                self._completion_event.set()
 
         self._pool.execute(job)
 
@@ -133,11 +139,24 @@ class AssetManager(Generic[Id, T]):
         completed — see viewer/app.py update step 2)."""
         return bool(self._completions)
 
+    def wait_for_completion(self, timeout: float) -> bool:
+        """Block until a load completes (or ``timeout`` seconds elapse).
+
+        Returns True if a completion is pending. The event is set by the
+        loader threads under the manager lock and cleared by
+        :meth:`poll_events` once the queue drains, so the wait wakes
+        exactly when work lands — no timing-tuned yields. The timeout is
+        a liveness bound (e.g. a load tracked by the caller but issued to
+        a different manager), not a tuning knob.
+        """
+        return self._completion_event.wait(timeout)
+
     def poll_events(self) -> list[AssetEvent[Id]]:
         """Drain completions into stored assets + events (call per frame)."""
         with self._lock:
             completions = self._completions
             self._completions = []
+            self._completion_event.clear()
             for asset_id, asset, source, error in completions:
                 self._loading.discard(asset_id)
                 if error is None:

@@ -206,12 +206,11 @@ class Viewer:
 
         # 2. receive loaded cells (cell.rs:256-341)
         if self.streamer.loading and not self.cell_assets.has_completions():
-            # a zero-delay update loop can starve the asset pool's worker
-            # threads of GIL time (loads then never complete); yield one
-            # scheduler slice so in-flight reads can land
-            import time as _time
-
-            _time.sleep(0.0002)
+            # a zero-delay update loop would starve the asset pool's
+            # worker threads of GIL time; block on the pool's completion
+            # event so the frame resumes exactly when a load lands (the
+            # timeout only bounds liveness if the load set is stale)
+            self.cell_assets.wait_for_completion(timeout=0.05)
         for event in self.cell_assets.poll_events():
             from ..utils.assets import AssetEventKind
 
