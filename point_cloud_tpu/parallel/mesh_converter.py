@@ -53,16 +53,8 @@ log = logging.getLogger(__name__)
 MESH_MIN_ROWS = 16_384  # below this the single-device pass is faster
 
 
-def _slot_void(cell_idx: np.ndarray, sub_idx: np.ndarray) -> np.ndarray:
-    """(N, 6) i32 slot identity -> (N,) void view for set operations."""
-    key6 = np.ascontiguousarray(
-        np.concatenate([cell_idx, sub_idx], axis=1).astype(np.int32)
-    )
-    return key6.view([("k", "V24")])["k"]
-
-
 def resolve_sideband(
-    side_arr, side_keys, win_arr, win_keys, positions,
+    side_arr, side_keys, win_arr, win_keys,
 ):
     """Exact winner correction for sideband rows (suspects + spills).
 
@@ -71,7 +63,6 @@ def resolve_sideband(
       side_keys: (cell_idx, sub_idx, dist, next_idx) for those rows.
       win_arr: (W,) arrivals of the device-decided clean winners.
       win_keys: their keys (same tuple layout).
-      positions: the full batch positions (unused; kept for symmetry).
 
     Returns (keep_mask over win_arr, side_winner_rows, side_loser_rows)
     where the row arrays index into side_arr. Semantics: per true slot,
@@ -86,35 +77,45 @@ def resolve_sideband(
         )
     s_cell, s_sub, s_dist, _ = side_keys
     w_cell, w_sub, w_dist, _ = win_keys
+    W = len(win_arr)
 
-    s_void = _slot_void(s_cell, s_sub)
-    w_void = _slot_void(w_cell, w_sub)
-    touched = np.isin(w_void, s_void)  # winners whose slot has sideband rows
+    # integer slot ids over the union (np.unique axis=0: exact, any range)
+    all6 = np.concatenate(
+        [
+            np.concatenate([w_cell, w_sub], axis=1),
+            np.concatenate([s_cell, s_sub], axis=1),
+        ]
+    ).astype(np.int32)
+    _, slot_id = np.unique(all6, axis=0, return_inverse=True)
+    w_id, s_id = slot_id[:W], slot_id[W:]
+
+    touched = np.isin(w_id, s_id)  # winners whose slot has sideband rows
     t_rows = np.nonzero(touched)[0]
 
     # competition pool: touched winners (flag 0) + sideband rows (flag 1)
-    pool_void = np.concatenate([w_void[t_rows], s_void])
+    pool_id = np.concatenate([w_id[t_rows], s_id])
     pool_dist = np.concatenate([w_dist[t_rows], s_dist])
     pool_arr = np.concatenate([win_arr[t_rows], side_arr])
     pool_is_side = np.concatenate(
         [np.zeros(len(t_rows), bool), np.ones(S, bool)]
     )
     # per slot: winner = first by (dist, arrival); stable lexsort
-    order = np.lexsort((pool_arr, pool_dist, pool_void))
-    v_sorted = pool_void[order]
+    order = np.lexsort((pool_arr, pool_dist, pool_id))
+    id_sorted = pool_id[order]
     first = np.ones(len(order), bool)
-    first[1:] = v_sorted[1:] != v_sorted[:-1]
+    first[1:] = id_sorted[1:] != id_sorted[:-1]
 
     win_pool_rows = order[first]
     lose_pool_rows = order[~first]
 
-    keep = np.ones(len(win_arr), bool)
+    keep = np.ones(W, bool)
     # touched winners that did NOT come first are demoted
     demoted_pool = lose_pool_rows[~pool_is_side[lose_pool_rows]]
     keep[t_rows[demoted_pool]] = False
 
-    side_winner_rows = win_pool_rows[pool_is_side[win_pool_rows]] - len(t_rows)
-    side_loser_rows = lose_pool_rows[pool_is_side[lose_pool_rows]] - len(t_rows)
+    T = len(t_rows)
+    side_winner_rows = win_pool_rows[pool_is_side[win_pool_rows]] - T
+    side_loser_rows = lose_pool_rows[pool_is_side[lose_pool_rows]] - T
     return keep, side_winner_rows, np.sort(side_loser_rows)
 
 
@@ -213,7 +214,7 @@ class MeshConverter(DeviceConverter):
         # ---- sideband resolution (exact, host) --------------------------
         if len(side_arr):
             keep, side_win_rows, side_lose_rows = resolve_sideband(
-                side_arr, side_keys, b_win, win_keys, positions
+                side_arr, side_keys, b_win, win_keys
             )
             final_w_arr = np.concatenate([b_win[keep], side_arr[side_win_rows]])
             w_cell = np.concatenate(

@@ -311,11 +311,17 @@ class OwnerShardedPass:
             )
             from jax import shard_map
 
+            # check_vma=False: the varying-mesh-axes checker rejects
+            # pallas_call's ShapeDtypeStruct outputs (no vma annotation on
+            # this jax), which would force the bitonic fallback on every
+            # mesh; the body is manually vetted — every output varies on
+            # "data", no unvarying carries leak out
             mapped = shard_map(
                 body,
                 mesh=self.mesh,
                 in_specs=(P("data", None), P("data"), P(), P()),
                 out_specs=(P("data"), P("data")),
+                check_vma=False,
             )
             fn = self._compiled[key] = jax.jit(mapped)
         return fn

@@ -76,6 +76,14 @@ class TestShardedDedup:
         np.testing.assert_array_equal(merged, expected)
 
 
+def assert_stores_identical(host_dir, mesh_dir):
+    host_files = store_files(host_dir)
+    mesh_files = store_files(mesh_dir)
+    assert set(host_files) == set(mesh_files)
+    for name, data in host_files.items():
+        assert mesh_files[name] == data, f"mismatch in {name}"
+
+
 @needs_multidevice
 class TestMeshConverter:
     @pytest.mark.parametrize("n,kwargs", [
@@ -88,8 +96,67 @@ class TestMeshConverter:
             conv.add_points_batch(batch)
         with MeshConverter(Metadata(), tmp_path / "mesh", n_devices=8) as conv:
             conv.add_points_batch(batch)
-        host_files = store_files(tmp_path / "host")
-        mesh_files = store_files(tmp_path / "mesh")
-        assert set(host_files) == set(mesh_files)
-        for name, data in host_files.items():
-            assert mesh_files[name] == data, f"mismatch in {name}"
+        assert_stores_identical(tmp_path / "host", tmp_path / "mesh")
+
+    def test_sharded_every_level(self, tmp_path):
+        """min_mesh_rows=0 forces the owner-sharded pass for every cascade
+        level (no single-device fallback anywhere): bytes must still match
+        the host oracle."""
+        batch = random_batch(30_000, seed=34, lo=-5, hi=5)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with MeshConverter(
+            Metadata(), tmp_path / "mesh", n_devices=8, min_mesh_rows=0
+        ) as conv:
+            conv.add_points_batch(batch)
+        assert_stores_identical(tmp_path / "host", tmp_path / "mesh")
+
+    def test_forced_spill_sideband(self, tmp_path):
+        """capacity=1 starves every routing bucket, so almost all winners
+        spill into the exact host sideband — the worst case the fixed
+        capacities can produce. Stores must still be byte-identical and the
+        spill counter must show the path actually ran."""
+        batch = random_batch(20_000, seed=35, lo=-50, hi=50)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with MeshConverter(
+            Metadata(), tmp_path / "mesh", n_devices=8, min_mesh_rows=0,
+            capacity=1,
+        ) as conv:
+            conv.add_points_batch(batch)
+            assert conv.sideband_spilled > 1000  # the spill path ran
+        assert_stores_identical(tmp_path / "host", tmp_path / "mesh")
+
+    def test_arrival_ties_across_shards(self, tmp_path):
+        """Duplicate positions land in different shards; the winner must be
+        the earliest global arrival (cell.rs:80 tie semantics), exactly as
+        the host oracle decides."""
+        rng = np.random.default_rng(36)
+        base = rng.uniform(-10, 10, (4_000, 3)).astype(np.float32)
+        # tile the same positions 4x with distinct colors: every slot has
+        # 4 equal-distance candidates spread across the shard axis
+        pos = np.tile(base, (4, 1))
+        col = rng.integers(0, 256, (16_000, 4), dtype=np.uint8)
+        batch = PointBatch(pos, col)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with MeshConverter(
+            Metadata(), tmp_path / "mesh", n_devices=8, min_mesh_rows=0
+        ) as conv:
+            conv.add_points_batch(batch)
+        assert_stores_identical(tmp_path / "host", tmp_path / "mesh")
+
+    def test_incremental_merge(self, tmp_path):
+        """Two batches through the mesh path merge into an existing store
+        identically to the host oracle (converter.rs:114-139 resumability)."""
+        b1 = random_batch(20_000, seed=37, lo=-40, hi=40)
+        b2 = random_batch(20_000, seed=38, lo=-40, hi=40)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(b1)
+            conv.add_points_batch(b2)
+        with MeshConverter(
+            Metadata(), tmp_path / "mesh", n_devices=8, min_mesh_rows=0
+        ) as conv:
+            conv.add_points_batch(b1)
+            conv.add_points_batch(b2)
+        assert_stores_identical(tmp_path / "host", tmp_path / "mesh")
