@@ -269,22 +269,23 @@ def bench_render_fps(positions, colors) -> float:
 def bench_tunnel_pipeline(positions, colors) -> float:
     """Device-backed end-to-end conversion through the host<->TPU link
     (BENCH_r01's configuration), 1 Mi points. Uses the fastest
-    device-backed backend: the device dedup pass + C++ merge engine
-    (convert/native_device.py); falls back to the Python-merge wavefront
-    when no C++ toolchain exists."""
+    device-backed backend: device dedup pass + C++ merge engine on a
+    3-deep cross-batch wavefront with the device-resident cascade
+    (convert/native_device.py NativeDevicePipelined); falls back to the
+    Python-merge wavefront when no C++ toolchain exists."""
     from point_cloud_tpu.native import hex_lockstep_ok
 
     if hex_lockstep_ok():  # same gate NativeDeviceConverter's ctor applies
         from point_cloud_tpu.convert.native_device import (
-            NativeDeviceConverter as cls,
+            NativeDevicePipelined as cls,
         )
     else:
         from point_cloud_tpu.convert.pipelined import PipelinedConverter as cls
 
     n = 1 << 20
     _convert_once(cls, positions, colors, n)  # compile/warm
-    elapsed = _convert_once(cls, positions, colors, n)
-    return n / elapsed / 1e6
+    times = [_convert_once(cls, positions, colors, n) for _ in range(3)]
+    return n / statistics.median(times) / 1e6
 
 
 def main() -> None:

@@ -118,6 +118,15 @@ inline bool record_less(const Point& a, const Point& b) {
 
 using Key3 = std::array<int32_t, 3>;
 
+// a Point plus its row index into the current batch's device-resident
+// buffer (-1 = foreign: displaced incumbent or staged by an earlier
+// batch). Only the in-flight staging path carries src; persisted
+// overflow groups store plain Points (their src dies with the batch).
+struct SrcPoint {
+    Point pt;
+    int32_t src;
+};
+
 struct Key3Hash {
     size_t operator()(const Key3& k) const {
         uint64_t h = 0x9E3779B97F4A7C15ull;
@@ -256,7 +265,7 @@ struct CellState {
     std::map<Key3, std::pair<float, Point>> slots_oor;
     std::unordered_map<Key3, OverflowGroup, Key3Hash> overflow;
     // per-level loser staging, cleared after accounting
-    std::unordered_map<Key3, std::vector<Point>, Key3Hash> pending;
+    std::unordered_map<Key3, std::vector<SrcPoint>, Key3Hash> pending;
 };
 
 struct CellKey {
@@ -278,7 +287,7 @@ struct CellKeyHash {
 struct FlushGroup {
     Key3 cell;
     Key3 next;
-    std::vector<Point> pts;
+    std::vector<SrcPoint> pts;
 };
 
 // run f(lo, hi, worker) over [0, m) chunks; inline below the thread-spawn
@@ -666,7 +675,7 @@ class Engine {
                 const bool direct = n_workers == 1;
                 CellState* last_cell = nullptr;
                 Key3 last_idx{};
-                std::vector<Point>* last_pending = nullptr;
+                std::vector<SrcPoint>* last_pending = nullptr;
                 Key3 last_pending_key{};
                 for (int64_t k = offsets[t]; k < offsets[t + 1]; ++k) {
                     const int64_t i = direct ? k : order[k];
@@ -700,14 +709,14 @@ class Engine {
                                                          next_cs)};
                         if (last_pending != nullptr &&
                             nk == last_pending_key) {
-                            last_pending->push_back(loser);
+                            last_pending->push_back({loser, -1});
                             continue;
                         }
                         auto [it, fresh] = c->pending.try_emplace(nk);
                         if (c->pending.size() == 1 && fresh) {
                             touched[t].push_back(c);
                         }
-                        it->second.push_back(loser);
+                        it->second.push_back({loser, -1});
                         last_pending = &it->second;
                         last_pending_key = nk;
                     }
@@ -730,15 +739,30 @@ class Engine {
     // row count) gates the thread-spawn break-even.
     void stage_and_flush(std::vector<std::vector<CellState*>>& touched,
                          size_t m, std::vector<Point>* out) {
+        // host-cascade variant: src is untracked; strip it
+        std::vector<SrcPoint> tmp;
+        stage_and_flush(touched, m, &tmp);
+        out->clear();
+        out->reserve(tmp.size());
+        for (const SrcPoint& sp : tmp) out->push_back(sp.pt);
+    }
+
+    void stage_and_flush(std::vector<std::vector<CellState*>>& touched,
+                         size_t m, std::vector<SrcPoint>* out) {
         const size_t n_workers = shards_.size();
         const double t1 = Profile::now();
         // pass D (parallel): overflow accounting per (cell, group) —
-        // once per level, each group in canonical record order
+        // once per level, each group in canonical record order (equal
+        // records are byte-interchangeable, so the non-stable sort
+        // ordering of their src fields cannot affect output bytes)
         std::vector<std::vector<FlushGroup>> flushed_per(n_workers);
         run_sharded(n_workers, m, [&](size_t t) {
             for (CellState* c : touched[t]) {
                 for (auto& [nidx, vec] : c->pending) {
-                    std::sort(vec.begin(), vec.end(), record_less);
+                    std::sort(vec.begin(), vec.end(),
+                              [](const SrcPoint& a, const SrcPoint& b) {
+                                  return record_less(a.pt, b.pt);
+                              });
                     stage_group(c, nidx, std::move(vec), &flushed_per[t]);
                 }
                 c->pending.clear();
@@ -776,7 +800,8 @@ class Engine {
     int64_t merge_level(int32_t h, int64_t n, const float* pos,
                         const uint8_t* col, const int32_t* cell_idx,
                         const int32_t* sub_idx, const float* dist,
-                        const uint8_t* winner, const int32_t* next_idx) {
+                        const uint8_t* winner, const int32_t* next_idx,
+                        const int32_t* src_in) {
         out_level_.clear();
         const size_t m = static_cast<size_t>(n);
         prof_.level_rows += n;
@@ -841,7 +866,7 @@ class Engine {
             const bool direct = n_workers == 1;
             CellState* last_cell = nullptr;
             Key3 last_idx{};
-            std::vector<Point>* last_pending = nullptr;
+            std::vector<SrcPoint>* last_pending = nullptr;
             Key3 last_pending_key{};
             for (int64_t k = offsets[t]; k < offsets[t + 1]; ++k) {
                 const int64_t i = direct ? k : order[k];
@@ -861,32 +886,43 @@ class Engine {
                 }
                 Point loser;
                 Key3 nk;
+                int32_t lsrc;
                 if (winner[i]) {
                     if (!insert_keyed(c, pt, skey[i], dist[i], &loser)) {
                         continue;  // claimed a vacant slot: no loser
                     }
                     // a displaced incumbent's next index differs from the
-                    // newcomer's; recompute only then
-                    nk = loser.bits(0) == pt.bits(0) &&
-                                 loser.bits(1) == pt.bits(1) &&
-                                 loser.bits(2) == pt.bits(2)
+                    // newcomer's; recompute only then. Its src is always
+                    // foreign: the incumbent was inserted by an earlier
+                    // batch or earlier level (one winner per slot per
+                    // level), so its row is not in the resident buffer
+                    // at this level's identity
+                    const bool same =
+                        loser.bits(0) == pt.bits(0) &&
+                        loser.bits(1) == pt.bits(1) &&
+                        loser.bits(2) == pt.bits(2);
+                    nk = same
                              ? nidx[i]
                              : Key3{pchex::cell_coord(loser.p[0], next_cs),
                                     pchex::cell_coord(loser.p[1], next_cs),
                                     pchex::cell_coord(loser.p[2], next_cs)};
+                    // identical record bits: the newcomer's src serves
+                    // (same position -> same device gather)
+                    lsrc = same && src_in != nullptr ? src_in[i] : -1;
                 } else {
                     loser = pt;  // batch loser: straight to staging
                     nk = nidx[i];
+                    lsrc = src_in != nullptr ? src_in[i] : -1;
                 }
                 if (last_pending != nullptr && nk == last_pending_key) {
-                    last_pending->push_back(loser);
+                    last_pending->push_back({loser, lsrc});
                     continue;
                 }
                 auto [it, fresh] = c->pending.try_emplace(nk);
                 if (c->pending.size() == 1 && fresh) {
                     touched[t].push_back(c);
                 }
-                it->second.push_back(loser);
+                it->second.push_back({loser, lsrc});
                 last_pending = &it->second;
                 last_pending_key = nk;
             }
@@ -900,29 +936,36 @@ class Engine {
         return static_cast<int64_t>(out_level_.size());
     }
 
-    // copy out (and release) the rows merge_level flushed
-    int64_t take_level(float* pos, uint8_t* col) {
+    // copy out (and release) the rows merge_level flushed; ``src`` (when
+    // non-null) receives each row's resident-buffer index or -1
+    int64_t take_level(float* pos, uint8_t* col, int32_t* src) {
         const int64_t n = static_cast<int64_t>(out_level_.size());
         for (int64_t i = 0; i < n; ++i) {
-            std::memcpy(pos + 3 * i, out_level_[i].p, 12);
-            std::memcpy(col + 4 * i, out_level_[i].rgba, 4);
+            std::memcpy(pos + 3 * i, out_level_[i].pt.p, 12);
+            std::memcpy(col + 4 * i, out_level_[i].pt.rgba, 4);
+            if (src != nullptr) src[i] = out_level_[i].src;
         }
         out_level_.clear();
         out_level_.shrink_to_fit();
         return n;
     }
 
-    // cell.rs:108-153 / core/cell.py add_points_in_overflow, exactly
+    // cell.rs:108-153 / core/cell.py add_points_in_overflow, exactly.
+    // Persisted groups store plain Points (src dies with the batch); a
+    // flush emits [old rows, src=-1] ++ [this level's rows with src].
     void stage_group(CellState* c, const Key3& nidx,
-                     std::vector<Point>&& pts,
+                     std::vector<SrcPoint>&& pts,
                      std::vector<FlushGroup>* flushed) {
         auto it = c->overflow.find(nidx);
         if (it == c->overflow.end()) {
             if (static_cast<int64_t>(pts.size()) <= limit_) {
                 c->total_points += pts.size();
                 c->n_overflow += pts.size();
-                c->overflow.emplace(nidx,
-                                    OverflowGroup{false, std::move(pts)});
+                std::vector<Point> stored;
+                stored.reserve(pts.size());
+                for (const SrcPoint& sp : pts) stored.push_back(sp.pt);
+                c->overflow.emplace(
+                    nidx, OverflowGroup{false, std::move(stored)});
             } else {
                 c->overflow.emplace(nidx, OverflowGroup{true, {}});
                 flushed->push_back({c->idx, nidx, std::move(pts)});
@@ -938,11 +981,14 @@ class Engine {
         if (old_len + static_cast<int64_t>(pts.size()) < limit_) {
             c->total_points += pts.size();
             c->n_overflow += pts.size();
-            g.pts.insert(g.pts.end(), pts.begin(), pts.end());
+            g.pts.reserve(g.pts.size() + pts.size());
+            for (const SrcPoint& sp : pts) g.pts.push_back(sp.pt);
         } else {
             c->total_points -= old_len;
             c->n_overflow -= old_len;
-            std::vector<Point> out = std::move(g.pts);
+            std::vector<SrcPoint> out;
+            out.reserve(old_len + pts.size());
+            for (const Point& pt : g.pts) out.push_back({pt, -1});
             out.insert(out.end(), pts.begin(), pts.end());
             g.tombstone = true;
             g.pts.clear();
@@ -1181,7 +1227,7 @@ class Engine {
     int64_t cell_budget_ = -1;  // < 0: unlimited (keep all cells in RAM)
     uint64_t batch_seq_ = 0;
     int64_t spill_errors_ = 0;
-    std::vector<Point> out_level_;  // merge_level -> take_level handoff
+    std::vector<SrcPoint> out_level_;  // merge_level -> take_level handoff
     std::atomic<bool> load_error_{false};
     Profile prof_;
     // the cell registry, sharded by deterministic ownership so insert
@@ -1240,13 +1286,15 @@ int64_t pc_engine_merge_level(void* e, int32_t h, int64_t n,
                               const int32_t* cell_idx,
                               const int32_t* sub_idx, const float* dist,
                               const uint8_t* winner,
-                              const int32_t* next_idx) {
+                              const int32_t* next_idx,
+                              const int32_t* src_in) {
     return static_cast<Engine*>(e)->merge_level(
-        h, n, pos, col, cell_idx, sub_idx, dist, winner, next_idx);
+        h, n, pos, col, cell_idx, sub_idx, dist, winner, next_idx, src_in);
 }
 
-int64_t pc_engine_take_level(void* e, float* pos, uint8_t* col) {
-    return static_cast<Engine*>(e)->take_level(pos, col);
+int64_t pc_engine_take_level(void* e, float* pos, uint8_t* col,
+                             int32_t* src) {
+    return static_cast<Engine*>(e)->take_level(pos, col, src);
 }
 
 int32_t pc_engine_end_batch(void* e) {

@@ -117,9 +117,9 @@ def main(argv=None) -> int:
         factory = NativeConverter
         batch_size = batch_size or 1 << 18
     elif args.device_native:
-        from .native_device import NativeDeviceConverter
+        from .native_device import NativeDevicePipelined
 
-        factory = NativeDeviceConverter
+        factory = NativeDevicePipelined
         batch_size = batch_size or 1 << 18
     elif args.mesh:
         from ..parallel.mesh_converter import make_mesh_converter_factory

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.cell import CellId
 from ..core.point import PointBatch
-from ..ops.dedup import collect_dedup, dispatch_dedup
+from ..ops.dedup import collect_dedup, dispatch_dedup, dispatch_dedup_resident
 from ..utils.tracing import stage
 from .converter import Converter
 
@@ -53,6 +53,11 @@ import os as _os
 HOST_CASCADE_THRESHOLD = 1 << int(
     _os.environ.get("PCT_HOST_CASCADE_THRESHOLD", "14")
 )
+
+# device-resident cascade (levels >= 1 upload row indices into the
+# level-0 device buffer instead of re-uploading positions); PCT_RESIDENT=0
+# restores the round-2 re-upload behavior for A/B measurement
+RESIDENT_ENABLED = _os.environ.get("PCT_RESIDENT", "1") != "0"
 
 
 def _row_boundaries(rows: np.ndarray) -> np.ndarray:
@@ -114,21 +119,17 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
         merged = PointBatch.concat(batches)
         self._cascade(merged.positions, merged.colors, hierarchy)
 
-    def _reduce_batch(self, hierarchy, positions, colors, cell_size,
-                      sub_cell_size):
-        """Hook: pre-reduce a level's batch before the device pass.
-
-        Returns (positions, colors, extra_losers) where extra_losers is
-        None or a dict of arrays {positions, colors, cell_idx, next_idx}
-        that joins this level's losers in the overflow staging. The
-        mesh-sharded converter overrides this to run shard-local dedup
-        first (parallel/mesh_converter.py)."""
-        return positions, colors, None
-
     def _cascade(
         self, positions: np.ndarray, colors: np.ndarray, hierarchy: int
     ) -> None:
         config = self.metadata.config
+        # device-resident context: ctx["resident"] holds the most recent
+        # full-upload device buffer; ``src`` maps each row of the current
+        # level to a resident row (>= 0) or marks it foreign (-1). Deeper
+        # levels then upload 4 B/row of indices instead of 12 B/row of
+        # positions (see ops.dedup.dispatch_dedup_resident).
+        ctx: dict = {"resident": None}
+        src: np.ndarray | None = None
         while len(positions):
             prefetch_handle = self._take_prefetch(positions)
             if (
@@ -144,16 +145,18 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
                 )
                 Converter._add_points_in_hierarchy(self, hierarchy, grouped)
                 return
-            positions, colors = self._cascade_level(
-                positions, colors, hierarchy, prefetch_handle
+            positions, colors, src = self._cascade_level(
+                positions, colors, hierarchy, prefetch_handle, src, ctx
             )
             hierarchy += 1
 
     def _cascade_level(
         self, positions: np.ndarray, colors: np.ndarray, hierarchy: int,
         prefetch_handle: dict | None = None,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Process one hierarchy level; returns the next level's input."""
+        src: np.ndarray | None = None, ctx: dict | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+        """Process one hierarchy level; returns the next level's input
+        (positions, colors, src-into-resident-buffer or None)."""
         # every cell this level touches is pinned until the level completes:
         # an LRU eviction between get_cell and the merge/staging mutation
         # would write pre-merge bytes and later reload that stale copy over
@@ -161,37 +164,67 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
         pinned: list = []
         try:
             return self._cascade_level_pinned(
-                positions, colors, hierarchy, prefetch_handle, pinned
+                positions, colors, hierarchy, prefetch_handle, pinned,
+                src, ctx if ctx is not None else {"resident": None},
             )
         finally:
             if pinned:
                 self.unpin_cells(pinned)
 
     def _cascade_level_pinned(
-        self, positions, colors, hierarchy, prefetch_handle, pinned
-    ) -> tuple[np.ndarray, np.ndarray]:
+        self, positions, colors, hierarchy, prefetch_handle, pinned,
+        src=None, ctx=None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+        if ctx is None:
+            ctx = {"resident": None}
         config = self.metadata.config
         self._create_hierarchy_folder(hierarchy)
         cell_size = config.cell_size(hierarchy)
         sub_cell_size = config.sub_cell_size(cell_size)
         next_cell_size = np.float32(cell_size) / np.float32(2.0)
 
-        original_positions = positions
-        positions, colors, extra_losers = self._reduce_batch(
-            hierarchy, positions, colors, cell_size, sub_cell_size
-        )
-        if positions is not original_positions:
-            prefetch_handle = None  # mesh path replaced the arrays
-
         # --- 1+2. device pass + host-side rebuild -----------------------
         l_pos_chunks: list[np.ndarray] = []
         l_col_chunks: list[np.ndarray] = []
         l_cell_chunks: list[np.ndarray] = []
         l_next_chunks: list[np.ndarray] = []
+        l_src_chunks: list[np.ndarray] = []
 
         if len(positions):
-            handle = prefetch_handle or dispatch_dedup(
-                positions, cell_size, sub_cell_size
+            # resident dispatch pays off when most rows still live in the
+            # device buffer; heavily-foreign levels re-base with a full
+            # upload (which also refreshes the resident buffer)
+            resident = ctx.get("resident")
+            use_resident = (
+                RESIDENT_ENABLED
+                and prefetch_handle is None
+                and resident is not None
+                and src is not None
+                and (src >= 0).sum() * 2 >= len(src)
+            )
+            if use_resident:
+                foreign = src < 0
+                extras = np.ascontiguousarray(positions[foreign])
+                src_packed = src.astype(np.int32)
+                src_packed[foreign] = ~np.arange(
+                    int(foreign.sum()), dtype=np.int32
+                )
+                handle = dispatch_dedup_resident(
+                    resident, src_packed, extras, cell_size, sub_cell_size
+                )
+            else:
+                handle = prefetch_handle or dispatch_dedup(
+                    positions, cell_size, sub_cell_size
+                )
+                ctx["resident"] = handle.get("pos_dev")
+                src = None  # rows now index the fresh upload
+            # output src semantics: rows of this level map into the
+            # CURRENT resident buffer — identity for a fresh upload,
+            # pass-through of ``src`` otherwise
+            src_arr = (
+                src
+                if src is not None
+                else np.arange(len(positions), dtype=np.int32)
             )
             with stage("device_dedup+rebuild"):
                 perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (
@@ -214,6 +247,7 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
                     pass
             pos_s = positions[perm]
             col_s = colors[perm]
+            src_s = src_arr[perm]
 
             starts = _row_boundaries(cell_idx_s)
             ends = np.append(starts[1:], len(cell_idx_s))
@@ -269,6 +303,7 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
                         l_col_chunks.append(col_s[lose])
                         l_cell_chunks.append(cell_idx_s[lose])
                         l_next_chunks.append(next_idx_s[lose])
+                        l_src_chunks.append(src_s[lose])
                     if len(displaced):
                         l_pos_chunks.append(displaced.positions)
                         l_col_chunks.append(displaced.colors)
@@ -283,29 +318,19 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
                                 displaced.positions, next_cell_size
                             )
                         )
-
-        if extra_losers is not None and len(extra_losers["positions"]):
-            l_pos_chunks.append(extra_losers["positions"])
-            l_col_chunks.append(extra_losers["colors"])
-            l_cell_chunks.append(extra_losers["cell_idx"])
-            l_next_chunks.append(extra_losers["next_idx"])
-            for key in {
-                tuple(int(v) for v in row)
-                for row in np.unique(extra_losers["cell_idx"], axis=0)
-            }:
-                cell_id = CellId(hierarchy, key)
-                self.get_cell(cell_id, pin=True)  # ensure loaded + kept
-                pinned.append(cell_id)
+                        l_src_chunks.append(
+                            np.full(len(displaced), -1, np.int32)
+                        )
 
         return self._stage_and_flush(
             hierarchy, l_pos_chunks, l_col_chunks, l_cell_chunks,
-            l_next_chunks, pinned,
+            l_next_chunks, pinned, l_src_chunks,
         )
 
     def _stage_and_flush(
         self, hierarchy, l_pos_chunks, l_col_chunks, l_cell_chunks,
-        l_next_chunks, pinned,
-    ) -> tuple[np.ndarray, np.ndarray]:
+        l_next_chunks, pinned, l_src_chunks=None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
         """Step 4: losers -> overflow accounting; returns next level input.
 
         Input order of the chunks is irrelevant: one global canonical sort
@@ -314,12 +339,24 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
         single-device cascade or the owner-sharded mesh pass — flushes
         byte-identical overflow state and feeds the next level in the
         same order (the byte-parity invariant, CLAUDE.md #1).
+
+        ``l_src_chunks`` (optional) carries each loser row's index into
+        the batch's resident device buffer (-1 = foreign); the returned
+        third element maps the next level's rows the same way, enabling
+        the device-resident dispatch. Points that stay staged across
+        batches lose their src (the buffer dies with the batch): flushed
+        groups mark previously-staged rows -1 via the old-then-new concat
+        order of Cell.add_points_in_overflow.
         """
         config = self.metadata.config
         if not l_pos_chunks:
             return (
-                np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8)
+                np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8),
+                None,
             )
+        track_src = l_src_chunks is not None and len(l_src_chunks) == len(
+            l_pos_chunks
+        )
 
         # --- 4. losers -> overflow accounting ---------------------------
         with stage("overflow_staging"):
@@ -378,9 +415,13 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
             l_col = l_col[order]
             l_cell = l_cell[order]
             l_next = l_next[order]
+            l_src = (
+                np.concatenate(l_src_chunks)[order] if track_src else None
+            )
 
             next_chunks_pos: list[np.ndarray] = []
             next_chunks_col: list[np.ndarray] = []
+            next_chunks_src: list[np.ndarray] = []
             g_starts = _row_boundaries(
                 np.concatenate([l_cell, l_next], axis=1)
             )
@@ -398,11 +439,13 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
             while i < n_groups:
                 cell_key = cell_keys[i]
                 grouped: dict[tuple[int, int, int], PointBatch] = {}
+                spans: dict[tuple[int, int, int], tuple[int, int]] = {}
                 while i < n_groups and cell_keys[i] == cell_key:
                     s, e = starts_list[i], ends_list[i]
                     grouped[next_keys[i]] = PointBatch._wrap(
                         l_pos[s:e], l_col[s:e]
                     )
+                    spans[next_keys[i]] = (s, e)
                     i += 1
                 overflow_id = CellId(hierarchy, cell_key)
                 cell = self.get_cell(overflow_id, pin=True)
@@ -411,12 +454,29 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
                     grouped, config, presorted=True
                 )
                 for key in sorted(remaining):
-                    next_chunks_pos.append(remaining[key].positions)
-                    next_chunks_col.append(remaining[key].colors)
+                    rem = remaining[key]
+                    next_chunks_pos.append(rem.positions)
+                    next_chunks_col.append(rem.colors)
+                    if track_src:
+                        # a flushed group is [previously staged rows] ++
+                        # [this level's rows] (Cell.add_points_in_overflow
+                        # concat order); only the latter have src
+                        s, e = spans[key]
+                        old = len(rem) - (e - s)
+                        next_chunks_src.append(
+                            np.concatenate(
+                                [np.full(old, -1, np.int32), l_src[s:e]]
+                            )
+                            if old
+                            else l_src[s:e]
+                        )
 
         if next_chunks_pos:
             return (
                 np.concatenate(next_chunks_pos),
                 np.concatenate(next_chunks_col),
+                np.concatenate(next_chunks_src) if track_src else None,
             )
-        return np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8)
+        return (
+            np.empty((0, 3), np.float32), np.empty((0, 4), np.uint8), None
+        )

@@ -94,11 +94,13 @@ class PipelinedConverter(DeviceConverter):
     def _cascade_for(self, seq: int, positions, colors) -> None:
         hierarchy = 0
         prefetch = self._take_prefetch(positions)
+        ctx: dict = {"resident": None}  # per-batch device-resident buffer
+        src = None
         try:
             while len(positions):
                 self._wait_predecessor(seq, hierarchy)
-                positions, colors = self._cascade_level(
-                    positions, colors, hierarchy, prefetch
+                positions, colors, src = self._cascade_level(
+                    positions, colors, hierarchy, prefetch, src, ctx
                 )
                 prefetch = None
                 self._mark_level(seq, hierarchy)

@@ -149,11 +149,12 @@ def load_native():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.pc_engine_take_level.restype = ctypes.c_int64
         lib.pc_engine_take_level.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         lib.pc_engine_end_batch.restype = ctypes.c_int32
         lib.pc_engine_end_batch.argtypes = [ctypes.c_void_p]

@@ -144,11 +144,13 @@ class MeshConverter(DeviceConverter):
         single-device prefetch would be discarded work."""
 
     def _cascade_level_pinned(
-        self, positions, colors, hierarchy, prefetch_handle, pinned
+        self, positions, colors, hierarchy, prefetch_handle, pinned,
+        src=None, ctx=None,
     ):
         if len(positions) < self.min_mesh_rows:
             return super()._cascade_level_pinned(
-                positions, colors, hierarchy, prefetch_handle, pinned
+                positions, colors, hierarchy, prefetch_handle, pinned,
+                src, ctx,
             )
 
         config = self.metadata.config

@@ -285,6 +285,62 @@ class TestDeviceConverterParity:
         for name_, data in host_files.items():
             assert dev_files[name_] == data, f"mismatch in {name_}"
 
+    def test_resident_cascade_parity(self, tmp_path, monkeypatch):
+        """Force every cascade level through the device (threshold 16) so
+        levels >= 1 use the device-resident dispatch (index upload +
+        on-device gather instead of re-uploading positions): stores must
+        stay byte-identical and the resident path must actually run."""
+        from point_cloud_tpu import ops
+        from point_cloud_tpu.convert import device as device_mod
+
+        monkeypatch.setattr(device_mod, "HOST_CASCADE_THRESHOLD", 16)
+        calls = {"resident": 0}
+        orig = ops.dedup.dedup_pass_resident
+
+        def counted(*args):
+            calls["resident"] += 1
+            return orig(*args)
+
+        monkeypatch.setattr(ops.dedup, "dedup_pass_resident", counted)
+
+        import dataclasses
+
+        # low overflow limit => staged groups flush => deep cascade with
+        # thousands of rows per level (all above the forced threshold)
+        config = MetadataConfig(cell_point_overflow_limit=200)
+        batch = random_batch(20_000, seed=23, lo=-3, hi=3)
+        with Converter(Metadata(config=dataclasses.replace(config)),
+                       tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with DeviceConverter(Metadata(config=dataclasses.replace(config)),
+                             tmp_path / "dev") as conv:
+            conv.add_points_batch(batch)
+        assert calls["resident"] > 0, "resident dispatch never ran"
+        host_files = store_files(tmp_path / "host")
+        dev_files = store_files(tmp_path / "dev")
+        assert host_files == dev_files
+
+    def test_resident_cascade_multibatch_parity(self, tmp_path, monkeypatch):
+        """Across batches, flushed overflow groups mix current-batch rows
+        (resident) with rows staged by earlier batches (foreign, uploaded
+        as extras): the mixed-src staging bookkeeping must stay exact."""
+        from point_cloud_tpu.convert import device as device_mod
+
+        monkeypatch.setattr(device_mod, "HOST_CASCADE_THRESHOLD", 16)
+        import dataclasses
+
+        config = MetadataConfig(cell_point_overflow_limit=40)
+        batches = [
+            random_batch(8_000, seed=24 + i, lo=-0.5, hi=0.5)
+            for i in range(3)
+        ]
+        for cls, d in [(Converter, "host"), (DeviceConverter, "dev")]:
+            with cls(Metadata(config=dataclasses.replace(config)),
+                     tmp_path / d) as conv:
+                for b in batches:
+                    conv.add_points_batch(b)
+        assert store_files(tmp_path / "host") == store_files(tmp_path / "dev")
+
     def test_incremental_merge_parity(self, tmp_path):
         a = random_batch(5_000, seed=21)
         b = random_batch(5_000, seed=22, lo=-150, hi=150)

@@ -336,3 +336,65 @@ class TestEngineSpillingCorruption:
         except OSError:
             pass
         assert store_files(out) == before, "store was modified after a load error"
+
+
+def native_device_pipelined(*args, **kwargs):
+    from point_cloud_tpu.convert.native_device import NativeDevicePipelined
+
+    try:
+        return NativeDevicePipelined(*args, **kwargs)
+    except RuntimeError:
+        pytest.skip("no C++ toolchain")
+
+
+class TestNativeDevicePipelinedParity:
+    """Wavefront engine converter (NativeDevicePipelined): overlapping
+    batches' cascades + the device-resident cascade must leave stores
+    byte-identical — the per-level barriers force serial engine order."""
+
+    @pytest.mark.parametrize(
+        "name,n,kwargs,config",
+        [
+            ("sparse", 10_000, dict(lo=-300, hi=300), MetadataConfig()),
+            ("dense", 30_000, dict(lo=-2, hi=2), MetadataConfig()),
+            (
+                "overflow",
+                8_000,
+                dict(lo=-0.5, hi=0.5),
+                MetadataConfig(cell_point_overflow_limit=40),
+            ),
+        ],
+    )
+    def test_store_byte_identical_to_host(self, tmp_path, monkeypatch,
+                                          name, n, kwargs, config):
+        from point_cloud_tpu.convert import native_device
+
+        # force every level through the device merge so the wavefront
+        # barriers are exercised at every hierarchy
+        monkeypatch.setattr(native_device, "HOST_CASCADE_THRESHOLD", 0)
+        batch = random_batch(n, seed=zlib.crc32(name.encode()), **kwargs)
+        with Converter(Metadata(config=dataclasses.replace(config)),
+                       tmp_path / "host") as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        with native_device_pipelined(
+            Metadata(config=dataclasses.replace(config)), tmp_path / "nd"
+        ) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        assert_stores_equal(tmp_path / "host", tmp_path / "nd")
+
+    def test_tiny_budget_byte_identical(self, tmp_path):
+        """Spilling under the wavefront: end_batch runs strictly in batch
+        order, so eviction bookkeeping cannot interleave."""
+        n = 20_000
+        batch = random_batch(n, seed=98, lo=-300, hi=300)
+        with Converter(Metadata(), tmp_path / "host", cache_size=2) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        with native_device_pipelined(
+            Metadata(), tmp_path / "nd", cache_size=2
+        ) as conv:
+            for i in range(0, n, 4_000):
+                conv.add_points_batch(batch[i : i + 4_000])
+        assert_stores_equal(tmp_path / "host", tmp_path / "nd")
