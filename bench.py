@@ -248,19 +248,47 @@ def bench_render_fps(positions, colors) -> float:
                     break
             return renderer.render(streamer, cam, frustums)
 
+        def frame_pipelined(yaw: float):
+            cam = Camera()
+            cam.projection.far = float(metadata.config.max_cell_size * 5.0)
+            bbox = metadata.bounding_box
+            center = bbox.center()
+            d = float(np.linalg.norm(bbox.extends())) * 1.5
+            cam.transform.translation = (center + np.array(
+                [d * math.cos(yaw), d * math.sin(yaw), d * 0.45], np.float32
+            )).astype(np.float32)
+            cam.transform.look_at(
+                center, np.array([0.0, 0.0, 1.0], np.float32)
+            )
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(10_000):
+                if not streamer.fill_load_slots():
+                    break
+            return renderer.render_pipelined(streamer, cam, frustums)
+
         # warm one full orbit: every pow2 bucket-shape combination the
         # path hits compiles once (persistent-cached); the timed pass is
         # the steady-state orbit — same camera path, loaded sets still
-        # shift frame to frame
+        # shift frame to frame. Steady state runs the double-buffered
+        # pipeline (one frame of latency, like the reference's AutoVsync
+        # swapchain): frame k+1's device chain overlaps frame k's image
+        # readback; fps counts completed frames over the whole pass
         reps = 6
         yaws = [0.5 + i * 0.35 for i in range(reps)]
         frame(0.0)  # first streaming + resolve compile
         for yaw in yaws:
             frame(yaw)
         t0 = time.perf_counter()
+        done = 0
         for yaw in yaws:
-            frame(yaw + 2.0 * math.pi)  # same poses, next orbit
-        dt = (time.perf_counter() - t0) / reps
+            if frame_pipelined(yaw + 2.0 * math.pi) is not None:
+                done += 1
+        if renderer.render_flush() is not None:
+            done += 1
+        dt = (time.perf_counter() - t0) / done
         return 1.0 / dt
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

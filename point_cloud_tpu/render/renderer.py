@@ -215,21 +215,19 @@ class PointRenderer:
     # --- raster compaction sizing (previous-frame survivor counts) ---------
 
     def _note_survivors(self, key, count_dev) -> None:
-        """Stash a (bucket, class) survivor count (device scalar) for the next
-        frame's compaction sizing; the device->host copy starts now so
-        collecting it next frame doesn't stall the dispatch chain."""
-        counts = getattr(self, "_survivor_counts", None)
-        if counts is None:
-            counts = self._survivor_counts = {}
-        try:
-            count_dev.copy_to_host_async()
-        except AttributeError:
-            pass
-        counts[key] = count_dev
+        """Queue a (bucket, class) survivor count (device scalar) for a
+        later frame's compaction sizing; it rides the packed frame
+        transfer (or the fallback batch readback) and lands as an int in
+        ``_survivor_counts`` at render_finish. Sizing reads only landed
+        ints, so an in-flight pipelined frame never forces a sync."""
+        pending = getattr(self, "_pending_counts", None)
+        if pending is None:
+            pending = self._pending_counts = []
+        pending.append((key, count_dev))
 
     def _survivor_buffer_size(self, key, n: int):
-        """Sticky quarter-step compacted-raster size from the previous
-        frame's survivor count; None until the key has history.
+        """Sticky quarter-step compacted-raster size from the latest
+        landed survivor count; None until the key has history.
 
         Sticky: frame-to-frame survivor counts jitter a few percent as
         the camera moves, and every NEW buffer size is a fresh raster
@@ -241,13 +239,6 @@ class PointRenderer:
         if counts is None or key not in counts:
             return None
         count = counts[key]
-        if not isinstance(count, int):
-            # normally already an int: _flush_survivor_counts batch-reads
-            # every pending scalar at frame end (one tunnel round trip
-            # instead of one per key — ~19 ms each, the round-3 frame
-            # profile's dominant cost)
-            count = int(np.asarray(count))
-            counts[key] = count
         sizes = getattr(self, "_buffer_sizes", None)
         if sizes is None:
             sizes = self._buffer_sizes = {}
@@ -258,16 +249,15 @@ class PointRenderer:
         sizes[key] = held
         return held
 
-    def _flush_survivor_counts(self, extra=None):
-        """One batched device->host readback for every pending survivor
-        count, optionally appending ``extra`` (a device scalar) to the
+    def _flush_survivor_counts(self, pending, extra=None):
+        """One batched device->host readback for the queued survivor
+        counts, optionally appending ``extra`` (a device scalar) to the
         same transfer; returns int(extra) when given."""
         import jax.numpy as jnp
 
-        counts = getattr(self, "_survivor_counts", None) or {}
-        pending = [
-            (k, v) for k, v in counts.items() if not isinstance(v, int)
-        ]
+        counts = getattr(self, "_survivor_counts", None)
+        if counts is None:
+            counts = self._survivor_counts = {}
         scalars = [jnp.asarray(v, jnp.int32) for _, v in pending]
         if extra is not None:
             scalars.append(jnp.asarray(extra, jnp.int32))
@@ -284,7 +274,17 @@ class PointRenderer:
 
         ``depth`` is None unless ``settings.transfer_depth`` is set (the
         depth plane stays on device to keep the per-frame readback small).
+        Synchronous: dispatch + block. For overlapped steady-state frame
+        loops use :meth:`render_pipelined`.
         """
+        return self.render_finish(
+            self.render_start(streamer, camera, streaming_frustums, paused)
+        )
+
+    def render_start(self, streamer: CellStreamer, camera: Camera,
+                     streaming_frustums=None, paused: bool = False) -> dict:
+        """Dispatch a frame's full device chain without blocking; returns
+        an opaque handle for :meth:`render_finish`."""
         s = self.settings
         view = camera.view_matrix()
         proj = camera.projection_matrix()
@@ -475,11 +475,8 @@ class PointRenderer:
         # a link round trip (PERF.md)
         from .splat import PACK_COUNTS, pack_frame
 
-        counts_map = getattr(self, "_survivor_counts", None) or {}
-        pending = [
-            (k, v) for k, v in counts_map.items()
-            if not isinstance(v, int)
-        ]
+        pending = getattr(self, "_pending_counts", None) or []
+        self._pending_counts = []
         scalars = [v for _, v in pending]
         if visible_counts:
             scalars.append(sum(visible_counts))
@@ -494,34 +491,91 @@ class PointRenderer:
                 s.width,
                 with_depth=s.transfer_depth,
             )
-            buf = np.asarray(packed)
-            hw3 = s.height * s.width * 3
-            rgb = buf[:hw3].reshape(s.height, s.width, 3)
-            cvals = np.frombuffer(
-                bytes(buf[hw3 : hw3 + 4 * PACK_COUNTS]), np.int32
-            )
-            for (k, _), val in zip(pending, cvals):
-                counts_map[k] = int(val)
-            stats["points_visible"] = (
-                int(cvals[len(pending)]) if visible_counts else 0
-            )
-            depth = None
-            if s.transfer_depth:
-                off = hw3 + 4 * PACK_COUNTS
-                depth = np.frombuffer(
-                    bytes(buf[off:]), np.float32
-                ).reshape(s.height, s.width)
-            return rgb, depth, stats
-        # fallback (more pending count keys than pack slots)
+            try:  # start the d2h copy now: render_finish may run a whole
+                packed.copy_to_host_async()  # frame later (pipelined mode)
+            except AttributeError:
+                pass
+            return {
+                "packed": packed,
+                "pending": pending,
+                "has_visible": bool(visible_counts),
+                "stats": stats,
+                "height": s.height,
+                "width": s.width,
+                "with_depth": s.transfer_depth,
+            }
+        # fallback (more pending count keys than pack slots): resolve and
+        # read back synchronously
         rgb, depth = resolve_framebuffer(
             framebuffer, jnp.asarray(color_table), s.height, s.width
         )
         visible_total = self._flush_survivor_counts(
-            extra=sum(visible_counts) if visible_counts else None
+            pending, extra=sum(visible_counts) if visible_counts else None
         )
         stats["points_visible"] = visible_total or 0
-        return (
-            np.asarray(rgb),
-            np.asarray(depth) if s.transfer_depth else None,
-            stats,
+        return {
+            "rgb": np.asarray(rgb),
+            "depth": np.asarray(depth) if s.transfer_depth else None,
+            "stats": stats,
+        }
+
+    def render_finish(self, handle: dict):
+        """Block on a frame started by :meth:`render_start`; returns
+        (rgb, depth, stats) and lands the frame's survivor counts."""
+        if "rgb" in handle:
+            return handle["rgb"], handle["depth"], handle["stats"]
+        from .splat import PACK_COUNTS
+
+        height, width = handle["height"], handle["width"]
+        stats = handle["stats"]
+        pending = handle["pending"]
+        buf = np.asarray(handle["packed"])
+        hw3 = height * width * 3
+        rgb = buf[:hw3].reshape(height, width, 3)
+        cvals = np.frombuffer(
+            bytes(buf[hw3 : hw3 + 4 * PACK_COUNTS]), np.int32
         )
+        counts = getattr(self, "_survivor_counts", None)
+        if counts is None:
+            counts = self._survivor_counts = {}
+        for (k, _), val in zip(pending, cvals):
+            counts[k] = int(val)
+        stats["points_visible"] = (
+            int(cvals[len(pending)]) if handle["has_visible"] else 0
+        )
+        depth = None
+        if handle["with_depth"]:
+            off = hw3 + 4 * PACK_COUNTS
+            depth = np.frombuffer(
+                bytes(buf[off:]), np.float32
+            ).reshape(height, width)
+        return rgb, depth, stats
+
+    def render_pipelined(self, streamer: CellStreamer, camera: Camera,
+                         streaming_frustums=None, paused: bool = False):
+        """Double-buffered frame pipeline: dispatch this frame's device
+        work, return the PREVIOUS frame's completed image (None for the
+        very first call). Through a high-latency link this overlaps the
+        ~50 ms image readback and the host-side decode with the next
+        frame's device chain — the classic one-frame-latency render
+        pipeline (the reference's AutoVsync swapchain has the same
+        latency structure, src/plugins/wgpu.rs:107).
+
+        Call :meth:`render_flush` to drain the last in-flight frame.
+        """
+        handle = self.render_start(
+            streamer, camera, streaming_frustums, paused
+        )
+        prev = getattr(self, "_inflight_frame", None)
+        self._inflight_frame = handle
+        if prev is None:
+            return None
+        return self.render_finish(prev)
+
+    def render_flush(self):
+        """Finish the in-flight pipelined frame (None if none)."""
+        prev = getattr(self, "_inflight_frame", None)
+        self._inflight_frame = None
+        if prev is None:
+            return None
+        return self.render_finish(prev)

@@ -321,6 +321,68 @@ class TestFullFrame:
             rgb.astype(np.int32) - CLEAR_COLOR_U8[0]
         ).max() > 25  # not all clear grey
 
+    def test_pipelined_frames_match_sync(self, tmp_path):
+        """render_pipelined returns each frame one call late but the
+        images must be byte-identical to the synchronous render."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(15)
+        pos = rng.uniform(-50, 50, (20_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (20_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        cams = []
+        for dy in (0.0, 5.0, 10.0):
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            cam.look_at_aabb(metadata.bounding_box)
+            cam.transform.translation = (
+                cam.transform.translation + np.array([0, dy, 0], np.float32)
+            )
+            cams.append(cam)
+
+        def run(pipelined):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata, RenderSettings(width=160, height=120)
+            )
+            frames = []
+            for cam in cams:
+                frustums = update_streaming_frustums(
+                    metadata, cam.transform, cam.projection, cam.frustum()
+                )
+                streamer.update(frustums, cam.transform)
+                for _ in range(200):
+                    if not streamer.fill_load_slots():
+                        break
+                if pipelined:
+                    out = renderer.render_pipelined(streamer, cam, frustums)
+                    if out is not None:
+                        frames.append(out)
+                else:
+                    frames.append(renderer.render(streamer, cam, frustums))
+            if pipelined:
+                out = renderer.render_flush()
+                assert out is not None
+                frames.append(out)
+            return frames
+
+        sync = run(False)
+        piped = run(True)
+        assert len(sync) == len(piped) == len(cams)
+        for (rgb_a, _, _), (rgb_b, _, _) in zip(sync, piped):
+            np.testing.assert_array_equal(rgb_a, rgb_b)
+
     def test_voronoi_vs_flat_depth_differs(self, tmp_path):
         import jax.numpy as jnp
 
@@ -374,23 +436,35 @@ class TestStickyBufferSize:
 
         r = PointRenderer(Metadata())
         key = (3, 5)
-        r._note_survivors(key, 10_000)
+
+        def land(count):
+            # counts queue via _note_survivors and land as ints at
+            # render_finish; emulate the landing directly
+            r._note_survivors(key, count)
+            r._flush_survivor_counts(r._pending_counts)
+            r._pending_counts = []
+
+        land(10_000)
         first = r._survivor_buffer_size(key, 1 << 18)
         assert first == 16384  # pow2(10_000 * 1.3)
         # +/- 10% jitter: size must not move
         for c in (9_000, 11_000, 10_500, 9_500):
-            r._note_survivors(key, c)
+            land(c)
             assert r._survivor_buffer_size(key, 1 << 18) == first
         # genuine growth: head-room exhausted -> resize up
-        r._note_survivors(key, 15_000)
+        land(15_000)
         grown = r._survivor_buffer_size(key, 1 << 18)
         assert grown > first
         # genuine shrink: well under half used -> resize down
-        r._note_survivors(key, 2_000)
+        land(2_000)
         shrunk = r._survivor_buffer_size(key, 1 << 18)
         assert shrunk < grown
         # unknown key has no history
         assert r._survivor_buffer_size((9, 9), 1 << 18) is None
+        # a queued-but-not-landed count must not affect sizing (a
+        # pipelined in-flight frame would otherwise force a device sync)
+        r._note_survivors(key, 50_000)
+        assert r._survivor_buffer_size(key, 1 << 18) == shrunk
 
 
 class TestPackFrame:
