@@ -68,6 +68,17 @@ def classify_splats(pos, hierarchy, keep, view, spacings, proj,
     )
 
 
+# overflow windows for splats wider than the configured footprint: the
+# widest (65) renders half-extents up to 32.5 px exactly; only closer
+# splats still clip (the remaining bounded divergence from the
+# reference's unbounded billboard quads, render.wgsl:70-95). Rung
+# spacing ~2x in half-extent keeps per-splat fragment waste under ~4x
+# of the exact circle; a coarser ladder (5 -> 17 measured) blew frame
+# fragment counts up 4-5x in coarse-LOD scenes where most splats sit
+# in the 2.5-4.5 px band
+LARGE_WINDOWS = (9, 17, 33, 65)
+
+
 def raster_bucket(n: int, minimum: int = 1 << 10) -> int:
     """Power-of-two raster buffer size.
 
@@ -113,6 +124,11 @@ class RenderSettings:
     # visibility jump may clip its newest splats, self-correcting next
     # frame
     compact_raster: bool = True
+    # raster formulation: "auto"/"sorted" ranks each bucket's fragment
+    # list with one multi-key sort (pixel, depth, id) and scatters only
+    # per-pixel winners; "scatter" keeps the per-class scatter-min
+    # cascade. Both are image-identical (tests/test_render_kernel.py)
+    raster_mode: str = "auto"
 
 
 def hierarchy_tables(metadata: Metadata) -> tuple[np.ndarray, np.ndarray]:
@@ -225,7 +241,7 @@ class PointRenderer:
             pending = self._pending_counts = []
         pending.append((key, count_dev))
 
-    def _survivor_buffer_size(self, key, n: int):
+    def _survivor_buffer_size(self, key, n: int, minimum: int = 1 << 10):
         """Sticky quarter-step compacted-raster size from the latest
         landed survivor count; None until the key has history.
 
@@ -245,7 +261,7 @@ class PointRenderer:
         held = sizes.get(key)
         if held is not None and count * 1.15 <= held <= count * 2.6:
             return held
-        held = raster_bucket(max(int(count * 1.3), 1))
+        held = raster_bucket(max(int(count * 1.3), 1), minimum)
         sizes[key] = held
         return held
 
@@ -412,10 +428,17 @@ class PointRenderer:
             if use_classes:
                 windows = [k for k in (1, 3, 5, 7) if k < s.footprint]
                 windows.append(s.footprint)
+                # large-splat overflow ladder: near-camera splats whose
+                # half-extent exceeds footprint/2 route to wider windows
+                # instead of rendering as clipped squares (the round-2
+                # divergence from render.wgsl:70-95 billboard semantics).
+                # The last window takes every remaining splat, so only
+                # half-extents beyond LARGE_WINDOWS[-1]/2 px still clip.
+                windows += [k for k in LARGE_WINDOWS if k > s.footprint]
                 masks = []
                 covered = None
                 for k in windows:
-                    if k == s.footprint:
+                    if k == windows[-1]:
                         m = keep if covered is None else (
                             keep & jnp.logical_not(covered)
                         )
@@ -429,14 +452,76 @@ class PointRenderer:
                         )
                     masks.append((k, m))
                 outs = [
-                    self._survivor_buffer_size((bucket, k), n)
+                    self._survivor_buffer_size(
+                        (bucket, k), n,
+                        # wide windows are rare (a handful of splats fill
+                        # the screen): tiny buffers keep their fragment
+                        # cost bounded at 4 * k^2
+                        minimum=4 if k in LARGE_WINDOWS else 1 << 10,
+                    )
                     for k, _ in masks
                 ]
+                # a large window whose landed survivor count is 0 skips
+                # its raster entirely (the common case: nothing is that
+                # close); counts are still noted below so the class
+                # re-enables the frame after a splat grows into it
+                landed = getattr(self, "_survivor_counts", None) or {}
+
+                def class_skipped(k):
+                    return (
+                        k in LARGE_WINDOWS
+                        and landed.get((bucket, k)) == 0
+                    )
+
                 if all(o is not None for o in outs):
-                    for (k, m), out_k in zip(masks, outs):
-                        framebuffer = raster_subset(
-                            framebuffer, m, out_k, k
+                    if s.raster_mode in ("auto", "sorted"):
+                        # sorted raster (ROADMAP #8): every class's
+                        # fragments join one list, one fragment sort per
+                        # bucket ranks them by (pixel, depth, id), and
+                        # the framebuffer scatters touch one fragment
+                        # per covered pixel instead of every fragment
+                        from ..ops.dedup import pad_to_bucket
+                        from .splat import (
+                            _NO_ID,
+                            emit_fragments,
+                            sorted_raster_merge,
                         )
+
+                        parts = [
+                            emit_fragments(
+                                m, view_pos, ndc, radius, ids_dev,
+                                proj_dev, s.height, s.width, k,
+                                s.voronoi, out_k,
+                            )
+                            for (k, m), out_k in zip(masks, outs)
+                            if not class_skipped(k)
+                        ]
+                        pix = jnp.concatenate([p[0] for p in parts])
+                        dep = jnp.concatenate([p[1] for p in parts])
+                        fid = jnp.concatenate([p[2] for p in parts])
+                        f = pix.shape[0]
+                        f_pad = pad_to_bucket(f, minimum=1 << 10)
+                        if f_pad != f:
+                            pad = f_pad - f
+                            pix = jnp.concatenate(
+                                [pix, jnp.full(pad, _NO_ID, jnp.int32)]
+                            )
+                            dep = jnp.concatenate(
+                                [dep, jnp.zeros(pad, jnp.float32)]
+                            )
+                            fid = jnp.concatenate(
+                                [fid, jnp.zeros(pad, jnp.int32)]
+                            )
+                        framebuffer = sorted_raster_merge(
+                            framebuffer, pix, dep, fid
+                        )
+                    else:
+                        for (k, m), out_k in zip(masks, outs):
+                            if class_skipped(k):
+                                continue
+                            framebuffer = raster_subset(
+                                framebuffer, m, out_k, k
+                            )
                 else:
                     framebuffer = raster_subset(
                         framebuffer, keep, None, s.footprint

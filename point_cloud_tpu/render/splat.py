@@ -138,23 +138,16 @@ def banked_gather(values, idx):
     )
 
 
-@partial(jax.jit, static_argnames=("height", "width", "footprint", "voronoi"))
-def rasterize_splats(
-    framebuffer: Framebuffer,
-    view_pos,  # (N, 4) f32 view-space positions
-    ndc,  # (N, 3) f32
-    radius,  # (N,) f32 world-space splat radius (hierarchy spacing)
-    point_id,  # (N,) i32 global point ids (index into the color table)
-    valid,  # (N,) bool
-    projection,  # (4, 4) f32
-    height: int = 720,
-    width: int = 1280,
-    footprint: int = DEFAULT_FOOTPRINT,
-    voronoi: bool = True,
-) -> Framebuffer:
-    """Depth-test ``N`` splats into ``framebuffer``; returns the new buffer."""
-    k = footprint
+def _make_fragments(view_pos, ndc, radius, point_id, valid, projection,
+                    height: int, width: int, k: int, voronoi: bool,
+                    invalid_idx: int):
+    """Expand N splats into N*k*k fragments (flat pixel index, f32 depth,
+    point id); invalid fragments carry ``invalid_idx`` as their index.
 
+    The single source of fragment math: the scatter rasterizer and the
+    sorted rasterizer both consume these exact values, which is what
+    makes the two paths image-identical (tests/test_render_kernel.py).
+    """
     # projected center in pixels (wgsl viewport transform, compute.wgsl:185)
     px = (ndc[:, 0] * 0.5 + 0.5) * width
     py = (ndc[:, 1] * -0.5 + 0.5) * height
@@ -195,19 +188,43 @@ def rasterize_splats(
     frag_valid = inside & on_screen & valid[:, None]
     frag_valid &= (frag_depth >= 0.0) & (frag_depth <= 1.0)
 
+    flat_idx = (
+        frag_y.astype(jnp.int32) * width + frag_x.astype(jnp.int32)
+    ).reshape(-1)
+    flat_idx = jnp.where(
+        frag_valid.reshape(-1), flat_idx, jnp.int32(invalid_idx)
+    )
+    frag_depth_flat = frag_depth.reshape(-1)
+    frag_ids = jnp.broadcast_to(
+        point_id[:, None].astype(jnp.int32), d2.shape
+    ).reshape(-1)
+    return flat_idx, frag_depth_flat, frag_ids
+
+
+@partial(jax.jit, static_argnames=("height", "width", "footprint", "voronoi"))
+def rasterize_splats(
+    framebuffer: Framebuffer,
+    view_pos,  # (N, 4) f32 view-space positions
+    ndc,  # (N, 3) f32
+    radius,  # (N,) f32 world-space splat radius (hierarchy spacing)
+    point_id,  # (N,) i32 global point ids (index into the color table)
+    valid,  # (N,) bool
+    projection,  # (4, 4) f32
+    height: int = 720,
+    width: int = 1280,
+    footprint: int = DEFAULT_FOOTPRINT,
+    voronoi: bool = True,
+) -> Framebuffer:
+    """Depth-test ``N`` splats into ``framebuffer``; returns the new buffer."""
     # invalid fragments get an index one past the buffer: mode="drop"
     # discards out-of-bounds indices, but NOT -1 (JAX scatter indices
     # wrap, so -1 would silently hit the last pixel — a corner-pixel
     # corruption this exact test setup caught)
     oob = height * width
-    flat_idx = (
-        frag_y.astype(jnp.int32) * width + frag_x.astype(jnp.int32)
-    ).reshape(-1)
-    flat_idx = jnp.where(frag_valid.reshape(-1), flat_idx, oob)
-    frag_depth_flat = frag_depth.reshape(-1)
-    frag_ids = jnp.broadcast_to(
-        point_id[:, None].astype(jnp.int32), d2.shape
-    ).reshape(-1)
+    flat_idx, frag_depth_flat, frag_ids = _make_fragments(
+        view_pos, ndc, radius, point_id, valid, projection,
+        height, width, footprint, voronoi, invalid_idx=oob,
+    )
 
     old_depth = framebuffer.depth
     new_depth = old_depth.at[flat_idx].min(frag_depth_flat, mode="drop")
@@ -222,6 +239,91 @@ def rasterize_splats(
         frag_ids, mode="drop"
     )
     return Framebuffer(depth=new_depth, point_id=ids)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "footprint", "voronoi", "out_size"),
+)
+def emit_fragments(
+    keep, view_pos, ndc, radius, point_id, projection,
+    height: int, width: int, footprint: int, voronoi: bool, out_size: int,
+):
+    """Compact ``keep`` survivors to ``out_size`` rows and expand them to
+    fragments for the sorted rasterizer (one fused pass per footprint
+    class). Invalid fragments carry i32::MAX so the fragment sort pushes
+    them to the tail."""
+    rows = compact_rows(keep, view_pos, ndc, radius, point_id, out_size)
+    view_c, ndc_c, radius_c, ids_c, valid_c = rows
+    return _make_fragments(
+        view_c, ndc_c, radius_c, ids_c, valid_c, projection,
+        height, width, footprint, voronoi, invalid_idx=int(_NO_ID),
+    )
+
+
+@jax.jit
+def sorted_raster_merge(framebuffer: Framebuffer, pix, depth, ids):
+    """One depth-tested merge of a fragment list into the framebuffer via
+    the fragment sort (ROADMAP #8 / VERDICT r2 item 3).
+
+    Sort all fragments by (pixel, depth-bits, id): the first row of each
+    pixel run is that pixel's winning fragment — min depth, ties to the
+    smallest id, exactly the scatter path's LessEqual semantics — so the
+    two framebuffer scatters touch one fragment per covered pixel
+    instead of every fragment, and one sorted pass replaces the
+    per-footprint-class scatter cascade. Depths are in [0, 1] (the
+    fragment validity mask enforces it), so their f32 bit patterns sort
+    like the floats.
+
+    Merging with the existing buffer keeps the same rule: a strictly
+    closer winner replaces the pixel's id; an exactly-equal depth takes
+    the smaller id.
+    """
+    n_pix = framebuffer.depth.shape[0]
+    depth_bits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+    depth_bits = jnp.where(pix == _NO_ID, _NO_ID, depth_bits)
+
+    pix_s, depth_bits_s, ids_s, _ = _sort4_frags(pix, depth_bits, ids)
+    valid_s = pix_s != _NO_ID
+    first = (pix_s != jnp.roll(pix_s, 1)).at[0].set(True)
+    win = first & valid_s
+    depth_s = jax.lax.bitcast_convert_type(depth_bits_s, jnp.float32)
+
+    target = jnp.where(win, pix_s, jnp.int32(n_pix))
+    old_depth = framebuffer.depth
+    new_depth = old_depth.at[target].min(depth_s, mode="drop")
+
+    improved = new_depth < old_depth
+    ids0 = jnp.where(improved, _NO_ID, framebuffer.point_id)
+    min_at = banked_gather(
+        new_depth, jnp.clip(pix_s, 0, n_pix - 1)
+    )
+    ok = win & (depth_s == min_at)
+    new_ids = ids0.at[jnp.where(ok, pix_s, jnp.int32(n_pix))].min(
+        ids_s, mode="drop"
+    )
+    return Framebuffer(depth=new_depth, point_id=new_ids)
+
+
+def _sort4_frags(pix, depth_bits, ids):
+    """Backend-dispatched 4-key sort for the fragment stream (pallas on
+    TPU, bitonic elsewhere — same resolution as the dedup sort)."""
+    from ..ops import dedup as dedup_mod
+
+    n = pix.shape[0]
+    arrival = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    backend = dedup_mod._resolve_backend()
+    if backend == "pallas" and n >= 1024 and (n & (n - 1)) == 0:
+        from ..ops.sort_pallas import pallas_sort4
+
+        return pallas_sort4(pix, depth_bits, ids, arrival)
+    if backend == "xla":
+        return jax.lax.sort(
+            (pix, depth_bits, ids, arrival), num_keys=3, is_stable=False
+        )
+    from ..ops.bitonic import bitonic_sort4
+
+    return bitonic_sort4(pix, depth_bits, ids, arrival)
 
 
 @partial(jax.jit, static_argnames=("height", "width"))

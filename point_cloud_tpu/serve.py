@@ -30,32 +30,54 @@ from urllib.parse import parse_qs, unquote, urlparse
 import numpy as np
 
 
+CONVERTIBLE_SUFFIXES = {".las", ".laz", ".ply"}  # + metadata.json (own)
+
+
 class StoreServer:
-    def __init__(self, store_dir, width=640, height=480):
-        from .core.cell import Cell
-        from .core.metadata import Metadata
+    """One store's remote session: a full Viewer behind HTTP.
+
+    Basing the server on :class:`~point_cloud_tpu.viewer.app.Viewer`
+    (instead of a bare renderer) puts the complete interactive surface —
+    RenderSettings, DebugSettings, streaming pause/scale, the in-app
+    converter — one JSON endpoint away, mirroring the reference's egui
+    panel (src/plugins/render/ui.rs:122-146) for browser clients.
+    """
+
+    def __init__(self, store_dir, width=640, height=480,
+                 convert_root=None):
         from .render.camera import Camera
-        from .render.frustums import update_streaming_frustums
-        from .render.renderer import PointRenderer, RenderSettings
-        from .render.streaming import CellStreamer
+        from .render.renderer import RenderSettings
+        from .viewer.app import Viewer
 
         self.store_dir = Path(store_dir)
-        self.metadata = Metadata.from_path(self.store_dir / "metadata.json")
         self._render_lock = threading.Lock()
         # PNG frames need RGB only; skipping the f32 depth plane halves
         # the per-frame device->host traffic (renderer.RenderSettings)
-        self._settings = RenderSettings(
+        settings = RenderSettings(
             width=width, height=height, transfer_depth=False
         )
-        self._renderer = PointRenderer(self.metadata, self._settings)
-
-        def loader(cell_id):
-            path = self.store_dir / cell_id.path()
-            return Cell.from_path(path) if path.exists() else None
-
-        self._streamer = CellStreamer(self.metadata, loader=loader)
+        self.viewer = Viewer(settings)
+        self.viewer.load_metadata(self.store_dir / "metadata.json")
         self._camera_factory = Camera
-        self._update_streaming = update_streaming_frustums
+        self.convert_root = Path(convert_root) if convert_root else None
+        self._converter = None
+        self._pump_thread = None
+
+    @property
+    def metadata(self):
+        return self.viewer.metadata
+
+    def _drain_streaming(self) -> None:
+        """Pump the viewer until every queued cell load has settled (the
+        synchronous server frame contract: a GET /render sees the full
+        visible set)."""
+        v = self.viewer
+        for _ in range(10_000):
+            v.update(0.0)
+            if not v.streamer.loading and len(v.streamer.should_load) == 0:
+                break
+            if not v.stream_enabled:
+                break  # paused: render what is loaded (cell.rs:89-99)
 
     def render_png(self, yaw=0.0, pitch=-0.4, dist=None,
                    voronoi=None, eye=None) -> bytes:
@@ -65,15 +87,13 @@ class StoreServer:
         cloud center) and fly (``eye`` = absolute camera position;
         yaw/pitch become the look direction — the reference's
         FlyCamController pose, fly_cam.rs:111-128)."""
+        from .render.fly_cam import FlyCam
         from .viewer.offscreen import write_png
 
         with self._render_lock:
+            v = self.viewer
             if voronoi is not None:
-                self._settings.voronoi = bool(voronoi)
-            camera = self._camera_factory()
-            camera.projection.far = float(
-                self.metadata.config.max_cell_size * 5.0
-            )
+                v.settings.voronoi = bool(voronoi)
             bbox = self.metadata.bounding_box
             center = bbox.center()
             up = np.array([0.0, 0.0, 1.0], np.float32)
@@ -87,8 +107,8 @@ class StoreServer:
                     ],
                     np.float32,
                 )
-                camera.transform.translation = pos
-                camera.transform.look_at(pos + forward, up)
+                v.camera.transform.translation = pos
+                v.camera.transform.look_at(pos + forward, up)
             else:
                 extent = float(np.linalg.norm(bbox.extends()))
                 d = dist if dist is not None else extent * 2.0
@@ -100,23 +120,181 @@ class StoreServer:
                     ],
                     np.float32,
                 )
-                camera.transform.translation = pos.astype(np.float32)
-                camera.transform.look_at(center, up)
-
-            frustums = self._update_streaming(
-                self.metadata, camera.transform, camera.projection,
-                camera.frustum(),
-            )
-            self._streamer.update(frustums, camera.transform)
-            for _ in range(10_000):
-                if not self._streamer.fill_load_slots():
-                    break
-            rgb, _, _ = self._renderer.render(
-                self._streamer, camera, frustums
-            )
+                v.camera.transform.translation = pos.astype(np.float32)
+                v.camera.transform.look_at(center, up)
+            v.fly_cam = FlyCam.from_transform(v.camera.transform)
+            v._camera_dirty = True
+            self._drain_streaming()
+            rgb, _, _ = v.render()
             buf = io.BytesIO()
             write_png(buf, rgb)
             return buf.getvalue()
+
+    # --- settings surface (ui.rs:122-146 / debug.rs:21-36) ----------------
+
+    def get_settings(self) -> dict:
+        v = self.viewer
+        s = v.settings
+        d = v.debug
+        return {
+            "voronoi": s.voronoi,
+            "size_by_distance": s.size_by_distance,
+            "max_hierarchy": s.max_hierarchy,
+            "footprint": s.footprint,
+            "occlusion": s.occlusion,
+            "hidden_hierarchies": sorted(s.hidden_hierarchies),
+            "stream_enabled": v.stream_enabled,
+            "streaming_scale": v.streaming_scale,
+            "hierarchies": int(self.metadata.hierarchies),
+            "debug": {
+                "show_bounding_box": d.show_bounding_box,
+                "show_frustum": d.show_frustum,
+                "show_plane_normals": d.show_plane_normals,
+                "show_cell_grid": d.show_cell_grid,
+                "show_streaming_rects": d.show_streaming_rects,
+            },
+        }
+
+    def apply_settings(self, payload: dict) -> dict:
+        with self._render_lock:
+            v = self.viewer
+            s = v.settings
+            for key in ("voronoi", "size_by_distance", "occlusion"):
+                if key in payload:
+                    setattr(s, key, bool(payload[key]))
+            if "max_hierarchy" in payload:
+                s.max_hierarchy = int(payload["max_hierarchy"])
+            if "footprint" in payload:
+                fp = int(payload["footprint"])
+                if fp not in (1, 3, 5, 7, 9):
+                    raise ValueError(f"footprint {fp} not in 1/3/5/7/9")
+                s.footprint = fp
+            if "hidden_hierarchies" in payload:
+                s.hidden_hierarchies = {
+                    int(h) for h in payload["hidden_hierarchies"]
+                }
+            if "stream_enabled" in payload:
+                v.stream_enabled = bool(payload["stream_enabled"])
+            if "streaming_scale" in payload:
+                v.streaming_scale = float(payload["streaming_scale"])
+            d = v.debug
+            for key, value in (payload.get("debug") or {}).items():
+                if key == "show_frustum" and value and (
+                    d.frozen_frustum is None
+                ):
+                    v.freeze_frustum()  # capture on first enable
+                    continue
+                if not hasattr(d, key) or key == "frozen_frustum":
+                    raise ValueError(f"unknown debug toggle {key!r}")
+                setattr(d, key, bool(value))
+            if payload.get("freeze_frustum"):
+                v.freeze_frustum()
+            return self.get_settings()
+
+    # --- in-app converter over HTTP (converter.rs:723-848) ----------------
+
+    def _resolve_under_root(self, rel) -> Path:
+        if self.convert_root is None:
+            raise PermissionError(
+                "server started without --convert-root; the converter "
+                "endpoints are disabled"
+            )
+        target = (self.convert_root / str(rel)).resolve()
+        root = self.convert_root.resolve()
+        if root != target and root not in target.parents:
+            raise PermissionError(f"{rel!r} escapes the convert root")
+        return target
+
+    def convert_files(self, rel_dir: str = "") -> dict:
+        target = self._resolve_under_root(rel_dir)
+        files = []
+        for p in sorted(target.iterdir()) if target.is_dir() else []:
+            if p.suffix.lower() in CONVERTIBLE_SUFFIXES or (
+                p.name == "metadata.json"
+            ):
+                files.append(
+                    str(p.relative_to(self.convert_root.resolve()))
+                )
+        return {"root": str(self.convert_root), "files": files}
+
+    def _ensure_converter(self):
+        if self._converter is None:
+            from .viewer.interactive import InteractiveConverter
+
+            self._converter = InteractiveConverter(self.viewer)
+        return self._converter
+
+    def _pump(self):
+        import time
+
+        from .viewer.interactive import ConversionState
+
+        while True:
+            with self._render_lock:
+                conv = self._converter
+                if conv is None or conv.state != ConversionState.CONVERTING:
+                    if (
+                        conv is not None
+                        and conv.state == ConversionState.FINISHED
+                        and conv.auto_save
+                    ):
+                        conv.flush()  # final RAM cells -> store files
+                    return
+                conv.update()
+            time.sleep(0.002)  # frame-sliced, like the per-frame systems
+
+    def convert_action(self, payload: dict) -> dict:
+        action = payload.get("action")
+        with self._render_lock:
+            conv = self._ensure_converter()
+            if action == "choose":
+                paths = [
+                    self._resolve_under_root(f)
+                    for f in payload.get("files", [])
+                ]
+                conv.choose_files(paths)
+            elif action == "new_cloud":
+                conv.new_cloud()
+            elif action == "save_at":
+                conv.save_at(self._resolve_under_root(
+                    payload.get("directory", "")
+                ))
+            elif action == "start":
+                conv.start()
+            elif action == "stop":
+                conv.stop()
+            else:
+                raise ValueError(f"unknown converter action {action!r}")
+        if action == "start":
+            if self._pump_thread is None or not self._pump_thread.is_alive():
+                self._pump_thread = threading.Thread(
+                    target=self._pump, daemon=True
+                )
+                self._pump_thread.start()
+        return self.convert_status()
+
+    def convert_status(self) -> dict:
+        conv = self._converter
+        if conv is None:
+            return {"state": "not_started", "files": []}
+        return {
+            "state": conv.state.name.lower(),
+            "auto_save": conv.auto_save,
+            "save_directory": (
+                str(conv.save_directory) if conv.save_directory else None
+            ),
+            "number_of_points": int(conv.metadata.number_of_points),
+            "files": [
+                {
+                    "path": str(f.path),
+                    "state": f.state,
+                    "total": f.total,
+                    "remaining": f.remaining,
+                    "error": f.error,
+                }
+                for f in conv.files
+            ],
+        }
 
 
 class StoreRegistry:
@@ -128,9 +306,10 @@ class StoreRegistry:
     (`/stores` lists them, `/s/<name>/...` scopes every endpoint).
     """
 
-    def __init__(self, root, width=640, height=480):
+    def __init__(self, root, width=640, height=480, convert_root=None):
         self.root = Path(root)
         self._width, self._height = width, height
+        self._convert_root = convert_root
         self._servers: dict[str, StoreServer] = {}
         self._lock = threading.Lock()
         if (self.root / "metadata.json").exists():
@@ -163,6 +342,7 @@ class StoreRegistry:
                 self._servers[name] = StoreServer(
                     self._dirs[name], width=self._width,
                     height=self._height,
+                    convert_root=self._convert_root,
                 )
             return self._servers[name]
 
@@ -179,6 +359,44 @@ def make_handler(registry: StoreRegistry):
             self.send_header("Access-Control-Allow-Origin", "*")
             self.end_headers()
             self.wfile.write(body)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            path = url.path.lstrip("/")
+            store_name = registry.default
+            if path.startswith("s/"):
+                parts = path.split("/", 2)
+                if len(parts) < 3:
+                    self._send(404, b"not found", "text/plain")
+                    return
+                store_name, path = unquote(parts[1]), parts[2]
+            server = registry.get(store_name)
+            if server is None:
+                self._send(404, f"no store {store_name!r}".encode(),
+                           "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as err:
+                self._send(400, f"bad JSON body: {err}".encode(),
+                           "text/plain")
+                return
+            try:
+                if path == "settings":
+                    body = server.apply_settings(payload)
+                elif path == "convert":
+                    body = server.convert_action(payload)
+                else:
+                    self._send(404, b"not found", "text/plain")
+                    return
+            except PermissionError as err:
+                self._send(403, str(err).encode(), "text/plain")
+                return
+            except (ValueError, KeyError, OSError) as err:
+                self._send(400, str(err).encode(), "text/plain")
+                return
+            self._send(200, json.dumps(body).encode(), "application/json")
 
         def do_GET(self):
             url = urlparse(self.path)
@@ -214,6 +432,31 @@ def make_handler(registry: StoreRegistry):
                     Path(__file__).parent / "viewer" / "client.html"
                 ).read_bytes()
                 self._send(200, page, "text/html; charset=utf-8")
+                return
+            if path == "settings":
+                self._send(
+                    200, json.dumps(server.get_settings()).encode(),
+                    "application/json",
+                )
+                return
+            if path == "convert":
+                self._send(
+                    200, json.dumps(server.convert_status()).encode(),
+                    "application/json",
+                )
+                return
+            if path == "convert/files":
+                q = parse_qs(url.query)
+                try:
+                    body = server.convert_files(q.get("dir", [""])[0])
+                except PermissionError as err:
+                    self._send(403, str(err).encode(), "text/plain")
+                    return
+                except OSError as err:
+                    self._send(400, str(err).encode(), "text/plain")
+                    return
+                self._send(200, json.dumps(body).encode(),
+                           "application/json")
                 return
             if path == "stats":
                 stats = {
@@ -299,13 +542,18 @@ def make_handler(registry: StoreRegistry):
     return Handler
 
 
-def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480):
+def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480,
+          convert_root=None):
     """Build and return the HTTP server (call serve_forever on it).
 
     ``store_dir`` may be one store (holds metadata.json) or a directory
     of stores (each child with a metadata.json gets served under
-    ``/s/<name>/`` and the browser client shows a picker)."""
-    registry = StoreRegistry(store_dir, width=width, height=height)
+    ``/s/<name>/`` and the browser client shows a picker).
+    ``convert_root`` (optional) enables the in-app converter endpoints,
+    restricted to files under that directory."""
+    registry = StoreRegistry(
+        store_dir, width=width, height=height, convert_root=convert_root
+    )
     httpd = ThreadingHTTPServer((host, port), make_handler(registry))
     return httpd
 
@@ -320,8 +568,14 @@ def main(argv=None) -> int:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--height", type=int, default=480)
+    parser.add_argument(
+        "--convert-root", type=Path, default=None,
+        help="enable the in-app converter endpoints for files under "
+        "this directory (disabled otherwise)",
+    )
     args = parser.parse_args(argv)
-    httpd = serve(args.store, args.host, args.port, args.width, args.height)
+    httpd = serve(args.store, args.host, args.port, args.width,
+                  args.height, convert_root=args.convert_root)
     print(f"serving {args.store} on http://{args.host}:{args.port}")
     httpd.serve_forever()
     return 0

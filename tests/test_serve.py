@@ -267,3 +267,175 @@ class TestFlyCamera:
         _, body = get(f"{server}/")
         text = body.decode()
         assert "keydown" in text and "enterFlyMode" in text
+
+
+def post_json(url, payload):
+    import json
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=180) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def get_json(url):
+    import json
+
+    status, body = get(url)
+    return status, json.loads(body)
+
+
+class TestSettingsEndpoint:
+    """The egui panel surface over HTTP (ui.rs:122-146, debug.rs:21-36,
+    frustums.rs:14-25, cell/shader.rs:173-207)."""
+
+    def test_settings_round_trip(self, server):
+        status, s = get_json(f"{server}/settings")
+        assert status == 200
+        assert s["stream_enabled"] is True
+        assert s["streaming_scale"] == 2.0
+        assert s["debug"]["show_bounding_box"] is False
+
+        patch = {
+            "voronoi": False,
+            "size_by_distance": True,
+            "max_hierarchy": 2,
+            "footprint": 7,
+            "occlusion": False,
+            "hidden_hierarchies": [1],
+            "stream_enabled": False,
+            "streaming_scale": 3.5,
+            "debug": {"show_bounding_box": True, "show_cell_grid": True},
+        }
+        status, s2 = post_json(f"{server}/settings", patch)
+        assert status == 200
+        assert s2["voronoi"] is False
+        assert s2["size_by_distance"] is True
+        assert s2["max_hierarchy"] == 2
+        assert s2["footprint"] == 7
+        assert s2["occlusion"] is False
+        assert s2["hidden_hierarchies"] == [1]
+        assert s2["stream_enabled"] is False
+        assert s2["streaming_scale"] == 3.5
+        assert s2["debug"]["show_bounding_box"] is True
+        assert s2["debug"]["show_cell_grid"] is True
+
+        status, s3 = get_json(f"{server}/settings")
+        assert s3 == s2
+
+        # restore for other tests
+        post_json(f"{server}/settings", {
+            "voronoi": True, "size_by_distance": False, "max_hierarchy": 0,
+            "footprint": 5, "occlusion": True, "hidden_hierarchies": [],
+            "stream_enabled": True, "streaming_scale": 2.0,
+            "debug": {"show_bounding_box": False, "show_cell_grid": False},
+        })
+
+    def test_bad_settings_rejected(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            post_json(f"{server}/settings", {"footprint": 4})
+        assert err.value.code == 400
+
+    def test_freeze_frustum_renders_overlay(self, server):
+        status, _ = post_json(
+            f"{server}/settings", {"freeze_frustum": True}
+        )
+        assert status == 200
+        status, s = get_json(f"{server}/settings")
+        assert s["debug"]["show_frustum"] is True
+        status, png = get(f"{server}/render?yaw=0.3")
+        assert status == 200 and png[:4] == b"\x89PNG"
+        post_json(f"{server}/settings",
+                  {"debug": {"show_frustum": False}})
+
+    def test_converter_disabled_without_root(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{server}/convert/files?dir=")
+        assert err.value.code == 403
+
+
+class TestConvertEndpoint:
+    """The in-app converter driven over HTTP (converter.rs:723-848):
+    choose files / save at / start / per-file progress, and the
+    resulting store must be byte-correct."""
+
+    @pytest.fixture()
+    def conv_server(self, store, tmp_path):
+        import shutil
+
+        from point_cloud_tpu.io.ply import write_ply
+
+        root = tmp_path / "inputs"
+        root.mkdir()
+        rng = np.random.default_rng(44)
+        batch = PointBatch(
+            rng.uniform(-30, 30, (9_000, 3)).astype(np.float32),
+            rng.integers(0, 256, (9_000, 4)).astype(np.uint8),
+        )
+        write_ply(root / "cloud.ply", batch)
+        (root / "out").mkdir()
+
+        from point_cloud_tpu.serve import serve
+
+        httpd = serve(store, host="127.0.0.1", port=0, width=64,
+                      height=48, convert_root=root)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", root, batch
+        httpd.shutdown()
+
+    def test_http_conversion_byte_correct(self, conv_server, tmp_path):
+        import time
+
+        url, root, batch = conv_server
+        status, body = get_json(f"{url}/convert/files?dir=")
+        assert status == 200
+        assert "cloud.ply" in body["files"]
+
+        post_json(f"{url}/convert", {"action": "new_cloud"})
+        post_json(f"{url}/convert",
+                  {"action": "choose", "files": ["cloud.ply"]})
+        post_json(f"{url}/convert", {"action": "save_at",
+                                     "directory": "out"})
+        status, st = post_json(f"{url}/convert", {"action": "start"})
+        assert status == 200
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            status, st = get_json(f"{url}/convert")
+            if st["state"] == "finished":
+                break
+            time.sleep(0.3)
+        assert st["state"] == "finished", st
+        assert st["files"][0]["state"] == "finished"
+        assert st["files"][0]["remaining"] == 0
+
+        # byte-correctness: offline conversion of the same input
+        with Converter(Metadata(), tmp_path / "offline") as conv:
+            for i in range(0, len(batch), 50_000):
+                conv.add_points_batch(batch[i : i + 50_000])
+        offline = {
+            p.relative_to(tmp_path / "offline"): p.read_bytes()
+            for p in sorted((tmp_path / "offline").rglob("*"))
+            if p.is_file()
+        }
+        http_store = {
+            p.relative_to(root / "out"): p.read_bytes()
+            for p in sorted((root / "out").rglob("*")) if p.is_file()
+        }
+        assert set(offline) == set(http_store)
+        for name in offline:
+            assert offline[name] == http_store[name], name
+
+    def test_escape_rejected(self, conv_server):
+        import urllib.error
+
+        url, _, _ = conv_server
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{url}/convert/files?dir=../")
+        assert err.value.code == 403
