@@ -51,8 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Run the dedup pipeline on the JAX default device (TPU).",
     )
     parser.add_argument(
-        "--mesh", type=int, default=0, metavar="N",
-        help="Shard conversion over an N-device mesh (implies --device).",
+        "--mesh", type=int, default=None, metavar="N",
+        help="Shard conversion over an N-device mesh (implies --device); "
+             "0 = every visible device (every local device under "
+             "--multihost).",
     )
     parser.add_argument(
         "--native", action="store_true",
@@ -76,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Cells kept in RAM before evicting to disk (default 65536; "
              "the reference keeps 100, converter.rs:92 — results are "
              "identical at any size, only disk traffic changes).",
+    )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="Pod launch: initialize jax.distributed from the environment "
+             "(PCT_NUM_PROCESSES / PCT_PROCESS_ID / "
+             "PCT_COORDINATOR_ADDRESS; all optional on Cloud TPU), convert "
+             "this worker's file shard, barrier, and let rank 0 merge the "
+             "staging stores into the output (parallel/launch.py).",
     )
     parser.add_argument(
         "--profile", action="store_true",
@@ -121,10 +131,12 @@ def main(argv=None) -> int:
 
         factory = NativeDevicePipelined
         batch_size = batch_size or 1 << 18
-    elif args.mesh:
+    elif args.mesh is not None:
         from ..parallel.mesh_converter import make_mesh_converter_factory
 
-        factory = make_mesh_converter_factory(args.mesh)
+        factory = make_mesh_converter_factory(
+            args.mesh, local=args.multihost
+        )
         batch_size = batch_size or 1 << 20
     elif args.device:
         from .pipelined import PipelinedConverter
@@ -134,7 +146,7 @@ def main(argv=None) -> int:
     else:
         batch_size = batch_size or DEFAULT_BATCH_SIZE
 
-    if args.device or args.mesh or args.device_native:
+    if args.device or args.mesh is not None or args.device_native:
         from ..ops.runtime import setup_jax_cache
 
         setup_jax_cache()
@@ -144,6 +156,20 @@ def main(argv=None) -> int:
     cache_size = (
         args.cache_size if args.cache_size is not None else DEFAULT_CACHE_SIZE
     )
+    if args.multihost:
+        from ..parallel.launch import LaunchConfig, run_multihost
+
+        config = LaunchConfig.from_env()
+        log.info(
+            "multihost launch: process %d of %d (coordinator %s)",
+            config.process_id, config.num_processes,
+            config.coordinator_address or "<auto>",
+        )
+        run_multihost(
+            files, output, config=config, converter_factory=factory,
+            batch_size=batch_size, cache_size=cache_size,
+        )
+        return 0
     if args.profile:
         from ..utils.tracing import StageTimer
 

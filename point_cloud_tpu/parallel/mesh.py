@@ -13,7 +13,8 @@ log = logging.getLogger(__name__)
 
 
 def make_mesh(
-    n_devices: int | None = None, axis: str = "data", strict: bool = False
+    n_devices: int | None = None, axis: str = "data", strict: bool = False,
+    local: bool = False,
 ) -> Mesh:
     """A 1-D data-parallel mesh over the first ``n_devices`` devices.
 
@@ -29,8 +30,13 @@ def make_mesh(
     chips, bootstrap virtual CPU devices before JAX initializes
     (``XLA_FLAGS=--xla_force_host_platform_device_count=N`` — see
     tests/conftest.py and __graft_entry__.dryrun_multichip).
+
+    ``local=True`` builds the mesh over this process's own chips only
+    (``jax.local_devices()``) — the multi-host converter topology, where
+    each worker runs an independent single-controller pipeline over its
+    local slice and hosts coordinate through files (parallel/launch.py).
     """
-    devices = jax.devices()
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     if n_devices > len(devices):

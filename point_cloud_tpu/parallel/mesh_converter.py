@@ -122,14 +122,15 @@ def resolve_sideband(
 class MeshConverter(DeviceConverter):
     def __init__(self, metadata, working_directory, n_devices=None,
                  cache_size=None, min_mesh_rows: int | None = None,
-                 capacity: int | None = None, **kwargs):
+                 capacity: int | None = None, local: bool = False,
+                 **kwargs):
         from ..convert.converter import DEFAULT_CACHE_SIZE
 
         super().__init__(
             metadata, working_directory,
             cache_size=cache_size or DEFAULT_CACHE_SIZE,
         )
-        self.mesh = make_mesh(n_devices)
+        self.mesh = make_mesh(n_devices, local=local)
         self.owner_pass = OwnerShardedPass(self.mesh, capacity=capacity)
         # below this many rows the single-device pass is faster; 0 forces
         # the sharded path (dry runs / tests on tiny shapes)
@@ -316,14 +317,16 @@ class MeshConverter(DeviceConverter):
         )
 
 
-def make_mesh_converter_factory(n_devices: int):
+def make_mesh_converter_factory(n_devices: int, local: bool = False):
     """Factory matching the Converter(metadata, dir, cache_size=...) signature
-    (used by the CLI's --mesh flag)."""
+    (used by the CLI's --mesh flag). ``n_devices=0`` means every device;
+    ``local=True`` restricts the mesh to this process's chips (the
+    multi-host worker topology, parallel/launch.py)."""
 
     def factory(metadata, working_directory, cache_size=None):
         return MeshConverter(
-            metadata, working_directory, n_devices=n_devices,
-            cache_size=cache_size,
+            metadata, working_directory, n_devices=n_devices or None,
+            cache_size=cache_size, local=local,
         )
 
     return factory

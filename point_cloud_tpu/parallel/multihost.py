@@ -42,9 +42,12 @@ def worker_file_shard(paths, worker_index: int, n_workers: int) -> list:
 
 
 def convert_sharded(paths, staging_root, worker_index: int, n_workers: int,
-                    converter_factory=None, batch_size=None) -> Path:
+                    converter_factory=None, batch_size=None,
+                    cache_size=None) -> Path:
     """Convert this worker's shard into ``staging_root/worker_<i>``."""
-    from ..convert.converter import Converter, DEFAULT_BATCH_SIZE
+    from ..convert.converter import (
+        Converter, DEFAULT_BATCH_SIZE, DEFAULT_CACHE_SIZE,
+    )
 
     shard = worker_file_shard(paths, worker_index, n_workers)
     out = Path(staging_root) / f"worker_{worker_index}"
@@ -52,16 +55,19 @@ def convert_sharded(paths, staging_root, worker_index: int, n_workers: int,
         shard,
         out,
         batch_size=batch_size or DEFAULT_BATCH_SIZE,
+        cache_size=cache_size or DEFAULT_CACHE_SIZE,
         converter_factory=converter_factory or Converter,
     )
     return out
 
 
 def merge_stores(sources, dest, converter_factory=None,
-                 batch_size=None) -> None:
+                 batch_size=None, cache_size=None) -> None:
     """Merge converted stores into ``dest`` (re-conversion via the
     own-format reader; idempotent per source, crash-resumable)."""
-    from ..convert.converter import Converter, DEFAULT_BATCH_SIZE
+    from ..convert.converter import (
+        Converter, DEFAULT_BATCH_SIZE, DEFAULT_CACHE_SIZE,
+    )
 
     metadata_files = [Path(s) / "metadata.json" for s in sources]
     for m in metadata_files:
@@ -71,5 +77,6 @@ def merge_stores(sources, dest, converter_factory=None,
         metadata_files,
         dest,
         batch_size=batch_size or DEFAULT_BATCH_SIZE,
+        cache_size=cache_size or DEFAULT_CACHE_SIZE,
         converter_factory=converter_factory or Converter,
     )
