@@ -18,9 +18,11 @@ with a layout chosen for how Mosaic actually lowers data movement:
   with d >= SUB cross lanes (two static lane rolls + select; the
   lane-splitting reshape is rejected by this libtpu's Mosaic:
   "infer-vector-layout: unsupported shape cast").
-* Cross-tile substages (d >= TILE) run OUTSIDE the kernel as plain XLA
-  elementwise min/max over a (T/2dt, 2, dt*SUB, 128) reshape — XLA is
-  already optimal for those (contiguous, fusable).
+* Cross-tile substages at d > TILE run OUTSIDE the kernel as plain XLA
+  elementwise min/max over a (T/2dt, 2, dt*SUB, 128) reshape —
+  contiguous and fusable. The d = TILE substage folds INTO the merge
+  kernel (a two-tile stacked block makes it a row exchange at distance
+  SUB), saving one dispatch + HBM round trip per merge stage.
 
 Two Mosaic limits shape the decomposition (both hit and measured, see
 PERF.md): compile time grows superlinearly with the unrolled substage
@@ -83,23 +85,25 @@ def _swap_halves(lo, hi, up):
     return new_lo, new_hi
 
 
-def _exchange(cols, d: int, up):
-    """One bitonic substage at element distance ``d`` (static, < TILE) on
-    four (SUB, LANES) sublane-major columns. ``up`` is a bool array
-    broadcastable to the lo-half shape (or a scalar)."""
-    if d < SUB:
-        shape = (SUB // (2 * d), 2, d, LANES)
-        r = [c.reshape(shape) for c in cols]
-        lo = [x[:, 0] for x in r]
-        hi = [x[:, 1] for x in r]
-        nl, nh = _swap_halves(lo, hi, up)
-        return [
-            jnp.stack([l, h], axis=1).reshape(SUB, LANES)
-            for l, h in zip(nl, nh)
-        ]
-    # lane-crossing exchange via two static lane rolls + select
-    dl = d // SUB
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+def _exchange_rows(cols, d: int, up, rows: int = SUB):
+    """Row-regrouping compare-exchange at row distance ``d`` (< rows) on
+    four (rows, LANES) sublane-major columns."""
+    shape = (rows // (2 * d), 2, d, LANES)
+    r = [c.reshape(shape) for c in cols]
+    lo = [x[:, 0] for x in r]
+    hi = [x[:, 1] for x in r]
+    nl, nh = _swap_halves(lo, hi, up)
+    return [
+        jnp.stack([l, h], axis=1).reshape(rows, LANES)
+        for l, h in zip(nl, nh)
+    ]
+
+
+def _exchange_lanes(cols, dl: int, up, rows: int = SUB):
+    """Lane-crossing compare-exchange at lane distance ``dl`` via two
+    static lane rolls + select (rows-agnostic: every row is independent,
+    so stacked multi-tile blocks work unchanged)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     is_lo = (lane & dl) == 0
     partners = [
         jnp.where(
@@ -114,6 +118,15 @@ def _exchange(cols, d: int, up):
     same = up == is_lo
     want = (same & gt) | (~same & lt)
     return [jnp.where(want, p, c) for c, p in zip(cols, partners)]
+
+
+def _exchange(cols, d: int, up):
+    """One bitonic substage at element distance ``d`` (static, < TILE) on
+    four (SUB, LANES) sublane-major columns. ``up`` is a bool array
+    broadcastable to the lo-half shape (or a scalar)."""
+    if d < SUB:
+        return _exchange_rows(cols, d, up)
+    return _exchange_lanes(cols, d // SUB, up)
 
 
 def _up_slice(up_full, d: int):
@@ -162,15 +175,29 @@ _SORT_CHUNK_KERNELS = [
 ]
 
 
-def _merge_tile_kernel(shift_ref, k1, k2, k3, k4, o1, o2, o3, o4):
-    """In-tile substages (d = TILE/2..1) of a merge stage s > LOG_TILE;
-    the direction is per-tile: (tile >> (s - LOG_TILE)) & 1, with
-    s - LOG_TILE passed as the scalar-prefetch ``shift`` so one compile
-    serves every merge stage."""
-    up = ((pl.program_id(0) >> shift_ref[0]) & 1) == 0
+def _merge_pair_kernel(shift_ref, k1, k2, k3, k4, o1, o2, o3, o4):
+    """Adjacent-tile substage (d = TILE) plus all in-tile substages
+    (d = TILE/2..1) of a merge stage s > LOG_TILE, fused over a two-tile
+    stacked block (2*SUB, LANES) — one dispatch and one HBM round trip
+    per merge stage instead of two.
+
+    Folding is exact because with shift = s - LOG_TILE >= 1 both tiles
+    of an adjacent pair share the stage's direction bit
+    ((2p >> shift) == (2p+1 >> shift) == p >> (shift-1)); the d = TILE
+    substage pairs equal in-tile offsets of the two tiles, which in the
+    stacked layout is a row exchange at distance SUB; in-tile row
+    substages (d < SUB) regroup within 2d-row blocks that never span the
+    tile boundary (SUB % 2d == 0); and lane substages act on each row
+    independently."""
+    up = ((pl.program_id(0) >> (shift_ref[0] - 1)) & 1) == 0
     cols = [k1[:], k2[:], k3[:], k4[:]]
+    cols = _exchange_rows(cols, SUB, up, rows=2 * SUB)  # d = TILE
     for sub in range(LOG_TILE - 1, -1, -1):
-        cols = _exchange(cols, 1 << sub, up)
+        d = 1 << sub
+        if d < SUB:
+            cols = _exchange_rows(cols, d, up, rows=2 * SUB)
+        else:
+            cols = _exchange_lanes(cols, d // SUB, up, rows=2 * SUB)
     o1[:] = cols[0]
     o2[:] = cols[1]
     o3[:] = cols[2]
@@ -201,20 +228,21 @@ def _call_sort_tiles(cols, n_tiles: int, interpret: bool):
     return list(cols)
 
 
-def _call_merge_tiles(cols, n_tiles: int, shift: int, interpret: bool):
+def _call_merge_pairs(cols, n_tiles: int, shift: int, interpret: bool):
     _, out_shape = _tile_specs(n_tiles)
     # index maps under PrefetchScalarGridSpec also receive the scalar ref
     spec = pl.BlockSpec(
-        (SUB, LANES), lambda t, s_ref: (t, 0), memory_space=pltpu.VMEM
+        (2 * SUB, LANES), lambda t, s_ref: (t, 0),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // 2,),
         in_specs=[spec] * 4,
         out_specs=[spec] * 4,
     )
     return pl.pallas_call(
-        _merge_tile_kernel,
+        _merge_pair_kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -301,9 +329,10 @@ def _pallas_sort4_impl(k1, k2, k3, k4, interpret: bool):
     cols = [_to_tiles(c, n_tiles, interpret) for c in (k1, k2, k3, k4)]
     cols = _call_sort_tiles(cols, n_tiles, interpret)
     for s in range(LOG_TILE + 1, log_n + 1):
-        for sub in range(s - 1, LOG_TILE - 1, -1):
+        # d = TILE folds into the pair kernel; only d > TILE stay in XLA
+        for sub in range(s - 1, LOG_TILE, -1):
             cols = _cross_exchange(cols, n_tiles, 1 << sub, s)
-        cols = _call_merge_tiles(cols, n_tiles, s - LOG_TILE, interpret)
+        cols = _call_merge_pairs(cols, n_tiles, s - LOG_TILE, interpret)
     out = [_from_tiles(c, n_tiles, interpret) for c in cols]
     return tuple(o[:n] for o in out)
 
