@@ -124,10 +124,15 @@ class RenderSettings:
     # visibility jump may clip its newest splats, self-correcting next
     # frame
     compact_raster: bool = True
-    # raster formulation: "auto"/"sorted" ranks each bucket's fragment
-    # list with one multi-key sort (pixel, depth, id) and scatters only
-    # per-pixel winners; "scatter" keeps the per-class scatter-min
-    # cascade. Both are image-identical (tests/test_render_kernel.py)
+    # raster formulation: "sorted" ranks each bucket's fragment list
+    # with one multi-key sort (pixel, depth, id) before the framebuffer
+    # scatters; "scatter" is the per-class scatter-min cascade. Both are
+    # image-identical (tests/test_render_kernel.py). "auto" = scatter:
+    # measured on the v5e, sorted ran 1.16 fps vs scatter's 4.86 in the
+    # bench orbit — the sort (one per bucket, 2^19-2^21 fragments) adds
+    # ~10-15 ms/bucket while the scatters stay full-width because
+    # winners are not compacted (a compaction pass would itself cost a
+    # full-width scatter, see PERF.md "Sorted raster")
     raster_mode: str = "auto"
 
 
@@ -474,7 +479,7 @@ class PointRenderer:
                     )
 
                 if all(o is not None for o in outs):
-                    if s.raster_mode in ("auto", "sorted"):
+                    if s.raster_mode == "sorted":
                         # sorted raster (ROADMAP #8): every class's
                         # fragments join one list, one fragment sort per
                         # bucket ranks them by (pixel, depth, id), and
