@@ -490,6 +490,29 @@ def dispatch_dedup_resident(resident, src: np.ndarray, extras: np.ndarray,
     return {"n": n, "packed": packed}
 
 
+def mark_pallas_broken() -> None:
+    """Degrade the sort backend to the bitonic for the whole process.
+
+    The backend choice is baked into traced jaxprs and jit._clear_cache
+    does NOT drop the trace cache (measured), so recovery rebinds fresh
+    jit wrappers around the original bodies. Callers that compiled their
+    own programs over these bodies (e.g. the shard_map mesh pass,
+    parallel/dedup.py) must also rebuild their compiled functions.
+    """
+    global _PALLAS_BROKEN
+    global dedup_pass_light, dedup_pass, dedup_pass_resident
+    _PALLAS_BROKEN = True
+    # fresh lambdas guarantee empty trace caches (a re-jit of the
+    # same function object could reuse the pallas-baked trace)
+    dedup_pass_light = jax.jit(
+        lambda *a, _f=_dedup_light_body: _f(*a)
+    )
+    dedup_pass = jax.jit(lambda *a, _f=dedup_pass.__wrapped__: _f(*a))
+    dedup_pass_resident = jax.jit(
+        lambda *a, _f=_dedup_resident_body: _f(*a)
+    )
+
+
 def _guarded_call(thunk):
     """Run a jitted dedup dispatch with the pallas->bitonic degrade.
 
@@ -497,13 +520,9 @@ def _guarded_call(thunk):
     launch failure on an unvetted libtpu must degrade to the
     always-available bitonic, not kill the conversion. Compile errors
     surface at call (jit compilation is synchronous); async launch
-    errors are forced to surface here once via a 4-byte readback. The
-    backend choice is baked into the traced jaxpr and jit._clear_cache
-    does NOT drop the trace cache (measured), so recovery rebinds fresh
-    jit wrappers around the original bodies.
+    errors are forced to surface here once via a 4-byte readback.
     """
-    global _PALLAS_BROKEN, _PALLAS_VETTED
-    global dedup_pass_light, dedup_pass, dedup_pass_resident
+    global _PALLAS_VETTED
     try:
         packed = thunk()
         if not _PALLAS_VETTED and _resolve_backend() == "pallas":
@@ -519,16 +538,7 @@ def _guarded_call(thunk):
             "pallas sort backend failed; falling back to bitonic",
             exc_info=True,
         )
-        _PALLAS_BROKEN = True
-        # fresh lambdas guarantee empty trace caches (a re-jit of the
-        # same function object could reuse the pallas-baked trace)
-        dedup_pass_light = jax.jit(
-            lambda *a, _f=_dedup_light_body: _f(*a)
-        )
-        dedup_pass = jax.jit(lambda *a, _f=dedup_pass.__wrapped__: _f(*a))
-        dedup_pass_resident = jax.jit(
-            lambda *a, _f=_dedup_resident_body: _f(*a)
-        )
+        mark_pallas_broken()
         return thunk()
 
 

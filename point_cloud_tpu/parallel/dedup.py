@@ -23,13 +23,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.dedup import dedup_pass, pad_to_bucket
+from ..ops import dedup as dedup_mod
+from ..ops.dedup import pad_to_bucket
 
 
 def _stage_a_local(positions, valid, cell_size, sub_cell_radius, next_cell_size):
-    """Per-shard body: fused dedup over the local rows + local reductions."""
+    """Per-shard body: fused dedup over the local rows + local reductions.
+
+    ``dedup_pass`` resolves through the module attribute at trace time so
+    the pallas->bitonic degrade rebinding (ops.dedup.mark_pallas_broken)
+    reaches programs compiled after a failure — a by-value import would
+    pin the broken backend (advisor r2, medium).
+    """
     (perm, winner, valid_s, cell_idx_s, sub_idx_s, dist_s, next_idx_s,
-     suspect) = dedup_pass(
+     suspect) = dedup_mod.dedup_pass(
         positions, valid, cell_size, sub_cell_radius, next_cell_size
     )
     big = jnp.float32(3.4e38)
@@ -99,16 +106,44 @@ class ShardedDedup:
         )
         valid_dev = jax.device_put(valid, sharding)
 
-        (perm, winner, valid_s, cell_idx_s, sub_idx_s, dist_s, next_idx_s,
-         suspect, bbox_min, bbox_max, count) = self._fn(
+        fn_args = (
             pos_dev,
             valid_dev,
             jnp.float32(cell_size),
             jnp.float32(sub_cell_size / np.float32(2.0)),
             jnp.float32(cell_size / np.float32(2.0)),
         )
-        # per-shard perm indexes local rows; lift to global arrival indices
-        perm = np.asarray(perm)
+        try:
+            (perm, winner, valid_s, cell_idx_s, sub_idx_s, dist_s,
+             next_idx_s, suspect, bbox_min, bbox_max, count) = (
+                self._fn(*fn_args)
+            )
+            # per-shard perm indexes local rows; lift to global arrival
+            # indices. The first np.asarray also synchronizes, so an
+            # asynchronously-surfacing pallas launch failure lands inside
+            # this try block and hits the degrade below
+            perm = np.asarray(perm)
+        except Exception:
+            # Pallas-under-shard_map failure on an unvetted mesh/libtpu:
+            # degrade the process to the bitonic backend and recompile
+            # the sharded program over the rebound bodies (same recovery
+            # as ops.dedup._guarded_call; advisor r2, medium)
+            if dedup_mod._resolve_backend() != "pallas":
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pallas sort failed under shard_map; degrading the mesh "
+                "pass to the bitonic backend",
+                exc_info=True,
+            )
+            dedup_mod.mark_pallas_broken()
+            self._fn = make_sharded_dedup(self.mesh)
+            (perm, winner, valid_s, cell_idx_s, sub_idx_s, dist_s,
+             next_idx_s, suspect, bbox_min, bbox_max, count) = (
+                self._fn(*fn_args)
+            )
+            perm = np.asarray(perm)
         winner = np.asarray(winner)
         suspect = np.asarray(suspect)
         cell_idx_np = np.asarray(cell_idx_s)

@@ -376,7 +376,9 @@ class OwnerShardedPass:
                 "to bitonic",
                 exc_info=True,
             )
-            dedup_mod._PALLAS_BROKEN = True
+            # mark_pallas_broken also rebinds ops.dedup's jit wrappers so
+            # every other consumer of the sort degrades consistently
+            dedup_mod.mark_pallas_broken()
             a_packed, b_packed = self._get_fn(n_pad, capacity)(*args)
             a_packed = np.asarray(a_packed)
         b_packed = np.asarray(b_packed)
