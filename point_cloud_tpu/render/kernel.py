@@ -165,6 +165,118 @@ def _cell_index(position, cell_size):
     return jnp.floor(position / cell_size).astype(jnp.int32)
 
 
+def _lod_walk_body(positions, point_hierarchy, cell_sizes,
+                   num_hierarchies: int, loaded_cells):
+    """LOD selection: search_smallest_hierarchy (compute.wgsl:101-125).
+
+    Walks from each point's own hierarchy toward finer ones while the
+    containing finer cell is loaded. Depends only on (positions, the
+    loaded set, the hierarchy table) — NOT the camera — which is what
+    lets the renderer cache its result across frames (``lod_select``).
+    """
+    n = positions.shape[0]
+    last = num_hierarchies - 1
+    own = jnp.minimum(point_hierarchy, last)
+    result = own
+    alive = jnp.ones(n, bool)
+    for h in range(1, num_hierarchies):
+        idx = _cell_index(positions, cell_sizes[h])
+        target = jnp.concatenate(
+            [jnp.full((n, 1), h, jnp.int32), idx], axis=1
+        )
+        found = hash_member(loaded_cells, target)
+        relevant = (h > own) & (h <= last)
+        alive = jnp.where(relevant, alive & found, alive)
+        step = relevant & alive
+        result = jnp.where(step, h, result)
+    return result
+
+
+lod_select = jax.jit(_lod_walk_body, static_argnames=("num_hierarchies",))
+
+
+def _cull_body(
+    positions, hier_base, valid, view, projection, cam_pos, spacings,
+    far_distances, size_by_distance, max_hierarchy, depth, use_occlusion,
+):
+    """Camera-dependent half of the frame kernel: projection + NDC cull,
+    distance override, occlusion. ``hier_base`` is the LOD walk's result
+    (``_lod_walk_body``), recomputed per frame by :func:`cull_lod_pass`
+    or served from the renderer's per-loaded-set cache."""
+    n = positions.shape[0]
+    ones = jnp.ones((n, 1), jnp.float32)
+    hpos = jnp.concatenate([positions, ones], axis=1)  # (N, 4)
+
+    view_pos = hpos @ view.T  # (N, 4)
+    clip = view_pos @ projection.T
+    ndc = clip[:, :3] / clip[:, 3:4]
+
+    inside = (
+        (jnp.abs(ndc[:, 0]) <= 1.0)
+        & (jnp.abs(ndc[:, 1]) <= 1.0)
+        & (jnp.abs(ndc[:, 2] - 0.5) <= 0.5)
+        & valid
+    )
+    result = hier_base
+
+    # --- distance override (compute.wgsl:85-99) ------------------------------
+    delta = positions - cam_pos[None, :]
+    dist_cam = jnp.sqrt(jnp.sum(delta * delta, axis=1))
+    hier_ids = jnp.arange(MAX_HIERARCHIES, dtype=jnp.int32)
+    cand = (
+        (hier_ids[None, :] > result[:, None])
+        & (hier_ids[None, :] <= max_hierarchy)
+        & (dist_cam[:, None] < far_distances[None, :])
+    )
+    override = jnp.max(
+        jnp.where(cand, hier_ids[None, :], jnp.int32(-1)), axis=1
+    )
+    use_override = size_by_distance & (override >= 0)
+    hierarchy = jnp.where(use_override, override, result)
+
+    keep = inside
+
+    # per-point splat radius: 24-entry table lookup as a one-hot select —
+    # the materializing 1-D gather is the slow TPU class, MAX_HIERARCHIES
+    # compares per row are not (PERF.md primitive table)
+    radius = jnp.sum(
+        jnp.where(
+            hier_ids[None, :] == hierarchy[:, None],
+            spacings[None, :],
+            jnp.float32(0.0),
+        ),
+        axis=1,
+    )
+
+    # --- occlusion (compute.wgsl:185-196) ------------------------------------
+    if use_occlusion:
+        assert depth is not None
+        from .splat import banked_gather
+
+        hgt, wid = depth.shape
+        u = (ndc[:, 0] * 0.5 + 0.5) * wid
+        v = (ndc[:, 1] * -0.5 + 0.5) * hgt
+        ui = jnp.clip(u.astype(jnp.int32), 0, wid - 1)
+        vi = jnp.clip(v.astype(jnp.int32), 0, hgt - 1)
+        # banked gather: a materializing 1-D fetch is the slow TPU
+        # gather class (~10 ns/index, PERF.md primitive table)
+        depth_at = banked_gather(depth.reshape(-1), vi * wid + ui)
+
+        moved_view = jnp.stack(
+            [view_pos[:, 0], view_pos[:, 1], view_pos[:, 2] + radius,
+             view_pos[:, 3]],
+            axis=1,
+        )
+        moved_clip = moved_view @ projection.T
+        moved_z = moved_clip[:, 2] / moved_clip[:, 3]
+        radius_z = ndc[:, 2] - moved_z
+        keep = keep & (
+            (moved_z < depth_at) | ((moved_z - depth_at) < radius_z * 3.0)
+        )
+
+    return keep, hierarchy, ndc, view_pos, radius
+
+
 @partial(
     jax.jit,
     static_argnames=("num_hierarchies", "use_occlusion"),
@@ -191,92 +303,67 @@ def cull_lod_pass(
     ``num_hierarchies`` is static: the LOD walk unrolls exactly that many
     levels (a store has one fixed count, so this costs one compile per
     store instead of a 24-level unroll for every frame).
+
+    The fused one-shot form (LOD walk + cull in one program); the
+    renderer's steady frame instead caches the camera-independent walk
+    (:func:`lod_select`) per loaded set and runs only
+    :func:`cull_classify_pass` per frame.
     """
-    n = positions.shape[0]
-    ones = jnp.ones((n, 1), jnp.float32)
-    hpos = jnp.concatenate([positions, ones], axis=1)  # (N, 4)
-
-    view_pos = hpos @ view.T  # (N, 4)
-    clip = view_pos @ projection.T
-    ndc = clip[:, :3] / clip[:, 3:4]
-
-    inside = (
-        (jnp.abs(ndc[:, 0]) <= 1.0)
-        & (jnp.abs(ndc[:, 1]) <= 1.0)
-        & (jnp.abs(ndc[:, 2] - 0.5) <= 0.5)
-        & valid
+    hier_base = _lod_walk_body(
+        positions, point_hierarchy, cell_sizes, num_hierarchies,
+        loaded_cells,
     )
-
-    # --- LOD: search_smallest_hierarchy (compute.wgsl:101-125) --------------
-    last = num_hierarchies - 1
-    own = jnp.minimum(point_hierarchy, last)
-    result = own
-    alive = jnp.ones(n, bool)
-    for h in range(1, num_hierarchies):
-        idx = _cell_index(positions, cell_sizes[h])
-        target = jnp.concatenate(
-            [jnp.full((n, 1), h, jnp.int32), idx], axis=1
-        )
-        found = hash_member(loaded_cells, target)
-        relevant = (h > own) & (h <= last)
-        alive = jnp.where(relevant, alive & found, alive)
-        step = relevant & alive
-        result = jnp.where(step, h, result)
-
-    # --- distance override (compute.wgsl:85-99) ------------------------------
-    delta = positions - cam_pos[None, :]
-    dist_cam = jnp.sqrt(jnp.sum(delta * delta, axis=1))
-    hier_ids = jnp.arange(MAX_HIERARCHIES, dtype=jnp.int32)
-    cand = (
-        (hier_ids[None, :] > result[:, None])
-        & (hier_ids[None, :] <= max_hierarchy)
-        & (dist_cam[:, None] < far_distances[None, :])
+    keep, hierarchy, ndc, _, _ = _cull_body(
+        positions, hier_base, valid, view, projection, cam_pos, spacings,
+        far_distances, size_by_distance, max_hierarchy, depth,
+        use_occlusion,
     )
-    override = jnp.max(
-        jnp.where(cand, hier_ids[None, :], jnp.int32(-1)), axis=1
-    )
-    use_override = size_by_distance & (override >= 0)
-    hierarchy = jnp.where(use_override, override, result)
-
-    keep = inside
-
-    # --- occlusion (compute.wgsl:185-196) ------------------------------------
-    if use_occlusion:
-        assert depth is not None
-        from .splat import banked_gather
-
-        hgt, wid = depth.shape
-        u = (ndc[:, 0] * 0.5 + 0.5) * wid
-        v = (ndc[:, 1] * -0.5 + 0.5) * hgt
-        ui = jnp.clip(u.astype(jnp.int32), 0, wid - 1)
-        vi = jnp.clip(v.astype(jnp.int32), 0, hgt - 1)
-        # banked gather: a materializing 1-D fetch is the slow TPU
-        # gather class (~10 ns/index, PERF.md primitive table)
-        depth_at = banked_gather(depth.reshape(-1), vi * wid + ui)
-
-        # 16-entry table lookup as a one-hot select — same slow-gather
-        # class avoided for MAX_HIERARCHIES compares per row instead
-        radius = jnp.sum(
-            jnp.where(
-                hier_ids[None, :] == hierarchy[:, None],
-                spacings[None, :],
-                jnp.float32(0.0),
-            ),
-            axis=1,
-        )
-        moved_view = jnp.stack(
-            [view_pos[:, 0], view_pos[:, 1], view_pos[:, 2] + radius,
-             view_pos[:, 3]],
-            axis=1,
-        )
-        moved_clip = moved_view @ projection.T
-        moved_z = moved_clip[:, 2] / moved_clip[:, 3]
-        radius_z = ndc[:, 2] - moved_z
-        keep = keep & (
-            (moved_z < depth_at) | ((moved_z - depth_at) < radius_z * 3.0)
-        )
-
     return keep, hierarchy, ndc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "use_occlusion"),
+)
+def cull_classify_pass(
+    positions, hier_base, valid, view, projection, cam_pos, spacings,
+    far_distances, size_by_distance, max_hierarchy,
+    fit_thresholds,  # (W,) f32 pixel half-extent ladder rungs (k/2)
+    width: int, height: int, depth=None, use_occlusion: bool = False,
+):
+    """The renderer's per-frame kernel: camera cull + distance override +
+    occlusion (``_cull_body``) fused with the footprint classification
+    the old ``classify_splats`` dispatch recomputed separately (the
+    view-space transform and the radius one-hot ran twice per bucket).
+
+    Returns (keep, hierarchy, ndc, view_pos, radius, rmax, counts_vec):
+    ``rmax`` is the per-point max projected pixel half-extent (a k x k
+    raster window is image-exact iff rmax < k/2, splat.py).
+    ``counts_vec`` is ONE (W+1,) i32 vector: [kept total, then the
+    number of kept splats with rmax < fit_thresholds[i] for each rung]
+    — the cumulative window-ladder occupancy. One vector per bucket is
+    the whole counts side-channel: it rides the packed frame transfer
+    and every per-window number (class sizing, empty-rung skips, the
+    adaptive ladder's activation, the visible-points stat) is derived
+    host-side after it lands. An earlier cut derived per-rung counts as
+    individual device scalars — ~6 tiny dispatches per bucket per frame
+    at ~0.4-0.8 ms each (measured dispatch cost, PERF.md).
+    """
+    from .splat import splat_pixel_radii
+
+    keep, hierarchy, ndc, view_pos, radius = _cull_body(
+        positions, hier_base, valid, view, projection, cam_pos, spacings,
+        far_distances, size_by_distance, max_hierarchy, depth,
+        use_occlusion,
+    )
+    rx, ry = splat_pixel_radii(view_pos, radius, projection, width, height)
+    rmax = jnp.maximum(rx, ry)
+    fits = keep[None, :] & (rmax[None, :] < fit_thresholds[:, None])
+    counts_vec = jnp.concatenate([
+        jnp.sum(keep.astype(jnp.int32))[None],
+        jnp.sum(fits.astype(jnp.int32), axis=1),
+    ])
+    return keep, hierarchy, ndc, view_pos, radius, rmax, counts_vec
 
 
 def compact_visible(mask, *arrays):

@@ -9,14 +9,15 @@ same-frame compute/render interleaving the reference gets from its GPU
 submission order. Occlusion is skipped when streaming is paused, like
 point.rs:140.
 
-Everything per bucket is two fused XLA calls (cull_lod_pass +
-rasterize_splats); the host only slices per-bucket arrays.
+Everything per bucket is two fused XLA calls (cull_classify_pass +
+rasterize_splats); the host only slices per-bucket arrays. The
+camera-independent LOD walk (kernel.lod_select) is cached per
+(bucket, loaded set), so a steady orbit never re-probes the hash table.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,48 +25,13 @@ import numpy as np
 
 from ..core.metadata import Metadata
 from .camera import Camera
-from .kernel import MAX_HIERARCHIES, cull_lod_pass
+from .kernel import MAX_HIERARCHIES, cull_classify_pass, lod_select
 from .splat import (
     make_framebuffer,
     rasterize_splats,
     resolve_framebuffer,
-    splat_pixel_radii,
 )
 from .streaming import CellStreamer
-
-
-@partial(jax.jit, static_argnames=("width", "height"))
-def classify_splats(pos, hierarchy, keep, view, spacings, proj,
-                    width: int, height: int):
-    """One fused device pass per bucket: view-space transform, per-point
-    radius (one-hot over the 24-entry spacing table — the 1-D table
-    gather is the slow TPU class, PERF.md), and projected pixel radii
-    for the footprint classification.
-
-    Returns (view_pos, radius, rmax, n_keep); ``rmax`` is the per-point
-    max pixel half-extent (a k x k raster window is exact iff
-    rmax < k/2, see splat_pixel_radii) and ``n_keep`` a device scalar
-    for async readback.
-    """
-    n = pos.shape[0]
-    hpos = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
-    view_pos = hpos @ view.T
-    hier_ids = jnp.arange(spacings.shape[0], dtype=jnp.int32)
-    radius = jnp.sum(
-        jnp.where(
-            hier_ids[None, :] == hierarchy[:, None],
-            spacings[None, :],
-            jnp.float32(0.0),
-        ),
-        axis=1,
-    )
-    rx, ry = splat_pixel_radii(view_pos, radius, proj, width, height)
-    return (
-        view_pos,
-        radius,
-        jnp.maximum(rx, ry),
-        jnp.sum(keep.astype(jnp.int32)),
-    )
 
 
 # overflow windows for splats wider than the configured footprint: the
@@ -77,6 +43,17 @@ def classify_splats(pos, hierarchy, keep, view, spacings, proj,
 # fragment counts up 4-5x in coarse-LOD scenes where most splats sit
 # in the 2.5-4.5 px band
 LARGE_WINDOWS = (9, 17, 33, 65)
+
+# sub-footprint rungs of the window ladder. Even rungs (floor-based
+# placement, splat._make_fragments — supported and image-exact,
+# tests/test_render_kernel.py test_even_windows_exact) halve the
+# fragment cost of the next odd rung for splats that fit them (4 vs 9,
+# 16 vs 25 fragments), but MEASURED SLOWER as defaults on the v5e orbit
+# bench (2.5 vs 3.8 fps warm): two more classes per bucket cost more in
+# dispatch/bookkeeping than the fragment rows they save, because the
+# raster is not fragment-bound at these scales. Revisit on PCIe hosts
+# where per-dispatch overhead is lower.
+SMALL_WINDOWS = (1, 3, 5, 7)
 
 
 def raster_bucket(n: int, minimum: int = 1 << 10) -> int:
@@ -134,6 +111,32 @@ class RenderSettings:
     # winners are not compacted (a compaction pass would itself cost a
     # full-width scatter, see PERF.md "Sorted raster")
     raster_mode: str = "auto"
+    # fuse the per-class survivor compactions into one index scatter per
+    # bucket (splat.compact_classes + rasterize_class_slice) vs the
+    # per-class compact_rows cascade. Both image-identical; A/B knob
+    fused_compaction: bool = True
+    # footprint-window ladder policy. "auto" (default): buckets whose
+    # landed overflow counts are all zero raster ONCE at the footprint
+    # (the ladder's per-rung dispatches cost more than their fragment
+    # savings on a latency-bound link — 7.5 vs 4.9 fps measured,
+    # PERF.md) and the overflow ladder (footprint + large rungs, no
+    # sub-rungs) switches on per bucket the frame after an oversized
+    # splat shows up in the cull pass's fit counts — large-splat
+    # fidelity is kept with single-raster speed. True: always run the
+    # full ladder (sub-footprint rungs included — the right choice when
+    # the raster, not the link, is the bottleneck). False: never
+    # (oversized splats render clipped).
+    classing: object = "auto"
+    # fuse each bucket's whole chain (cull + compact + footprint raster
+    # + cond-gated overflow rungs) into ONE XLA program
+    # (splat.render_bucket_pass). Through the bench link every
+    # executable switch costs ~2.4-4.5 ms (PERF.md dispatch-cost
+    # table), so the multi-dispatch frame paid >100 ms of dispatch
+    # overhead alone; the megakernel brings a frame to ~(buckets + 1)
+    # dispatches. Off: the multi-dispatch paths below (classing,
+    # fused_compaction, raster_mode knobs all apply; they are also the
+    # fallback when raster_mode="sorted")
+    megakernel: bool = True
 
 
 def hierarchy_tables(metadata: Metadata) -> tuple[np.ndarray, np.ndarray]:
@@ -234,17 +237,12 @@ class PointRenderer:
         return entry
 
     # --- raster compaction sizing (previous-frame survivor counts) ---------
-
-    def _note_survivors(self, key, count_dev) -> None:
-        """Queue a (bucket, class) survivor count (device scalar) for a
-        later frame's compaction sizing; it rides the packed frame
-        transfer (or the fallback batch readback) and lands as an int in
-        ``_survivor_counts`` at render_finish. Sizing reads only landed
-        ints, so an in-flight pipelined frame never forces a sync."""
-        pending = getattr(self, "_pending_counts", None)
-        if pending is None:
-            pending = self._pending_counts = []
-        pending.append((key, count_dev))
+    #
+    # Counts flow: the cull pass emits ONE (keep, cumulative-fits...)
+    # vector per bucket; the vectors ride the packed frame transfer and
+    # land as ints in ``_survivor_counts`` at render_finish
+    # (_land_count_vecs). Sizing reads only landed ints, so an in-flight
+    # pipelined frame never forces a sync.
 
     def _survivor_buffer_size(self, key, n: int, minimum: int = 1 << 10):
         """Sticky quarter-step compacted-raster size from the latest
@@ -270,24 +268,24 @@ class PointRenderer:
         sizes[key] = held
         return held
 
-    def _flush_survivor_counts(self, pending, extra=None):
-        """One batched device->host readback for the queued survivor
-        counts, optionally appending ``extra`` (a device scalar) to the
-        same transfer; returns int(extra) when given."""
+    def _ladder_thresholds(self):
+        """(rung list, device (W,) f32 half-extent thresholds) for the
+        full window ladder — cached (one tiny upload per settings, not
+        per bucket). The cull pass folds cumulative fit counts over
+        these rungs into its output so the adaptive "auto" classing can
+        watch overflow occupancy with zero extra dispatches."""
         import jax.numpy as jnp
 
-        counts = getattr(self, "_survivor_counts", None)
-        if counts is None:
-            counts = self._survivor_counts = {}
-        scalars = [jnp.asarray(v, jnp.int32) for _, v in pending]
-        if extra is not None:
-            scalars.append(jnp.asarray(extra, jnp.int32))
-        if not scalars:
-            return None
-        host = np.asarray(jnp.stack(scalars))
-        for (k, _), val in zip(pending, host):
-            counts[k] = int(val)
-        return int(host[-1]) if extra is not None else None
+        s = self.settings
+        ks = [k for k in SMALL_WINDOWS if k < s.footprint]
+        ks.append(s.footprint)
+        ks += [k for k in LARGE_WINDOWS if k > s.footprint]
+        cached = getattr(self, "_thresholds_cache", None)
+        if cached is not None and cached[0] == ks:
+            return cached[1], cached[2]
+        dev = jnp.asarray([k / 2.0 for k in ks], jnp.float32)
+        self._thresholds_cache = (ks, ks, dev)
+        return ks, dev
 
     def render(self, streamer: CellStreamer, camera: Camera,
                streaming_frustums=None, paused: bool = False):
@@ -344,12 +342,36 @@ class PointRenderer:
         all_colors = [np.zeros((1, 4), np.uint8)]
         id_base = 1
         total_in = 0
-        visible_counts = []
+        # one (W+1,) counts vector per bucket (kernel counts_vec): the
+        # frame's whole counts side-channel — concatenated into the
+        # packed transfer, unpacked host-side at render_finish
+        frame_vecs: list = []
+        frame_bucket_keys: list = []
+
+        # per-frame device scalars/tables, converted ONCE (a cProfile of
+        # the steady orbit found ~43 jnp conversions per frame at
+        # ~0.5 ms host time each because these sat inside the bucket
+        # loop). The metadata tables are cached across frames.
+        const_cache = getattr(self, "_const_cache", None)
+        if const_cache is None or const_cache[0] is not self.metadata:
+            const_cache = self._const_cache = (
+                self.metadata,
+                jnp.asarray(sizes),
+                jnp.asarray(spacings),
+            )
+        _, sizes_dev, spacings_dev = const_cache
+        view_dev = jnp.asarray(view, jnp.float32)
+        proj_dev = jnp.asarray(proj)
+        cam_dev = jnp.asarray(cam_pos)
+        fars_dev = jnp.asarray(far_distances)
+        sbd_dev = jnp.bool_(s.size_by_distance)
+        maxh_dev = jnp.int32(s.max_hierarchy)
+        use_occ = s.occlusion and not paused
+        ladder_ks, thresholds_dev = self._ladder_thresholds()
 
         # group consecutive same-bucket cells; near buckets raster first so
         # farther buckets' occlusion test sees their depth (point.rs:144-215)
         i = 0
-        import jax.numpy as jnp
 
         while i < len(cells):
             bucket = cells[i][0]
@@ -363,47 +385,126 @@ class PointRenderer:
             n = pos_dev.shape[0]
             total_in += n_real
 
-            use_occ = s.occlusion and not paused
             depth_now = (
                 framebuffer.depth.reshape(s.height, s.width)
                 if use_occ
                 else None
             )
+            # the LOD walk (hash probes per hierarchy level) depends only
+            # on (bucket points, loaded set) — not the camera — so its
+            # result is cached per (bucket, loaded-set) and the steady
+            # orbit frame runs only the camera half (cull_classify_pass);
+            # one fused dispatch also ends the double view-transform the
+            # separate classify_splats call paid
+            bucket_key = tuple(c[2] for c in bucket_cells)
+            lod_cache = getattr(self, "_lod_cache", None)
+            if lod_cache is None:
+                lod_cache = self._lod_cache = {}
+            lkey = (bucket_key, table_key)
+            hier_base = lod_cache.get(lkey)
+            if hier_base is None:
+                hier_base = lod_select(
+                    pos_dev,
+                    hier_dev,
+                    sizes_dev,
+                    max(int(self.metadata.hierarchies), 1),
+                    loaded_hash,
+                )
+                if len(lod_cache) > 64:
+                    lod_cache.pop(next(iter(lod_cache)))
+                lod_cache[lkey] = hier_base
 
-            spacings_dev = jnp.asarray(spacings)
-            view_dev = jnp.asarray(view, jnp.float32)
-            keep, hierarchy, ndc = cull_lod_pass(
+            # the global point-id rows are device-cached per (bucket,
+            # id_base): re-uploading them each frame cost up to
+            # 4 B x bucket rows through the ~45 MB/s link — ~60 ms per
+            # steady frame, the single largest host-side line in the
+            # orbit cProfile
+            ids_cache = getattr(self, "_ids_cache", None)
+            if ids_cache is None:
+                ids_cache = self._ids_cache = {}
+            ikey = (bucket_key, id_base)
+            ids_dev = ids_cache.get(ikey)
+            if ids_dev is None:
+                point_ids = np.zeros(n, np.int32)
+                point_ids[:n_real] = np.arange(
+                    id_base, id_base + n_real, dtype=np.int32
+                )
+                ids_dev = jnp.asarray(point_ids)
+                if len(ids_cache) > 64:
+                    ids_cache.pop(next(iter(ids_cache)))
+                ids_cache[ikey] = ids_dev
+
+            use_mega = (
+                s.megakernel
+                and s.compact_raster
+                and s.footprint > 1
+                and s.raster_mode != "sorted"
+            )
+            if use_mega:
+                from .splat import render_bucket_pass
+
+                held = self._survivor_buffer_size((bucket, "a"), n)
+                mega_rungs = tuple(
+                    k for k in LARGE_WINDOWS if k > s.footprint
+                )
+
+                def rung_budget(k):
+                    # per-rung sticky budget snapped to a COARSE ladder:
+                    # fine steps would re-key the megakernel compile on
+                    # a drifting tuple (PERF.md trap #1 of the
+                    # compaction rework)
+                    held_k = self._survivor_buffer_size(
+                        (bucket, k), n, minimum=64
+                    )
+                    v = min(held_k or 64, n)
+                    for c in (64, 1024, 16384):
+                        if v <= c:
+                            return min(c, n)
+                    return n
+
+                framebuffer, counts_vec = render_bucket_pass(
+                    framebuffer, pos_dev, hier_base, valid_dev, ids_dev,
+                    view_dev, proj_dev, cam_dev, spacings_dev, fars_dev,
+                    sbd_dev, maxh_dev, depth=depth_now,
+                    height=s.height, width=s.width,
+                    footprint=s.footprint, voronoi=s.voronoi,
+                    use_occlusion=use_occ,
+                    out_size=min(held, n) if held else n,
+                    overflow_rows=tuple(
+                        rung_budget(k) for k in mega_rungs
+                    ),
+                    overflow_ks=mega_rungs,
+                )
+                frame_vecs.append(
+                    (bucket, (s.footprint,) + mega_rungs, counts_vec,
+                     "excl")
+                )
+                all_colors.append(colors)
+                frame_bucket_keys.append(bucket_key)
+                id_base += n_real
+                continue
+
+            (keep, hierarchy, ndc, view_pos, radius, rmax,
+             counts_vec) = cull_classify_pass(
                 pos_dev,
-                hier_dev,
+                hier_base,
                 valid_dev,
                 view_dev,
-                jnp.asarray(proj),
-                jnp.asarray(cam_pos),
-                jnp.asarray(sizes),
+                proj_dev,
+                cam_dev,
                 spacings_dev,
-                max(int(self.metadata.hierarchies), 1),
-                loaded_hash,
-                jnp.asarray(far_distances),
-                jnp.bool_(s.size_by_distance),
-                jnp.int32(s.max_hierarchy),
+                fars_dev,
+                sbd_dev,
+                maxh_dev,
+                thresholds_dev,
+                s.width,
+                s.height,
                 depth=depth_now,
                 use_occlusion=use_occ,
             )
-
-            # view-space positions, per-point radius and the footprint
-            # classification all on device: pulling `hierarchy` to the
-            # host here would serialize the bucket loop on a device sync
-            # (VERDICT round 1, weak #5)
-            proj_dev = jnp.asarray(proj)
-            view_pos, radius, rmax, count_dev = classify_splats(
-                pos_dev, hierarchy, keep, view_dev, spacings_dev,
-                proj_dev, s.width, s.height,
+            frame_vecs.append(
+                (bucket, tuple(ladder_ks), counts_vec, "cum")
             )
-            point_ids = np.zeros(n, np.int32)
-            point_ids[:n_real] = np.arange(
-                id_base, id_base + n_real, dtype=np.int32
-            )
-            ids_dev = jnp.asarray(point_ids)
 
             def raster_subset(fb, mask, out_size, footprint):
                 row_args = (view_pos, ndc, radius, ids_dev)
@@ -429,10 +530,36 @@ class PointRenderer:
             # footprint^2. First sight of a bucket has no survivor
             # history: raster everything through the full-footprint path
             # (also identical) and start the counters.
-            use_classes = s.compact_raster and s.footprint > 1
+            #
+            # classing="auto" (default): the ladder is per-dispatch
+            # overhead the tunnel-bound frame cannot afford when nothing
+            # needs it (measured 7.5 vs 4.9 fps, PERF.md) — buckets
+            # whose landed overflow counts are all zero raster once at
+            # the footprint, and the ladder (footprint + overflow rungs
+            # only) switches on per bucket the frame after an oversized
+            # splat appears in the cull pass's fit counts.
+            landed = getattr(self, "_survivor_counts", None) or {}
+            overflow_ks = [k for k in LARGE_WINDOWS if k > s.footprint]
+            auto_mode = s.classing == "auto"
+            if auto_mode:
+                ladder_on = any(
+                    (landed.get((bucket, k)) or 0) > 0 for k in overflow_ks
+                )
+                use_classes = (
+                    s.compact_raster and s.footprint > 1 and ladder_on
+                )
+            else:
+                use_classes = (
+                    s.compact_raster and s.footprint > 1 and bool(s.classing)
+                )
             if use_classes:
-                windows = [k for k in (1, 3, 5, 7) if k < s.footprint]
-                windows.append(s.footprint)
+                if auto_mode:
+                    windows = [s.footprint]
+                else:
+                    windows = [
+                        k for k in SMALL_WINDOWS if k < s.footprint
+                    ]
+                    windows.append(s.footprint)
                 # large-splat overflow ladder: near-camera splats whose
                 # half-extent exceeds footprint/2 route to wider windows
                 # instead of rendering as clipped squares (the round-2
@@ -456,9 +583,18 @@ class PointRenderer:
                             covered | fits
                         )
                     masks.append((k, m))
+                def class_key(k):
+                    # the auto ladder's footprint rung carries ALL
+                    # small splats (cumulative fits mask), so it sizes
+                    # and skips from the bucket's total-survivor count;
+                    # every other rung uses its exclusive landed count
+                    if auto_mode and k == s.footprint:
+                        return (bucket, "a")
+                    return (bucket, k)
+
                 outs = [
                     self._survivor_buffer_size(
-                        (bucket, k), n,
+                        class_key(k), n,
                         # wide windows are rare (a handful of splats fill
                         # the screen): tiny buffers keep their fragment
                         # cost bounded at 4 * k^2
@@ -466,17 +602,16 @@ class PointRenderer:
                     )
                     for k, _ in masks
                 ]
-                # a large window whose landed survivor count is 0 skips
-                # its raster entirely (the common case: nothing is that
-                # close); counts are still noted below so the class
-                # re-enables the frame after a splat grows into it
-                landed = getattr(self, "_survivor_counts", None) or {}
-
+                # a window whose landed survivor count is 0 skips its
+                # raster dispatch entirely (large windows: nothing is
+                # that close, the common case; small rungs: far buckets
+                # whose splats all land in one class). Counts land every
+                # frame from the cull pass's counts_vec, so a class
+                # re-enables the frame after a splat grows into it —
+                # same one-frame self-correction contract as the
+                # buffer-size headroom
                 def class_skipped(k):
-                    return (
-                        k in LARGE_WINDOWS
-                        and landed.get((bucket, k)) == 0
-                    )
+                    return landed.get(class_key(k)) == 0
 
                 if all(o is not None for o in outs):
                     if s.raster_mode == "sorted":
@@ -520,20 +655,59 @@ class PointRenderer:
                         framebuffer = sorted_raster_merge(
                             framebuffer, pix, dep, fid
                         )
-                    else:
+                    elif not s.fused_compaction:
+                        # per-class compact+raster cascade (the A/B
+                        # reference for the fused path below)
                         for (k, m), out_k in zip(masks, outs):
                             if class_skipped(k):
                                 continue
                             framebuffer = raster_subset(
                                 framebuffer, m, out_k, k
                             )
+                    else:
+                        # one fused compaction for ALL classes: the index
+                        # scatter (the expensive primitive, ~7.5 ns/row)
+                        # runs once over the bucket instead of once per
+                        # class. Class regions live at DEVICE-side
+                        # offsets (compact_classes docstring: static
+                        # per-class region sizes keyed a compile on the
+                        # whole size tuple and any one class resizing
+                        # re-minted it — measured 0.37 fps); each class
+                        # rasters a dynamic_slice of the staging buffers.
+                        # Survivor counts fall out of the same pass.
+                        from .splat import (
+                            compact_classes,
+                            rasterize_class_slice,
+                        )
+
+                        m_stack = jnp.stack([m for _, m in masks])
+                        perm_c, counts_c, offs_c = compact_classes(m_stack)
+                        for ci, ((k, m), out_k) in enumerate(
+                            zip(masks, outs)
+                        ):
+                            if class_skipped(k):
+                                continue
+                            if out_k >= n:
+                                # budget >= the bucket: compaction buys
+                                # nothing, raster the uncompacted rows
+                                # (image-identical; old-path contract)
+                                framebuffer = rasterize_splats(
+                                    framebuffer, view_pos, ndc, radius,
+                                    ids_dev, m, proj_dev,
+                                    height=s.height, width=s.width,
+                                    footprint=k, voronoi=s.voronoi,
+                                )
+                                continue
+                            framebuffer = rasterize_class_slice(
+                                framebuffer, view_pos, ndc, radius,
+                                ids_dev, perm_c, offs_c[ci], counts_c[ci],
+                                proj_dev, height=s.height, width=s.width,
+                                footprint=k, voronoi=s.voronoi,
+                                out_size=out_k,
+                            )
                 else:
                     framebuffer = raster_subset(
                         framebuffer, keep, None, s.footprint
-                    )
-                for k, m in masks:
-                    self._note_survivors(
-                        (bucket, k), jnp.sum(m.astype(jnp.int32))
                     )
             else:
                 out_all = (
@@ -543,40 +717,51 @@ class PointRenderer:
                 framebuffer = raster_subset(
                     framebuffer, keep, out_all, s.footprint
                 )
-                self._note_survivors((bucket, "a"), count_dev)
-            visible_counts.append(count_dev)
             all_colors.append(colors)
+            frame_bucket_keys.append(bucket_key)
             id_base += n_real
 
-        color_table = np.concatenate(all_colors)
         # pad to pow2: the table length is total-points+1, different every
         # frame — unpadded it recompiles resolve_framebuffer per frame
-        # (VERDICT round 1, weak #5); ids only index the real prefix
+        # (VERDICT round 1, weak #5); ids only index the real prefix.
+        # The padded table is device-cached per frame cell composition:
+        # rebuilding + re-uploading ~4 B x points each frame cost a
+        # second multi-MB transfer per steady frame (orbit cProfile)
         from ..ops.dedup import pad_to_bucket
 
-        padded = pad_to_bucket(len(color_table), minimum=1 << 10)
-        if padded != len(color_table):
-            color_table = np.concatenate(
-                [color_table,
-                 np.zeros((padded - len(color_table), 4), np.uint8)]
-            )
-        # one packed device->host transfer for the image + the survivor
-        # counts (+ depth when requested): each separate np.asarray costs
-        # a link round trip (PERF.md)
+        ckey = tuple(frame_bucket_keys)
+        color_cache = getattr(self, "_color_cache", None)
+        if color_cache is None:
+            color_cache = self._color_cache = {}
+        color_dev = color_cache.get(ckey)
+        if color_dev is None:
+            color_table = np.concatenate(all_colors)
+            padded = pad_to_bucket(len(color_table), minimum=1 << 10)
+            if padded != len(color_table):
+                color_table = np.concatenate(
+                    [color_table,
+                     np.zeros((padded - len(color_table), 4), np.uint8)]
+                )
+            color_dev = jnp.asarray(color_table)
+            if len(color_cache) > 16:
+                color_cache.pop(next(iter(color_cache)))
+            color_cache[ckey] = color_dev
+        # one packed device->host transfer for the image + the per-bucket
+        # counts vectors (+ depth when requested): each separate
+        # np.asarray costs a link round trip (PERF.md)
         from .splat import PACK_COUNTS, pack_frame
 
-        pending = getattr(self, "_pending_counts", None) or []
-        self._pending_counts = []
-        scalars = [v for _, v in pending]
-        if visible_counts:
-            scalars.append(sum(visible_counts))
+        vec_meta = [
+            (b, ks, len(ks) + 1, kind) for b, ks, _, kind in frame_vecs
+        ]
+        total_counts = sum(m[2] for m in vec_meta)
         stats = {"cells": len(cells), "points_in": total_in}
-        if len(scalars) <= PACK_COUNTS:
+        if total_counts <= PACK_COUNTS:
             packed = pack_frame(
                 framebuffer,
-                jnp.asarray(color_table),
-                (jnp.stack(scalars) if scalars
-                 else jnp.zeros(1, jnp.int32)),
+                color_dev,
+                (jnp.concatenate([v for _, _, v, _ in frame_vecs])
+                 if frame_vecs else jnp.zeros(1, jnp.int32)),
                 s.height,
                 s.width,
                 with_depth=s.transfer_depth,
@@ -587,27 +772,68 @@ class PointRenderer:
                 pass
             return {
                 "packed": packed,
-                "pending": pending,
-                "has_visible": bool(visible_counts),
+                "vec_meta": vec_meta,
                 "stats": stats,
                 "height": s.height,
                 "width": s.width,
                 "with_depth": s.transfer_depth,
             }
-        # fallback (more pending count keys than pack slots): resolve and
-        # read back synchronously
+        # fallback (more buckets than pack count slots): resolve and read
+        # back synchronously
         rgb, depth = resolve_framebuffer(
-            framebuffer, jnp.asarray(color_table), s.height, s.width
+            framebuffer, color_dev, s.height, s.width
         )
-        visible_total = self._flush_survivor_counts(
-            pending, extra=sum(visible_counts) if visible_counts else None
-        )
-        stats["points_visible"] = visible_total or 0
+        if frame_vecs:
+            flat = np.asarray(
+                jnp.concatenate([v for _, _, v, _ in frame_vecs])
+            )
+            stats["points_visible"] = self._land_count_vecs(vec_meta, flat)
+        else:
+            stats["points_visible"] = 0
         return {
             "rgb": np.asarray(rgb),
             "depth": np.asarray(depth) if s.transfer_depth else None,
             "stats": stats,
         }
+
+    def _land_count_vecs(self, vec_meta, flat) -> int:
+        """Land a frame's concatenated counts vectors into the
+        ``_survivor_counts`` table; returns the frame's visible total.
+
+        Every per-window number is derived HOST-side here, from one
+        counts vector per bucket — deriving them as individual device
+        scalars cost ~6 extra ~0.5 ms dispatches per bucket per frame
+        (PERF.md dispatch-cost table). Vector kinds: "cum" =
+        (keep, cumulative fits per rung) from cull_classify_pass;
+        "excl" = (keep, exclusive rung counts) from render_bucket_pass.
+        Stored entries: (bucket, "a") = kept total; (bucket, k) = the
+        k-rung's exclusive count, with the ladder's last window as the
+        catch-all remainder.
+        """
+        counts = getattr(self, "_survivor_counts", None)
+        if counts is None:
+            counts = self._survivor_counts = {}
+        visible = 0
+        pos = 0
+        for bucket, ks, length, kind in vec_meta:
+            vals = flat[pos : pos + length]
+            pos += length
+            keep_total = int(vals[0])
+            visible += keep_total
+            counts[(bucket, "a")] = keep_total
+            if kind == "excl":
+                for i, k in enumerate(ks):
+                    counts[(bucket, k)] = int(vals[1 + i])
+                continue
+            prev = 0
+            for i, k in enumerate(ks):
+                cum = int(vals[1 + i])
+                if k == ks[-1]:
+                    counts[(bucket, k)] = keep_total - prev
+                else:
+                    counts[(bucket, k)] = cum - prev
+                prev = cum
+        return visible
 
     def render_finish(self, handle: dict):
         """Block on a frame started by :meth:`render_start`; returns
@@ -618,20 +844,14 @@ class PointRenderer:
 
         height, width = handle["height"], handle["width"]
         stats = handle["stats"]
-        pending = handle["pending"]
         buf = np.asarray(handle["packed"])
         hw3 = height * width * 3
         rgb = buf[:hw3].reshape(height, width, 3)
         cvals = np.frombuffer(
             bytes(buf[hw3 : hw3 + 4 * PACK_COUNTS]), np.int32
         )
-        counts = getattr(self, "_survivor_counts", None)
-        if counts is None:
-            counts = self._survivor_counts = {}
-        for (k, _), val in zip(pending, cvals):
-            counts[k] = int(val)
-        stats["points_visible"] = (
-            int(cvals[len(pending)]) if handle["has_visible"] else 0
+        stats["points_visible"] = self._land_count_vecs(
+            handle["vec_meta"], cvals
         )
         depth = None
         if handle["with_depth"]:

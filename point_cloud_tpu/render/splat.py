@@ -93,6 +93,52 @@ def compact_rows(keep, view_pos, ndc, radius, point_id, out_size: int):
     )
 
 
+@jax.jit
+def compact_classes(masks):
+    """Rank C exclusive footprint classes with ONE index scatter.
+
+    ``masks`` is (C, N) bool, one row per class, rows disjoint. Returns
+    a (2N,) permutation buffer ``perm`` where class i's survivor row
+    indices sit densely at [offsets[i], offsets[i] + counts[i]), plus
+    the (C,) ``counts`` and ``offsets`` — both DEVICE values, so this
+    program's compile key is only the bucket shape (C, N).
+
+    Two measured traps shaped this formulation (bench orbit, v5e):
+
+    - A first cut keyed the program on the static tuple of per-class
+      buffer sizes; any single class resizing under the sticky ladder
+      minted a whole new executable (5-17 s compile + ~1 s first-run
+      cost through the tunnel) — 0.37 fps vs 5. Offsets must be
+      device values, never shape.
+    - A second cut gathered the row payloads (view_pos/ndc/radius/ids)
+      into 2N-row staging buffers here; four materializing gathers
+      over bucket rows cost ~25 ms per bucket (~10 ns/row each,
+      PERF.md). Only the 4-byte perm index is worth materializing —
+      payload gathers belong in :func:`rasterize_class_slice`, sized
+      by the class's out_size slice and fused into the raster program
+      (the same economics as :func:`compact_rows`).
+
+    The buffer is padded to 2N rows (pad = N, an always-invalid row
+    index masked by the raster's `arange < count`) so a class slice
+    (start <= N, length <= N) never clamps — a clamped start would
+    misalign that valid mask.
+    """
+    c, n = masks.shape
+    masks_i = masks.astype(jnp.int32)
+    counts = jnp.sum(masks_i, axis=1)  # (C,)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    ranks = jnp.cumsum(masks_i, axis=1) - 1  # (C, N) rank within class
+    dest = jnp.full(n, 2 * n, jnp.int32)  # untouched rows -> OOB ("drop")
+    for i in range(c):
+        dest = jnp.where(masks[i], offsets[i] + ranks[i], dest)
+    perm = jnp.zeros(2 * n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )  # unfilled slots gather row 0; the raster's valid mask drops them
+    return perm, counts, offsets
+
+
 def splat_pixel_radii(view_pos, radius, projection, width: int, height: int):
     """Projected splat half-extents in pixels (exact raster arithmetic).
 
@@ -155,13 +201,25 @@ def _make_fragments(view_pos, ndc, radius, point_id, valid, projection,
     # splat radius in pixels: r_ndc = radius * P[0,0] / w  (w = clip w)
     rx, ry = splat_pixel_radii(view_pos, radius, projection, width, height)
 
-    half = (k - 1) // 2
+    # window placement: odd k centers on round(center) and covers
+    # [-(k-1)/2, (k-1)/2]; even k bases on floor(center) and covers
+    # [-(k/2-1), k/2]. Both are image-exact for half-extents < k/2
+    # (every pixel within r of the true center falls in the window:
+    # ceil(c-r) >= floor(c)-k/2+1 and floor(c+r) <= floor(c)+k/2 when
+    # r < k/2) — even windows halve the fragment count of the next odd
+    # rung for the splats that fit them (4 vs 9, 16 vs 25).
+    if k % 2:
+        half = (k - 1) // 2
+        base_x, base_y = jnp.round(px), jnp.round(py)
+    else:
+        half = k // 2 - 1
+        base_x, base_y = jnp.floor(px), jnp.floor(py)
     offs = jnp.arange(-half, k - half, dtype=jnp.float32)
     dx = jnp.tile(offs, k)  # (k*k,)
     dy = jnp.repeat(offs, k)
 
-    frag_x = jnp.round(px)[:, None] + dx[None, :]  # (N, k*k)
-    frag_y = jnp.round(py)[:, None] + dy[None, :]
+    frag_x = base_x[:, None] + dx[None, :]  # (N, k*k)
+    frag_y = base_y[:, None] + dy[None, :]
 
     # normalized offset from the true (unrounded) center, in radius units
     nx = (frag_x - px[:, None]) / rx[:, None]
@@ -201,8 +259,7 @@ def _make_fragments(view_pos, ndc, radius, point_id, valid, projection,
     return flat_idx, frag_depth_flat, frag_ids
 
 
-@partial(jax.jit, static_argnames=("height", "width", "footprint", "voronoi"))
-def rasterize_splats(
+def _rasterize_body(
     framebuffer: Framebuffer,
     view_pos,  # (N, 4) f32 view-space positions
     ndc,  # (N, 3) f32
@@ -210,10 +267,10 @@ def rasterize_splats(
     point_id,  # (N,) i32 global point ids (index into the color table)
     valid,  # (N,) bool
     projection,  # (4, 4) f32
-    height: int = 720,
-    width: int = 1280,
-    footprint: int = DEFAULT_FOOTPRINT,
-    voronoi: bool = True,
+    height: int,
+    width: int,
+    footprint: int,
+    voronoi: bool,
 ) -> Framebuffer:
     """Depth-test ``N`` splats into ``framebuffer``; returns the new buffer."""
     # invalid fragments get an index one past the buffer: mode="drop"
@@ -239,6 +296,73 @@ def rasterize_splats(
         frag_ids, mode="drop"
     )
     return Framebuffer(depth=new_depth, point_id=ids)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "footprint", "voronoi"))
+def rasterize_splats(
+    framebuffer: Framebuffer,
+    view_pos,
+    ndc,
+    radius,
+    point_id,
+    valid,
+    projection,
+    height: int = 720,
+    width: int = 1280,
+    footprint: int = DEFAULT_FOOTPRINT,
+    voronoi: bool = True,
+) -> Framebuffer:
+    """Jitted :func:`_rasterize_body` (see there for semantics)."""
+    return _rasterize_body(
+        framebuffer, view_pos, ndc, radius, point_id, valid, projection,
+        height, width, footprint, voronoi,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "footprint", "voronoi", "out_size"),
+)
+def rasterize_class_slice(
+    framebuffer: Framebuffer,
+    view_pos,  # (N, ...) ORIGINAL bucket payloads (not staged copies)
+    ndc,
+    radius,
+    point_id,
+    perm,  # (2N,) i32 class-ranked row indices from compact_classes
+    start,  # i32 device scalar: the class's offset into perm
+    count,  # i32 device scalar: the class's survivor count
+    projection,
+    height: int,
+    width: int,
+    footprint: int,
+    voronoi: bool,
+    out_size: int,
+) -> Framebuffer:
+    """Raster one footprint class through its slice of the class perm.
+
+    Slices ``out_size`` perm entries at the class's device-side
+    ``start`` (static length, dynamic offset — shape-stable), gathers
+    the row payloads for just those rows (fused into this program;
+    see compact_classes' docstring for why payloads must not be staged
+    eagerly), and masks rows beyond ``count``. ``out_size`` comes from
+    the renderer's sticky pow2 ladder, so the compile key matches the
+    per-class vocabulary the old per-class compaction had; survivors
+    beyond ``out_size`` are dropped (the ladder's self-correcting clip
+    contract).
+    """
+    p = jax.lax.dynamic_slice_in_dim(perm, start, out_size)
+    valid = jnp.arange(out_size, dtype=jnp.int32) < count
+    # materialize the gathered rows ONCE: without the barrier XLA fuses
+    # each gather into its (out_size, k*k)-broadcast consumers in the
+    # fragment expansion, re-executing it per fragment instead of per row
+    vp, nd, rd, pid = jax.lax.optimization_barrier(
+        (view_pos[p], ndc[p], radius[p], point_id[p])
+    )
+    return _rasterize_body(
+        framebuffer, vp, nd, rd, pid, valid,
+        projection, height, width, footprint, voronoi,
+    )
 
 
 @partial(
@@ -326,6 +450,124 @@ def _sort4_frags(pix, depth_bits, ids):
     return bitonic_sort4(pix, depth_bits, ids, arrival)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "footprint", "voronoi", "use_occlusion",
+        "out_size", "overflow_rows", "overflow_ks",
+    ),
+)
+def render_bucket_pass(
+    framebuffer: Framebuffer,
+    positions,  # (N, 3) f32
+    hier_base,  # (N,) i32 cached LOD-walk result (kernel.lod_select)
+    valid,  # (N,) bool
+    point_id,  # (N,) i32
+    view, projection, cam_pos, spacings, far_distances,
+    size_by_distance, max_hierarchy,
+    depth=None,
+    height: int = 720,
+    width: int = 1280,
+    footprint: int = DEFAULT_FOOTPRINT,
+    voronoi: bool = True,
+    use_occlusion: bool = False,
+    out_size: int = 1 << 10,
+    overflow_rows: tuple = (),
+    overflow_ks: tuple = (),
+):
+    """One bucket's ENTIRE frame chain in a single XLA program.
+
+    Fuses the camera cull (+ occlusion), survivor compaction, the
+    footprint raster, and one lax.cond-gated raster per overflow rung
+    (renderer.LARGE_WINDOWS semantics: nested fit bands, last rung is
+    the catch-all remainder). An empty rung's cond branch never
+    executes, so large-splat fidelity is always on at ~zero cost when
+    nothing is oversized.
+
+    Why a megakernel: through the bench tunnel each dispatch costs
+    ~2.4 ms when executables alternate (~4.5 ms with fresh host
+    uploads, PERF.md dispatch-cost table) — the multi-dispatch frame
+    (~30 calls) paid >100 ms of pure dispatch overhead, more than its
+    device compute. This pass brings a frame to ~(buckets + 1) calls.
+
+    ``overflow_rows`` is a tuple of per-rung row budgets, snapped to a
+    COARSE ladder (64/1024/16384/N — fine steps re-keyed the compile on
+    a drifting tuple, the trap PERF.md documents; a shared budget
+    instead priced every rung at the largest rung's occupancy, e.g. 70
+    splats rastering an 8192-row window). A rung's rows beyond its
+    budget SPILL into the footprint raster — rendered clipped for a
+    frame instead of dropped (a fixed budget silently erased most
+    splats in small-viewport scenes where nearly everything is
+    oversized).
+
+    Returns (framebuffer, counts_vec) where counts_vec is
+    [kept total, then each rung's EXCLUSIVE survivor count] — landed
+    host-side for buffer sizing and stats (renderer._land_count_vecs,
+    kind="excl").
+    """
+    from .kernel import _cull_body
+
+    keep, hierarchy, ndc, view_pos, radius = _cull_body(
+        positions, hier_base, valid, view, projection, cam_pos, spacings,
+        far_distances, size_by_distance, max_hierarchy, depth,
+        use_occlusion,
+    )
+    rx, ry = splat_pixel_radii(view_pos, radius, projection, width, height)
+    rmax = jnp.maximum(rx, ry)
+
+    rungs = (footprint,) + tuple(overflow_ks)
+    fits = [
+        keep & (rmax < jnp.float32(k / 2.0)) for k in rungs[:-1]
+    ]
+    if len(rungs) == 1:
+        masks = [keep]
+    else:
+        masks = [fits[0]]
+        for j in range(1, len(rungs) - 1):
+            masks.append(fits[j] & jnp.logical_not(fits[j - 1]))
+        masks.append(keep & jnp.logical_not(fits[-1]))
+    counts = [jnp.sum(m.astype(jnp.int32)) for m in masks]
+
+    assert len(overflow_rows) == len(overflow_ks)
+    # overflow rows beyond their rung's budget spill into the footprint
+    # raster (clipped for this frame; the budget grows next frame)
+    fp_mask = masks[0]
+    for m, budget in zip(masks[1:], overflow_rows):
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        fp_mask = fp_mask | (m & (rank >= budget))
+
+    # main footprint raster over the sticky compacted buffer
+    vp, nd, rd, pid, ok = compact_rows(
+        fp_mask, view_pos, ndc, radius, point_id, out_size
+    )
+    fb = _rasterize_body(
+        framebuffer, vp, nd, rd, pid, ok, projection,
+        height, width, footprint, voronoi,
+    )
+
+    for j in range(1, len(rungs)):
+        k = rungs[j]
+        m = masks[j]
+        budget = overflow_rows[j - 1]
+
+        def _raster_rung(fb, m=m, k=k, budget=budget):
+            r = compact_rows(
+                m, view_pos, ndc, radius, point_id, budget
+            )
+            return _rasterize_body(
+                fb, r[0], r[1], r[2], r[3], r[4], projection,
+                height, width, k, voronoi,
+            )
+
+        fb = jax.lax.cond(counts[j] > 0, _raster_rung, lambda f: f, fb)
+
+    counts_vec = jnp.concatenate(
+        [jnp.sum(keep.astype(jnp.int32))[None]]
+        + [c[None] for c in counts]
+    )
+    return fb, counts_vec
+
+
 @partial(jax.jit, static_argnames=("height", "width"))
 def resolve_framebuffer(framebuffer: Framebuffer, colors, height: int, width: int):
     """Framebuffer -> (rgb image (H, W, 3) u8, depth (H, W) f32).
@@ -347,7 +589,12 @@ def resolve_framebuffer(framebuffer: Framebuffer, colors, height: int, width: in
     )
 
 
-PACK_COUNTS = 32  # fixed count-slot tail; static packed-frame shape
+# fixed count-slot tail; static packed-frame shape. Sized for the
+# deepest realistic frame: ~6 distance buckets x the 10-rung window
+# ladder — overflowing it silently downgrades every frame to the
+# synchronous fallback readback (renderer.render_start), so keep
+# headroom; the tail costs 4 bytes/slot against a ~1 MB image
+PACK_COUNTS = 96
 
 
 @partial(jax.jit, static_argnames=("height", "width", "with_depth"))

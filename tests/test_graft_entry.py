@@ -41,8 +41,17 @@ def test_dryrun_multichip_fresh_process():
 
 def test_dryrun_multichip_after_jax_initialized():
     # the driver (or a plugin's sitecustomize) may initialize a 1-device
-    # backend before calling; the bootstrap must rebuild the client
-    proc = _run_dryrun("import jax; assert len(jax.devices()) == 1\n")
+    # backend before calling; the bootstrap must rebuild the client.
+    # Pin the CPU platform before probing: the axon register() overrides
+    # JAX_PLATFORMS in-process with "axon,cpu", so a bare jax.devices()
+    # here would initialize the TPU tunnel client — an unbounded hang
+    # whenever the tunnel is unhealthy, and irrelevant to what this
+    # test exercises (the clear_backends + 8-device rebuild)
+    proc = _run_dryrun(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1\n"
+    )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "DRYRUN_OK" in proc.stdout
 

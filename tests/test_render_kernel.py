@@ -445,10 +445,15 @@ class TestFullFrame:
         def run(mode):
             streamer = CellStreamer(metadata, loader=loader)
             # small viewport: keeps fragment lists cheap for the CPU
-            # bitonic sort while still covering thousands of pixels
+            # bitonic sort while still covering thousands of pixels.
+            # megakernel off: this test compares the two raster
+            # FORMULATIONS under the same classing machinery (the
+            # megakernel's transient budget behavior differs; its parity
+            # is asserted in test_megakernel_matches_multi_dispatch)
             renderer = PointRenderer(
                 metadata,
-                RenderSettings(width=96, height=72, raster_mode=mode),
+                RenderSettings(width=96, height=72, raster_mode=mode,
+                               megakernel=False),
             )
             frames = []
             for dy in (0.0, 5.0, 10.0, 15.0):
@@ -481,6 +486,58 @@ class TestFullFrame:
         # later frames must have taken it (guard against silently testing
         # scatter-vs-scatter)
         assert len(scatter) == len(sorted_) == 4
+
+    def test_megakernel_matches_multi_dispatch(self, tmp_path):
+        """Steady-state frames from the fused bucket megakernel must be
+        byte-identical to the multi-dispatch path: once survivor counts
+        have landed and budgets converged, both render the same
+        footprint + overflow-rung fragment sets. (First-sight frames
+        may differ transiently: the megakernel spills over-budget
+        overflow rows into a clipped footprint render while the ladder
+        falls back to a clipped full-footprint raster.)"""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(17)
+        pos = rng.uniform(-50, 50, (20_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (20_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        def run(mega):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata,
+                RenderSettings(width=96, height=72, megakernel=mega),
+            )
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            cam.look_at_aabb(metadata.bounding_box)
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(200):
+                if not streamer.fill_load_slots():
+                    break
+            out = None
+            for _ in range(4):  # budgets converge after counts land
+                out = renderer.render(streamer, cam, frustums)
+            return out
+
+        rgb_m, d_m, stats_m = run(True)
+        rgb_s, d_s, stats_s = run(False)
+        np.testing.assert_array_equal(rgb_m, rgb_s)
+        np.testing.assert_array_equal(d_m, d_s)
+        assert stats_m["points_visible"] == stats_s["points_visible"] > 0
 
     def test_pipelined_frames_match_sync(self, tmp_path):
         """render_pipelined returns each frame one call late but the
@@ -604,11 +661,11 @@ class TestStickyBufferSize:
         key = (3, 5)
 
         def land(count):
-            # counts queue via _note_survivors and land as ints at
-            # render_finish; emulate the landing directly
-            r._note_survivors(key, count)
-            r._flush_survivor_counts(r._pending_counts)
-            r._pending_counts = []
+            # counts land as ints at render_finish (_land_count_vecs);
+            # emulate the landed table directly
+            if getattr(r, "_survivor_counts", None) is None:
+                r._survivor_counts = {}
+            r._survivor_counts[key] = count
 
         land(10_000)
         first = r._survivor_buffer_size(key, 1 << 18)
@@ -627,10 +684,50 @@ class TestStickyBufferSize:
         assert shrunk < grown
         # unknown key has no history
         assert r._survivor_buffer_size((9, 9), 1 << 18) is None
-        # a queued-but-not-landed count must not affect sizing (a
-        # pipelined in-flight frame would otherwise force a device sync)
-        r._note_survivors(key, 50_000)
-        assert r._survivor_buffer_size(key, 1 << 18) == shrunk
+
+
+class TestLandCountVecs:
+    def test_exclusive_counts_and_visible_total(self):
+        """_land_count_vecs derives every per-window count host-side
+        from the cull pass's (keep, cumulative fits...) vector: rung
+        entries are exclusive band counts, the ladder's last window is
+        the catch-all remainder, and (bucket, "a") is the kept total."""
+        from point_cloud_tpu.core.metadata import Metadata
+        from point_cloud_tpu.render.renderer import PointRenderer
+
+        r = PointRenderer(Metadata())
+        ks = (1, 3, 5, 9, 17, 33, 65)
+        # keep=100; cumulative fits: 10 (<0.5px), 40, 70, 90, 95, 97
+        # for the first six rungs; last rung is the catch-all
+        flat = np.array([100, 10, 40, 70, 90, 95, 97, 97], np.int32)
+        visible = r._land_count_vecs([(2, ks, len(ks) + 1, "cum")], flat)
+        assert visible == 100
+        c = r._survivor_counts
+        assert c[(2, "a")] == 100
+        assert c[(2, 1)] == 10
+        assert c[(2, 3)] == 30
+        assert c[(2, 5)] == 30
+        assert c[(2, 9)] == 20
+        assert c[(2, 17)] == 5
+        assert c[(2, 33)] == 2
+        assert c[(2, 65)] == 100 - 97  # catch-all takes the remainder
+
+    def test_multi_bucket_layout(self):
+        from point_cloud_tpu.core.metadata import Metadata
+        from point_cloud_tpu.render.renderer import PointRenderer
+
+        r = PointRenderer(Metadata())
+        ks = (5, 9)
+        flat = np.array([7, 4, 6, 50, 30, 45], np.int32)
+        visible = r._land_count_vecs(
+            [(0, ks, 3, "cum"), (4, ks, 3, "cum")], flat
+        )
+        assert visible == 57
+        assert r._survivor_counts[(0, "a")] == 7
+        assert r._survivor_counts[(0, 5)] == 4
+        assert r._survivor_counts[(0, 9)] == 7 - 4
+        assert r._survivor_counts[(4, 5)] == 30
+        assert r._survivor_counts[(4, 9)] == 50 - 30
 
 
 class TestPackFrame:
@@ -787,6 +884,67 @@ class TestFootprintClassing:
             np.asarray(a.point_id), np.asarray(b.point_id)
         )
 
+    @pytest.mark.parametrize("k_even,r_lo,r_hi", [(2, 0.3, 0.95), (4, 0.8, 1.9)])
+    def test_even_windows_exact(self, k_even, r_lo, r_hi):
+        """Even k x k windows (floor-based placement, splat.py
+        _make_fragments) are image-exact for half-extents < k/2: the
+        even rung must match the next odd window (known exact) on the
+        splats that fit it — including centers with fractional parts
+        near 0, 0.5 and 1 where the floor/round placements differ."""
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.splat import (
+            make_framebuffer, rasterize_splats, splat_pixel_radii,
+        )
+
+        rng = np.random.default_rng(7 + k_even)
+        n, h, w = 4096, 120, 160
+        view_pos = np.zeros((n, 4), np.float32)
+        view_pos[:, 0] = rng.uniform(-40, 40, n)
+        view_pos[:, 1] = rng.uniform(-25, 25, n)
+        view_pos[:, 2] = -rng.uniform(20, 400, n)
+        view_pos[:, 3] = 1.0
+        proj = np.zeros((4, 4), np.float32)
+        proj[0, 0] = 1.8
+        proj[1, 1] = 2.4
+        proj[2, 2] = -1.002
+        proj[2, 3] = -2.002
+        proj[3, 2] = -1.0
+        clip = view_pos @ proj.T
+        ndc = (clip[:, :3] / clip[:, 3:4]).astype(np.float32)
+        # radii spanning the even rung's band [r_lo, r_hi] px half-extent
+        w_clip = -view_pos[:, 2]
+        px_r = rng.uniform(r_lo, r_hi, n).astype(np.float32)
+        radius = (px_r * w_clip / (proj[0, 0] * 0.5 * w)).astype(np.float32)
+        ids = np.arange(1, n + 1, dtype=np.int32)
+
+        rx, ry = splat_pixel_radii(
+            jnp.asarray(view_pos), jnp.asarray(radius), jnp.asarray(proj),
+            w, h,
+        )
+        fits = np.asarray(jnp.maximum(rx, ry) < (k_even / 2.0))
+        assert fits.sum() > 100, "fixture must populate the even rung"
+        v = jnp.asarray(fits)
+
+        fb = make_framebuffer(h, w)
+        even = rasterize_splats(
+            fb, jnp.asarray(view_pos), jnp.asarray(ndc),
+            jnp.asarray(radius), jnp.asarray(ids), v,
+            jnp.asarray(proj), height=h, width=w, footprint=k_even,
+        )
+        odd = rasterize_splats(
+            fb, jnp.asarray(view_pos), jnp.asarray(ndc),
+            jnp.asarray(radius), jnp.asarray(ids), v,
+            jnp.asarray(proj), height=h, width=w, footprint=k_even + 1,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(even.depth), np.asarray(odd.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(even.point_id), np.asarray(odd.point_id)
+        )
+        assert (np.asarray(even.point_id) != 2**31 - 1).any()
+
 
 class TestLoadedCellsHash:
     def test_hash_matches_binary_search(self):
@@ -833,7 +991,9 @@ class TestFrameStability:
         recompiles from unpadded shapes)."""
         from point_cloud_tpu.convert.converter import Converter
         from point_cloud_tpu.core.metadata import Metadata
-        from point_cloud_tpu.render.kernel import cull_lod_pass
+        from point_cloud_tpu.render.kernel import (
+            cull_classify_pass, lod_select,
+        )
         from point_cloud_tpu.render.renderer import (
             PointRenderer, RenderSettings,
         )
@@ -881,7 +1041,8 @@ class TestFrameStability:
             streamer.fill_load_slots()  # loaded set grows between frames
             renderer.render(streamer, cam, streaming_frustums=frustums)
             sizes_cache[frame] = (
-                cull_lod_pass._cache_size(),
+                cull_classify_pass._cache_size(),
+                lod_select._cache_size(),
                 rasterize_splats._cache_size(),
                 resolve_framebuffer._cache_size(),
             )
@@ -905,7 +1066,8 @@ class TestFrameStability:
         for _ in range(2):  # warm: first sight + first compacted shapes
             renderer2.render(streamer, cam, streaming_frustums=frustums)
         stable_before = (
-            cull_lod_pass._cache_size(),
+            cull_classify_pass._cache_size(),
+            lod_select._cache_size(),
             rasterize_splats._cache_size(),
             resolve_framebuffer._cache_size(),
         )
@@ -914,7 +1076,8 @@ class TestFrameStability:
         rgb_b, _, _ = renderer2.render(streamer, cam,
                                        streaming_frustums=frustums)
         stable_after = (
-            cull_lod_pass._cache_size(),
+            cull_classify_pass._cache_size(),
+            lod_select._cache_size(),
             rasterize_splats._cache_size(),
             resolve_framebuffer._cache_size(),
         )

@@ -136,12 +136,13 @@ def main():
         saved = []
         for mod, name in (
             # renderer namespace (top-level imports bind there)
-            (R, "cull_lod_pass"),
-            (R, "classify_splats"),
-            (R, "resolve_framebuffer"),
+            (R, "cull_classify_pass"),
+            (R, "lod_select"),
+            (R, "rasterize_splats"),
             # splat namespace (call-time `from .splat import ...`)
             (SP, "compact_rows"),
-            (SP, "rasterize_splats"),
+            (SP, "compact_classes"),
+            (SP, "rasterize_class_slice"),
             (SP, "emit_fragments"),
             (SP, "sorted_raster_merge"),
             (SP, "pack_frame"),
