@@ -1,0 +1,310 @@
+"""Local window + event loop: the WinitPlugin equivalent.
+
+Capability parity with the reference's window layer (reference:
+src/plugins/winit.rs:56-161 — event-loop pump, RedrawRequested,
+Resized, CloseRequested; window-event fan-out to the input plugin,
+src/plugins/input.rs:13-154). The design is split the TPU-host way:
+
+- :class:`WindowLoop` owns the frame schedule — poll OS events, feed
+  them to :class:`~point_cloud_tpu.viewer.input.InputState`, run
+  ``Viewer.update`` + ``Viewer.render``, hand the frame to the backend.
+  It is backend-agnostic and fully testable headless (tests drive it
+  with a :class:`FakeBackend`-style stub).
+- :class:`TkBackend` is the real-OS implementation: a Tk window whose
+  label blits frames via PPM-encoded ``PhotoImage`` (no image deps —
+  Tk decodes P6 natively) and whose key/mouse bindings enqueue
+  :class:`WindowEvent` records. It needs a display; everything above it
+  does not. A different backend (SDL, web canvas) is one class.
+
+All rendering stays in the jitted device path — the window layer only
+moves finished RGB frames and OS events, so it adds no device work.
+
+Run it::
+
+    python -m point_cloud_tpu.viewer.window /path/to/store
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .input import InputState
+
+
+@dataclass
+class WindowEvent:
+    """One OS window event, backend-normalized.
+
+    ``kind``: key_down | key_up | button_down | button_up | cursor |
+    wheel | resize | close. ``key``/``button`` use the InputState
+    vocabulary ('w', 'shift', 'space'; 'left'/'middle'/'right');
+    ``x, y`` carry cursor positions or resize extents; ``steps`` the
+    wheel detents (+up).
+    """
+
+    kind: str
+    key: str | None = None
+    button: str | None = None
+    x: float = 0.0
+    y: float = 0.0
+    steps: float = 0.0
+
+
+# Tk keysym -> InputState key vocabulary (input.py KEY_*). Only keys the
+# viewer binds are mapped; everything else passes through lowercased so
+# future bindings work unchanged.
+_TK_KEYSYMS = {
+    "shift_l": "shift",
+    "shift_r": "shift",
+    "space": "space",
+}
+
+_TK_BUTTONS = {1: "left", 2: "middle", 3: "right"}
+
+
+def translate_keysym(keysym: str) -> str:
+    """Tk keysym -> InputState key name ('Shift_L' -> 'shift')."""
+    low = keysym.lower()
+    return _TK_KEYSYMS.get(low, low)
+
+
+def translate_button(num: int) -> str | None:
+    """Tk button number -> InputState button name (1/2/3)."""
+    return _TK_BUTTONS.get(int(num))
+
+
+def rgb_to_ppm(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) u8 -> binary PPM (P6) bytes — Tk's dependency-free
+    in-memory image format for PhotoImage(data=...)."""
+    h, w = rgb.shape[:2]
+    header = b"P6 %d %d 255\n" % (w, h)
+    return header + np.ascontiguousarray(rgb, dtype=np.uint8).tobytes()
+
+
+class WindowLoop:
+    """The per-frame pump: events -> input sample -> update -> render ->
+    blit. Mirrors the reference's event_loop closure (winit.rs:112-159):
+    window events feed the input plugin, RedrawRequested runs the
+    schedule, Resized reconfigures the surface, CloseRequested exits.
+    """
+
+    def __init__(self, viewer, backend, input_state: InputState | None = None,
+                 title: str = "point_cloud_tpu"):
+        self.viewer = viewer
+        self.backend = backend
+        self.input = input_state or InputState()
+        self.title = title
+        self.running = True
+        self.frames = 0
+        self._last = None  # previous frame timestamp for real dt
+
+    # --- event application -------------------------------------------------
+
+    def apply_event(self, ev: WindowEvent) -> None:
+        if ev.kind == "key_down" and ev.key:
+            self.input.key_down(ev.key)
+        elif ev.kind == "key_up" and ev.key:
+            self.input.key_up(ev.key)
+        elif ev.kind == "button_down" and ev.button:
+            self.input.button_down(ev.button)
+        elif ev.kind == "button_up" and ev.button:
+            self.input.button_up(ev.button)
+        elif ev.kind == "cursor":
+            self.input.cursor_moved(ev.x, ev.y)
+        elif ev.kind == "wheel":
+            self.input.wheel(ev.steps)
+        elif ev.kind == "resize":
+            w, h = int(ev.x), int(ev.y)
+            if (w, h) != (self.viewer.settings.width,
+                          self.viewer.settings.height) and w > 0 and h > 0:
+                # WindowResized (winit.rs:139-148): surface + camera
+                # aspect + renderer reconfigure
+                self.viewer.resize(w, h)
+        elif ev.kind == "close":
+            self.running = False
+
+    # --- frame -------------------------------------------------------------
+
+    def step(self) -> bool:
+        """One frame; returns False when the loop should stop."""
+        for ev in self.backend.poll_events():
+            self.apply_event(ev)
+        if not self.running or not self.backend.alive:
+            return False
+
+        now = time.monotonic()
+        dt = (now - self._last) if self._last is not None else 1.0 / 60.0
+        self._last = now
+
+        self.viewer.update(dt=min(dt, 0.25), inputs=self.input.sample())
+        rgb, _, _ = self.viewer.render()
+        self.backend.blit(np.asarray(rgb))
+        self.frames += 1
+        fps = self.viewer.diagnostics.fps
+        if fps:
+            self.backend.set_title(f"{self.title} — {fps:.1f} fps")
+        return True
+
+    def run(self, max_frames: int | None = None) -> int:
+        """Pump frames until close (or ``max_frames``); returns the
+        number of frames rendered."""
+        while self.step():
+            if max_frames is not None and self.frames >= max_frames:
+                break
+        return self.frames
+
+
+class TkBackend:
+    """Tk window backend: binds key/mouse/resize events into a queue and
+    blits frames through a PPM PhotoImage. Requires a display ($DISPLAY
+    on X11); constructing it headless raises Tk's own TclError with a
+    clear message.
+    """
+
+    def __init__(self, width: int, height: int,
+                 title: str = "point_cloud_tpu"):
+        import tkinter
+
+        self._tk = tkinter
+        self.root = tkinter.Tk()
+        self.root.title(title)
+        self.root.geometry(f"{width}x{height}")
+        self.label = tkinter.Label(self.root)
+        self.label.pack(fill="both", expand=True)
+        self._events: list[WindowEvent] = []
+        self._photo = None
+        self.alive = True
+
+        r = self.root
+        r.protocol("WM_DELETE_WINDOW", self._on_close)
+        r.bind("<KeyPress>", self._on_key_down)
+        r.bind("<KeyRelease>", self._on_key_up)
+        r.bind("<ButtonPress>", self._on_button_down)
+        r.bind("<ButtonRelease>", self._on_button_up)
+        r.bind("<Motion>", self._on_motion)
+        r.bind("<MouseWheel>", self._on_wheel)  # Windows/macOS
+        r.bind("<Configure>", self._on_configure)
+        self._size = (width, height)
+
+    # --- Tk event handlers -> normalized queue -----------------------------
+
+    def _on_close(self):
+        self._events.append(WindowEvent("close"))
+        self.alive = False
+        self.root.destroy()
+
+    def _on_key_down(self, e):
+        self._events.append(
+            WindowEvent("key_down", key=translate_keysym(e.keysym))
+        )
+
+    def _on_key_up(self, e):
+        self._events.append(
+            WindowEvent("key_up", key=translate_keysym(e.keysym))
+        )
+
+    def _on_button_down(self, e):
+        if e.num in (4, 5):  # X11 wheel events arrive as buttons 4/5
+            self._events.append(
+                WindowEvent("wheel", steps=1.0 if e.num == 4 else -1.0)
+            )
+            return
+        b = translate_button(e.num)
+        if b:
+            self._events.append(WindowEvent("button_down", button=b))
+
+    def _on_button_up(self, e):
+        if e.num in (4, 5):
+            return
+        b = translate_button(e.num)
+        if b:
+            self._events.append(WindowEvent("button_up", button=b))
+
+    def _on_motion(self, e):
+        self._events.append(WindowEvent("cursor", x=e.x, y=e.y))
+
+    def _on_wheel(self, e):
+        self._events.append(WindowEvent("wheel", steps=e.delta / 120.0))
+
+    def _on_configure(self, e):
+        if (e.width, e.height) != self._size:
+            self._size = (e.width, e.height)
+            self._events.append(
+                WindowEvent("resize", x=e.width, y=e.height)
+            )
+
+    # --- WindowBackend surface ---------------------------------------------
+
+    def poll_events(self) -> list[WindowEvent]:
+        if self.alive:
+            try:
+                self.root.update()  # pump Tk's event loop once
+            except self._tk.TclError:
+                self.alive = False
+        out, self._events = self._events, []
+        return out
+
+    def blit(self, rgb: np.ndarray) -> None:
+        if not self.alive:
+            return
+        self._photo = self._tk.PhotoImage(data=rgb_to_ppm(rgb))
+        self.label.configure(image=self._photo)
+
+    def set_title(self, title: str) -> None:
+        if self.alive:
+            self.root.title(title)
+
+    def close(self) -> None:
+        if self.alive:
+            self.alive = False
+            self.root.destroy()
+
+
+def run_window(store: str, width: int = 960, height: int = 600,
+               max_frames: int | None = None, backend=None) -> int:
+    """Open a local window on a converted store and run the event loop.
+
+    ``backend=None`` builds a :class:`TkBackend` (needs a display);
+    tests pass a stub. Returns the number of frames rendered.
+    """
+    from ..render.renderer import RenderSettings
+    from .app import Viewer
+
+    settings = RenderSettings(width=width, height=height)
+    viewer = Viewer(settings)
+    viewer.load_metadata(store)
+    backend = backend or TkBackend(width, height)
+    loop = WindowLoop(viewer, backend)
+    try:
+        return loop.run(max_frames=max_frames)
+    finally:
+        backend.close()
+        viewer.close()
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Local point-cloud viewer window (Tk)"
+    )
+    p.add_argument("store", help="converted store directory (metadata.json)")
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--frames", type=int, default=None,
+                   help="exit after N frames (default: until closed)")
+    args = p.parse_args(argv)
+
+    from ..ops.runtime import setup_jax_cache
+
+    setup_jax_cache()
+    run_window(args.store, width=args.width, height=args.height,
+               max_frames=args.frames)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
