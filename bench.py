@@ -316,6 +316,65 @@ def bench_tunnel_pipeline(positions, colors) -> float:
     return n / statistics.median(times) / 1e6
 
 
+_EXTRAS = {
+    "device_dedup_sort_mpts": (bench_device_sort, False),
+    "render_cull_lod_mpts": (bench_render_kernel, False),
+    "render_fps_640x480": (bench_render_fps, True),
+    "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
+}
+
+# generous per-metric wall budgets (first compiles + tunnel latency);
+# a healthy run finishes far below these, a wedged device can't exceed
+# them. The device-health precheck below keeps the all-wedged worst
+# case to one timeout, not four.
+_EXTRA_TIMEOUT_S = 1500
+_HEALTH_TIMEOUT_S = 300
+
+
+def _run_extra(name: str):
+    """One extra metric in a subprocess with a hard wall timeout.
+
+    The device metrics must not be able to sink the bench: through this
+    environment's tunnel a wedged TPU endpoint hangs PJRT client
+    creation *inside a C extension* — uninterruptible from Python, so
+    in-process try/except can never bound it. A subprocess + timeout
+    can. Prints the value on the last stdout line when run with
+    --extra <name>."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--extra", name],
+            capture_output=True, text=True, timeout=_EXTRA_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return f"error: timed out after {_EXTRA_TIMEOUT_S}s"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()
+        return "error: " + (tail[-1] if tail else f"rc={proc.returncode}")
+    try:
+        return round(float(proc.stdout.strip().splitlines()[-1]), 3)
+    except (ValueError, IndexError):
+        return f"error: unparseable output {proc.stdout[-80:]!r}"
+
+
+def _device_healthy() -> bool:
+    """Can this process family reach the accelerator at all? A bounded
+    subprocess probe — jax.devices() through a wedged tunnel blocks
+    forever, so never probe in-process."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=_HEALTH_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "ok" in proc.stdout
+
+
 def main() -> None:
     from point_cloud_tpu.ops.runtime import setup_jax_cache
 
@@ -326,19 +385,24 @@ def main() -> None:
     colors = rng.integers(0, 256, (N_POINTS, 4), dtype=np.uint8)
     colors[:, 3] = 255
 
-    extra = {}
-    for name, fn, args in (
-        ("device_dedup_sort_mpts", bench_device_sort, (positions,)),
-        ("render_cull_lod_mpts", bench_render_kernel, (positions,)),
-        ("render_fps_640x480", bench_render_fps, (positions, colors)),
-        ("tunnel_pipeline_mpts", bench_tunnel_pipeline, (positions, colors)),
-    ):
-        try:
-            extra[name] = round(fn(*args), 3)
-        except Exception as err:  # a kernel metric must not sink the bench
-            extra[name] = f"error: {err}"
+    if len(sys.argv) >= 3 and sys.argv[1] == "--extra":
+        fn, wants_colors = _EXTRAS[sys.argv[2]]
+        args = (positions, colors) if wants_colors else (positions,)
+        print(fn(*args))
+        return
 
+    # headline first: the host C++ engine needs no accelerator, so a
+    # wedged device tunnel can never cost the round its artifact
     value = bench_conversion(positions, colors)
+
+    extra = {}
+    healthy = _device_healthy()
+    for name in _EXTRAS:
+        extra[name] = (
+            _run_extra(name) if healthy
+            else f"error: device unreachable within {_HEALTH_TIMEOUT_S}s"
+        )
+
     print(
         json.dumps(
             {
