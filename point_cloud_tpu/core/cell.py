@@ -167,6 +167,12 @@ class Cell:
         self.total_number_of_points = 0
         self.number_of_points = 0
         self.number_of_overflow_points = 0
+        # content generation: bumped by every mutating insert so cached
+        # derivations of this cell's points (the renderer's device-array/
+        # LOD/color caches) invalidate when the in-app converter updates
+        # a loaded cell in place (converter.rs:553-592 feeds cells the
+        # renderer is already drawing)
+        self.generation = 0
         # LSM points grid: one valid row per hex slot across all segments
         self._segments: list[_Segment] = []
         self._out_of_range = False  # packed-key fallback latch
@@ -277,6 +283,7 @@ class Cell:
         n = len(positions)
         if n == 0:
             return PointBatch.empty()
+        self.generation += 1
         if self._out_of_range:
             return self._merge_winners_exact_fallback(
                 positions, colors, sub_indices, dist
@@ -439,6 +446,8 @@ class Cell:
         """
         limit = int(config.cell_point_overflow_limit)
         remaining: dict[tuple[int, int, int], PointBatch] = {}
+        if grouped:
+            self.generation += 1
 
         for cell_index, points in grouped.items():
             if not presorted:

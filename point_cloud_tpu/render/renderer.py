@@ -172,7 +172,12 @@ class PointRenderer:
             distance = float(np.linalg.norm(delta))
             # ilog2 bucket (point.rs:128-143); distance < 1 -> bucket 0
             bucket = max(int(distance).bit_length() - 1, 0)
-            cells.append((bucket, distance, cell_id, pts))
+            # the cell's content generation rides along so every device
+            # cache keyed on bucket composition invalidates when the
+            # in-app converter mutates a loaded cell in place
+            cells.append(
+                (bucket, distance, cell_id, pts, cell.generation)
+            )
         cells.sort(key=lambda c: (c[0], c[1]))
         return cells
 
@@ -190,7 +195,7 @@ class PointRenderer:
 
         from ..ops.dedup import pad_to_bucket
 
-        key = tuple(c[2] for c in bucket_cells)
+        key = tuple((c[2], c[4]) for c in bucket_cells)
         cache = getattr(self, "_bucket_cache", None)
         if cache is None:
             cache = self._bucket_cache = {}
@@ -199,7 +204,7 @@ class PointRenderer:
             return hit
 
         pos_chunks, hier_chunks, col_chunks = [], [], []
-        for _, _, cell_id, pts in bucket_cells:
+        for _, _, cell_id, pts, _ in bucket_cells:
             pos_chunks.append(pts.positions)
             col_chunks.append(pts.colors)
             hier_chunks.append(
@@ -396,7 +401,7 @@ class PointRenderer:
             # orbit frame runs only the camera half (cull_classify_pass);
             # one fused dispatch also ends the double view-transform the
             # separate classify_splats call paid
-            bucket_key = tuple(c[2] for c in bucket_cells)
+            bucket_key = tuple((c[2], c[4]) for c in bucket_cells)
             lod_cache = getattr(self, "_lod_cache", None)
             if lod_cache is None:
                 lod_cache = self._lod_cache = {}

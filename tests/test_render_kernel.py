@@ -1100,3 +1100,69 @@ class TestFrameStability:
         lit_ref = np.any(rgb_ref != np.array(CLEAR_COLOR_U8), axis=2)
         lit_a = np.any(rgb_a != np.array(CLEAR_COLOR_U8), axis=2)
         assert (lit_ref & ~lit_a).mean() < 0.02
+
+
+class TestLiveCellUpdates:
+    def test_mutated_cell_invalidates_render_caches(self, tmp_path):
+        """In-app conversion mutates loaded cells in place
+        (converter.rs:553-592 feeds cells the renderer is drawing); the
+        renderer's device-array/LOD/color caches must pick the new
+        content up the very next frame via Cell.generation."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(23)
+        # a SPARSE dark cloud: most hex slots stay empty, so the bright
+        # points added below occupy fresh slots instead of losing the
+        # dedup to incumbents (and nothing occludes them)
+        pos = rng.uniform(5, 45, (300, 3)).astype(np.float32)
+        col = np.full((300, 4), 30, np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+        cam = Camera()
+        cam.projection.far = metadata.config.max_cell_size * 5.0
+        cam.look_at_aabb(metadata.bounding_box)
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        streamer = CellStreamer(metadata, loader=loader)
+        frustums = update_streaming_frustums(
+            metadata, cam.transform, cam.projection, cam.frustum()
+        )
+        streamer.update(frustums, cam.transform)
+        for _ in range(200):
+            if not streamer.fill_load_slots():
+                break
+
+        renderer = PointRenderer(
+            metadata, RenderSettings(width=160, height=120)
+        )
+        rgb_before, _, stats_before = renderer.render(
+            streamer, cam, frustums
+        )
+
+        # mutate a loaded cell in place: bright points in a fresh region
+        cell = next(iter(streamer.loaded.values()))
+        gen_before = cell.generation
+        # new points INSIDE the framed cloud region (the cell spans the
+        # whole h0 extent; points outside the original bbox would cull)
+        new_pos = rng.uniform(10, 40, (500, 3)).astype(np.float32)
+        new_col = np.full((500, 4), 255, np.uint8)
+        cell.add_points(PointBatch(new_pos, new_col))
+        assert cell.generation > gen_before
+
+        rgb_after, _, stats_after = renderer.render(streamer, cam, frustums)
+        # a stale cache would reproduce the first frame bit-for-bit
+        assert not np.array_equal(rgb_before, rgb_after)
+        # the second frame gained bright pixels from the 255-color points
+        assert (
+            (rgb_after.max(axis=2) > 200).sum()
+            > (rgb_before.max(axis=2) > 200).sum()
+        )

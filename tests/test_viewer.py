@@ -200,6 +200,39 @@ class TestInteractiveConverter:
         assert (depth < 1.0).sum() > 0
         viewer.close()
 
+    def test_mid_conversion_frames_track_cell_growth(self, tmp_path):
+        """Frames rendered DURING conversion must include each batch's
+        points as it lands: the converter mutates already-loaded cells
+        in place (converter.rs:553-592), so the renderer's device caches
+        have to invalidate on content, not just cell identity."""
+        src = tmp_path / "c.ply"
+        write_ply(src, random_batch(30_000, seed=19, lo=-20, hi=20))
+        viewer = Viewer(RenderSettings(width=64, height=64))
+        conv = InteractiveConverter(viewer=viewer, batch_size=10_000)
+        conv.choose_files([src])
+        conv.start()
+
+        seen_points_in = []
+        for _ in range(5_000):
+            conv.update()
+            done = conv.state == ConversionState.FINISHED
+            if viewer.stats()["cells"]["loaded"] > 0:
+                viewer.camera.look_at_aabb(conv.metadata.bounding_box)
+                _, _, stats = viewer.render()
+                seen_points_in.append(stats["points_in"])
+            if done:
+                break
+            time.sleep(0.001)
+        assert conv.state == ConversionState.FINISHED
+        assert seen_points_in, "no frame rendered during conversion"
+        # the last frame sees every converted point; a stale cache would
+        # freeze points_in at the first batch's count
+        assert seen_points_in[-1] == 30_000
+        assert seen_points_in[-1] > seen_points_in[0] or (
+            seen_points_in[0] == 30_000
+        )
+        viewer.close()
+
 
 class TestStopResume:
     def test_stop_pauses_and_start_resumes(self, tmp_path):
