@@ -289,6 +289,11 @@ class NativeDevicePipelined(NativeDeviceConverter):
             raise self._pipe_error
 
     def close(self) -> None:
-        self.drain()
-        self._executor.shutdown()
-        super().close()
+        # drain() re-raises a pipeline error; cleanup must still run or
+        # the executor/worker threads leak and a context-manager exit
+        # re-raises the same error over the first one
+        try:
+            self.drain()
+        finally:
+            self._executor.shutdown()
+            super().close()

@@ -357,10 +357,15 @@ class PointRenderer:
         # the steady orbit found ~43 jnp conversions per frame at
         # ~0.5 ms host time each because these sat inside the bucket
         # loop). The metadata tables are cached across frames.
+        # key includes the hierarchy count: live in-app conversion grows
+        # metadata.hierarchies IN PLACE on the same object, and a stale
+        # table would give new levels spacing 0 (radius-0 splats never
+        # raster) and cell size 0 (garbage LOD hash probes)
+        const_key = (id(self.metadata), int(self.metadata.hierarchies))
         const_cache = getattr(self, "_const_cache", None)
-        if const_cache is None or const_cache[0] is not self.metadata:
+        if const_cache is None or const_cache[0] != const_key:
             const_cache = self._const_cache = (
-                self.metadata,
+                const_key,
                 jnp.asarray(sizes),
                 jnp.asarray(spacings),
             )
@@ -641,6 +646,13 @@ class PointRenderer:
                             for (k, m), out_k in zip(masks, outs)
                             if not class_skipped(k)
                         ]
+                        if not parts:
+                            # every class skipped (all splats culled
+                            # last frame): nothing to raster
+                            all_colors.append(colors)
+                            frame_bucket_keys.append(bucket_key)
+                            id_base += n_real
+                            continue
                         pix = jnp.concatenate([p[0] for p in parts])
                         dep = jnp.concatenate([p[1] for p in parts])
                         fid = jnp.concatenate([p[2] for p in parts])

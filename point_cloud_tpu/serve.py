@@ -45,7 +45,6 @@ class StoreServer:
 
     def __init__(self, store_dir, width=640, height=480,
                  convert_root=None):
-        from .render.camera import Camera
         from .render.renderer import RenderSettings
         from .viewer.app import Viewer
 
@@ -58,7 +57,6 @@ class StoreServer:
         )
         self.viewer = Viewer(settings)
         self.viewer.load_metadata(self.store_dir / "metadata.json")
-        self._camera_factory = Camera
         self.convert_root = Path(convert_root) if convert_root else None
         self._converter = None
         self._pump_thread = None
@@ -574,6 +572,10 @@ def main(argv=None) -> int:
         "this directory (disabled otherwise)",
     )
     args = parser.parse_args(argv)
+
+    from .ops.runtime import setup_jax_cache
+
+    setup_jax_cache()  # persistent XLA cache: every entry point must
     httpd = serve(args.store, args.host, args.port, args.width,
                   args.height, convert_root=args.convert_root)
     print(f"serving {args.store} on http://{args.host}:{args.port}")

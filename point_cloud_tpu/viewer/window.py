@@ -270,12 +270,18 @@ def run_window(store: str, width: int = 960, height: int = 600,
     ``backend=None`` builds a :class:`TkBackend` (needs a display);
     tests pass a stub. Returns the number of frames rendered.
     """
+    from pathlib import Path
+
     from ..render.renderer import RenderSettings
     from .app import Viewer
 
+    p = Path(store)
+    if p.is_dir():  # accept the store directory or its metadata.json
+        p = p / "metadata.json"
+
     settings = RenderSettings(width=width, height=height)
     viewer = Viewer(settings)
-    viewer.load_metadata(store)
+    viewer.load_metadata(p)
     backend = backend or TkBackend(width, height)
     loop = WindowLoop(viewer, backend)
     try:

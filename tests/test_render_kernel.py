@@ -4,6 +4,7 @@ plus streaming control plane and full-frame render tests."""
 import numpy as np
 import pytest
 
+from point_cloud_tpu.core.aabb import Aabb
 from point_cloud_tpu.core.cell import Cell, CellId
 from point_cloud_tpu.core.metadata import Metadata, MetadataConfig
 from point_cloud_tpu.core.point import PointBatch
@@ -486,6 +487,62 @@ class TestFullFrame:
         # later frames must have taken it (guard against silently testing
         # scatter-vs-scatter)
         assert len(scatter) == len(sorted_) == 4
+
+    def test_sorted_raster_survives_all_culled_bucket(self, tmp_path):
+        """raster_mode="sorted" with classing on: a bucket whose landed
+        survivor counts are all zero skips every class — the sorted
+        merge must handle the empty fragment list instead of crashing
+        on jnp.concatenate([])."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(41)
+        pos = rng.uniform(-50, 50, (5_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (5_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        streamer = CellStreamer(metadata, loader=loader)
+        renderer = PointRenderer(
+            metadata,
+            RenderSettings(width=96, height=72, raster_mode="sorted",
+                           classing=True, megakernel=False),
+        )
+        cam = Camera()
+        cam.projection.far = metadata.config.max_cell_size * 5.0
+        cam.look_at_aabb(metadata.bounding_box)
+        frustums = update_streaming_frustums(
+            metadata, cam.transform, cam.projection, cam.frustum()
+        )
+        streamer.update(frustums, cam.transform)
+        for _ in range(200):
+            if not streamer.fill_load_slots():
+                break
+        renderer.render(streamer, cam, frustums)  # lands real counts
+
+        # look straight away from the cloud: every splat culls, counts
+        # land zero; the frame after renders with all classes skipped
+        away = Camera()
+        away.projection.far = metadata.config.max_cell_size * 5.0
+        away.transform.translation = np.array([0.0, -500.0, 0.0], np.float32)
+        away.transform.look_to(
+            np.array([0.0, -1.0, 0.0], np.float32),
+            np.array([0.0, 0.0, 1.0], np.float32),
+        )
+        for _ in range(2):  # second frame hits the all-skipped path
+            rgb, _, stats = renderer.render(streamer, away, frustums)
+        assert stats["points_visible"] == 0
+        from point_cloud_tpu.render.splat import CLEAR_COLOR_U8
+
+        assert (rgb == np.array(CLEAR_COLOR_U8)).all()
 
     def test_megakernel_matches_multi_dispatch(self, tmp_path):
         """Steady-state frames from the fused bucket megakernel must be
@@ -1166,3 +1223,59 @@ class TestLiveCellUpdates:
             (rgb_after.max(axis=2) > 200).sum()
             > (rgb_before.max(axis=2) > 200).sum()
         )
+
+    def test_metadata_hierarchy_growth_refreshes_tables(self, tmp_path):
+        """Live conversion grows metadata.hierarchies IN PLACE on the
+        object the renderer holds (interactive.py _get_cell); the
+        renderer's device spacing/cell-size tables must refresh, or
+        points on new levels get radius-0 splats that never raster."""
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(31)
+        metadata = Metadata()
+        metadata.hierarchies = 1
+        config = metadata.config
+
+        def make_cell(hierarchy, n, color):
+            cell_size = config.cell_size(hierarchy)
+            cell_id = CellId(hierarchy, (0, 0, 0))
+            cell = Cell(
+                cell_id, config.sub_cell_size(cell_size), cell_size,
+                config.cell_pos(
+                    np.asarray(cell_id.index, np.int32), cell_size
+                ),
+            )
+            pos = (cell.pos + rng.uniform(
+                -cell.size / 8, cell.size / 8, (n, 3)
+            )).astype(np.float32)
+            cell.add_points(PointBatch(
+                pos, np.full((n, 4), color, np.uint8)
+            ))
+            metadata.bounding_box.extend_aabb(Aabb.from_points(pos))
+            metadata.number_of_points += n
+            return cell
+
+        streamer = CellStreamer(metadata)
+        streamer.loaded[CellId(0, (0, 0, 0))] = make_cell(0, 200, 30)
+
+        cam = Camera()
+        cam.projection.far = config.max_cell_size * 5.0
+        cam.look_at_aabb(metadata.bounding_box)
+        frustums = update_streaming_frustums(
+            metadata, cam.transform, cam.projection, cam.frustum()
+        )
+        renderer = PointRenderer(
+            metadata, RenderSettings(width=160, height=120)
+        )
+        rgb1, _, _ = renderer.render(streamer, cam, frustums)
+
+        # conversion reaches a deeper level: hierarchies grows in place
+        # and a bright h1 cell is published
+        metadata.hierarchies = 2
+        streamer.loaded[CellId(1, (0, 0, 0))] = make_cell(1, 400, 255)
+        rgb2, _, stats2 = renderer.render(streamer, cam, frustums)
+        assert stats2["points_in"] > 400  # both cells feed the frame
+        bright = (rgb2.max(axis=2) > 200).sum()
+        assert bright > 0, "new-hierarchy points did not raster"

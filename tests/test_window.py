@@ -157,3 +157,9 @@ def test_run_window_with_store(tmp_path):
     assert backend.closed
     # streaming should have loaded cells and rendered some points
     assert backend.blits[-1].shape == (48, 64, 3)
+
+    # the documented CLI form passes the store DIRECTORY
+    backend2 = FakeBackend()
+    assert run_window(
+        str(tmp_path), width=64, height=48, max_frames=1, backend=backend2,
+    ) == 1
