@@ -70,6 +70,57 @@ def synth_cloud(n: int, seed: int = 0) -> np.ndarray:
     ).astype(np.float32)
 
 
+def synth_indoor(n: int, seed: int = 2) -> np.ndarray:
+    """Indoor-scan-like cloud (BASELINE config 2): a 50x20x3 m building —
+    floor/ceiling sheets, four walls, and furniture-scale clutter
+    clusters. Dense, highly-collideable: the hierarchy build's worst
+    case for dedup + overflow cascades."""
+    rng = np.random.default_rng(seed)
+    n_sheets = n // 3
+    n_walls = n // 3
+    n_clutter = n - n_sheets - n_walls
+
+    sheets = np.empty((n_sheets, 3), np.float32)
+    sheets[:, 0] = rng.uniform(0, 50, n_sheets)
+    sheets[:, 1] = rng.uniform(0, 20, n_sheets)
+    sheets[:, 2] = np.where(
+        rng.random(n_sheets) < 0.5, 0.0, 3.0
+    ) + rng.normal(0, 0.01, n_sheets)
+
+    walls = np.empty((n_walls, 3), np.float32)
+    side = rng.integers(0, 4, n_walls)
+    walls[:, 0] = np.where(
+        side < 2, side * 50.0, rng.uniform(0, 50, n_walls)
+    ) + rng.normal(0, 0.01, n_walls)
+    walls[:, 1] = np.where(
+        side < 2, rng.uniform(0, 20, n_walls), (side - 2) * 20.0
+    ) + rng.normal(0, 0.01, n_walls)
+    walls[:, 2] = rng.uniform(0, 3, n_walls)
+
+    centers = rng.uniform([2, 2, 0], [48, 18, 1.5], (200, 3))
+    which = rng.integers(0, 200, n_clutter)
+    clutter = centers[which] + rng.normal(0, 0.4, (n_clutter, 3))
+    return np.concatenate(
+        [sheets, walls, clutter.astype(np.float32)]
+    ).astype(np.float32)
+
+
+def bench_hierarchy_build() -> float:
+    """BASELINE config 2: wall-time (seconds) for the full hierarchy
+    build — batch AABB fits + hex quantization + dedup cascade + store
+    write — over a 10M-pt indoor scan, C++ engine, single run. Host
+    metric: needs no accelerator."""
+    n = 10_000_000
+    positions = synth_indoor(n)
+    rng = np.random.default_rng(5)
+    colors = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    colors[:, 3] = 255
+
+    from point_cloud_tpu.convert.native import NativeConverter
+
+    return _convert_once(NativeConverter, positions, colors, n)
+
+
 def _convert_once(converter_cls, positions, colors, n_points) -> float:
     from point_cloud_tpu.core.metadata import Metadata
     from point_cloud_tpu.core.point import PointBatch
@@ -396,6 +447,12 @@ def main() -> None:
     value = bench_conversion(positions, colors)
 
     extra = {}
+    try:  # host metric (BASELINE config 2): safe to run in-process
+        extra["hierarchy_build_10m_wall_s"] = round(
+            bench_hierarchy_build(), 2
+        )
+    except Exception as err:
+        extra["hierarchy_build_10m_wall_s"] = f"error: {err}"
     healthy = _device_healthy()
     for name in _EXTRAS:
         extra[name] = (
