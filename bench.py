@@ -447,6 +447,15 @@ def main() -> None:
     value = bench_conversion(positions, colors)
 
     extra = {}
+    # shared-host health indicator: this container's one vCPU is shared
+    # and flaps between ~0.1 and ~3.4 GB/s memcpy (PERF.md); the copy
+    # bandwidth at bench time contextualizes run-to-run headline swings
+    buf = np.zeros(1 << 27, np.uint8)
+    t0 = time.perf_counter()
+    buf.copy()
+    extra["host_memcpy_gbs"] = round(
+        (1 << 27) / (time.perf_counter() - t0) / 1e9, 2
+    )
     try:  # host metric (BASELINE config 2): safe to run in-process
         extra["hierarchy_build_10m_wall_s"] = round(
             bench_hierarchy_build(), 2
