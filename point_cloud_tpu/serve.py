@@ -144,6 +144,12 @@ class StoreServer:
             "stream_enabled": v.stream_enabled,
             "streaming_scale": v.streaming_scale,
             "hierarchies": int(self.metadata.hierarchies),
+            # camera section (reference camera.rs:193-204 position
+            # readout + fly_cam.rs:168-183 speed slider)
+            "camera_position": [
+                float(x) for x in v.camera.transform.translation
+            ],
+            "fly_speed": float(v.fly_cam.speed),
             "debug": {
                 "show_bounding_box": d.show_bounding_box,
                 "show_frustum": d.show_frustum,
@@ -173,6 +179,13 @@ class StoreServer:
                 }
             if "stream_enabled" in payload:
                 v.stream_enabled = bool(payload["stream_enabled"])
+            if "fly_speed" in payload:
+                from .render.fly_cam import SPEED_MAX, SPEED_MIN
+
+                v.fly_cam.speed = float(
+                    np.clip(float(payload["fly_speed"]),
+                            SPEED_MIN, SPEED_MAX)
+                )
             if "streaming_scale" in payload:
                 v.streaming_scale = float(payload["streaming_scale"])
             d = v.debug

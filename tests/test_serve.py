@@ -298,6 +298,9 @@ class TestSettingsEndpoint:
         assert s["streaming_scale"] == 2.0
         assert s["debug"]["show_bounding_box"] is False
 
+        assert len(s["camera_position"]) == 3  # camera.rs:193-204
+        assert s["fly_speed"] == 50.0  # fly_cam.rs default
+
         patch = {
             "voronoi": False,
             "size_by_distance": True,
@@ -307,6 +310,7 @@ class TestSettingsEndpoint:
             "hidden_hierarchies": [1],
             "stream_enabled": False,
             "streaming_scale": 3.5,
+            "fly_speed": 20000.0,  # clamped to SPEED_MAX
             "debug": {"show_bounding_box": True, "show_cell_grid": True},
         }
         status, s2 = post_json(f"{server}/settings", patch)
@@ -319,6 +323,7 @@ class TestSettingsEndpoint:
         assert s2["hidden_hierarchies"] == [1]
         assert s2["stream_enabled"] is False
         assert s2["streaming_scale"] == 3.5
+        assert s2["fly_speed"] == 1000.0
         assert s2["debug"]["show_bounding_box"] is True
         assert s2["debug"]["show_cell_grid"] is True
 
