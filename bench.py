@@ -245,6 +245,52 @@ def bench_render_kernel(positions) -> float:
     return n / dt / 1e6
 
 
+def bench_render_kernel_steady(positions) -> float:
+    """Steady-frame camera kernel Mpts/s: cull_classify_pass alone. The
+    renderer caches the camera-independent LOD walk per loaded set
+    (kernel.lod_select), so the steady orbit runs ONLY this pass —
+    cull_lod_pass above stays reported for round-over-round
+    comparability of the combined (first-sight) kernel."""
+    import jax.numpy as jnp
+
+    from point_cloud_tpu.render.camera import Camera
+    from point_cloud_tpu.render.kernel import (
+        MAX_HIERARCHIES, cull_classify_pass,
+    )
+
+    n = KERNEL_ROWS
+    pos = jnp.asarray(positions[:n])
+    hier_base = jnp.zeros(n, jnp.int32)
+    valid = jnp.ones(n, bool)
+    cam = Camera()
+    view = jnp.asarray(cam.view_matrix())
+    proj = jnp.asarray(cam.projection_matrix())
+    cam_pos = jnp.asarray(cam.transform.translation, jnp.float32)
+    cell_sizes = jnp.asarray(
+        [1000.0 / 2**h for h in range(MAX_HIERARCHIES)], jnp.float32
+    )
+    spacings = cell_sizes / 96.0
+    fars = jnp.full(MAX_HIERARCHIES, 1e9, jnp.float32)
+    thresholds = jnp.asarray([0.5, 1.5, 2.5, 3.5, 4.5], jnp.float32)
+
+    def probe():
+        out = cull_classify_pass(
+            pos, hier_base, valid, view, proj, cam_pos, spacings, fars,
+            jnp.bool_(True), jnp.int32(5), thresholds, 640, 480,
+        )
+        return jnp.sum(out[6])  # the counts vector sums the frame
+
+    float(jnp.int32(0) + probe())
+    reps = 5
+    t0 = time.perf_counter()
+    acc = jnp.int32(0)
+    for _ in range(reps):
+        acc = acc + probe()
+    float(acc)
+    dt = (time.perf_counter() - t0) / reps
+    return n / dt / 1e6
+
+
 def bench_render_fps(positions, colors) -> float:
     """End-to-end frames/s over an animated camera path (BASELINE
     config 4): streamed store -> cull+LOD -> splat raster -> resolved
@@ -370,6 +416,7 @@ def bench_tunnel_pipeline(positions, colors) -> float:
 _EXTRAS = {
     "device_dedup_sort_mpts": (bench_device_sort, False),
     "render_cull_lod_mpts": (bench_render_kernel, False),
+    "render_cull_steady_mpts": (bench_render_kernel_steady, False),
     "render_fps_640x480": (bench_render_fps, True),
     "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
 }
