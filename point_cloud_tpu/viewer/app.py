@@ -272,6 +272,45 @@ class Viewer:
             self.streamer, self.camera, self._frustums,
             paused=not self.stream_enabled,
         )
+        rgb = self._apply_overlays(
+            rgb, self.camera.view_projection_matrix(), self._frustums
+        )
+        return rgb, depth, stats
+
+    def render_pipelined(self):
+        """Double-buffered render: dispatch this frame's device chain and
+        return the PREVIOUS frame (None on the first call) — frame k+1's
+        device work overlaps frame k's readback, the reference's
+        AutoVsync swapchain shape (wgpu.rs:107). Debug overlays are drawn
+        with the view-projection captured when THEIR frame was
+        dispatched, so wireframes stay registered to their image.
+        Call :meth:`render_flush` to drain the last in-flight frame."""
+        ctx = (self.camera.view_projection_matrix(), list(self._frustums))
+        handle = self.renderer.render_start(
+            self.streamer, self.camera, self._frustums,
+            paused=not self.stream_enabled,
+        )
+        prev = getattr(self, "_inflight_frame", None)
+        self._inflight_frame = (handle, ctx)
+        if prev is None:
+            return None
+        return self._finish_frame(prev)
+
+    def render_flush(self):
+        """Drain the in-flight pipelined frame; None if none pending."""
+        prev = getattr(self, "_inflight_frame", None)
+        self._inflight_frame = None
+        if prev is None:
+            return None
+        return self._finish_frame(prev)
+
+    def _finish_frame(self, prev):
+        handle, (vp, frustums) = prev
+        rgb, depth, stats = self.renderer.render_finish(handle)
+        rgb = self._apply_overlays(rgb, vp, frustums)
+        return rgb, depth, stats
+
+    def _apply_overlays(self, rgb, vp, frustums):
         if (
             self.debug.show_bounding_box
             or self.debug.show_frustum
@@ -280,7 +319,6 @@ class Viewer:
             or self.debug.show_streaming_rects
         ):
             rgb = np.array(rgb)  # writable copy for line overlays
-        vp = self.camera.view_projection_matrix()
         if self.debug.show_bounding_box:
             segs = line_box(
                 self.metadata.bounding_box.min, self.metadata.bounding_box.max
@@ -304,7 +342,7 @@ class Viewer:
         if self.debug.show_streaming_rects:
             from ..render.lines import far_plane_rect
 
-            for h, frustum in enumerate(self._frustums):
+            for h, frustum in enumerate(frustums):
                 # hue walk per hierarchy, like the reference's distinct
                 # per-hierarchy rectangles (debug.rs:306-342)
                 color = (
@@ -328,7 +366,7 @@ class Viewer:
                 rasterize_lines(
                     rgb, line_box(pos - half, pos + half), color, vp
                 )
-        return rgb, depth, stats
+        return rgb
 
     def freeze_frustum(self) -> None:
         """Capture the current frustum wireframe (debug.rs:115-202)."""

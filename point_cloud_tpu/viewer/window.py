@@ -140,8 +140,13 @@ class WindowLoop:
         self._last = now
 
         self.viewer.update(dt=min(dt, 0.25), inputs=self.input.sample())
-        rgb, _, _ = self.viewer.render()
-        self.backend.blit(np.asarray(rgb))
+        # double-buffered: this step dispatches frame k and blits frame
+        # k-1 (Viewer.render_pipelined) — device chain overlaps the
+        # previous frame's readback, one frame of display latency like
+        # the reference's AutoVsync swapchain
+        out = self.viewer.render_pipelined()
+        if out is not None:
+            self.backend.blit(np.asarray(out[0]))
         self.frames += 1
         fps = self.viewer.diagnostics.fps
         if fps:
@@ -150,10 +155,13 @@ class WindowLoop:
 
     def run(self, max_frames: int | None = None) -> int:
         """Pump frames until close (or ``max_frames``); returns the
-        number of frames rendered."""
+        number of frames dispatched."""
         while self.step():
             if max_frames is not None and self.frames >= max_frames:
                 break
+        out = self.viewer.render_flush()  # drain the in-flight frame
+        if out is not None and self.backend.alive:
+            self.backend.blit(np.asarray(out[0]))
         return self.frames
 
 

@@ -285,3 +285,37 @@ class TestScreenshot:
                 break
         assert viewer.stats()["cells"]["loaded"] > 0
         viewer.close()
+
+
+class TestPipelinedViewer:
+    def test_pipelined_matches_sync_and_overlay_camera(self, tmp_path):
+        """Viewer.render_pipelined returns each frame one call late,
+        byte-identical to a synchronous render of the same state —
+        including debug overlays, which must be drawn with the
+        view-projection captured when THEIR frame was dispatched, not
+        the camera's position at readback time."""
+        make_store(tmp_path)
+
+        def fresh():
+            v = Viewer(RenderSettings(width=160, height=120))
+            v.load_metadata(tmp_path / "metadata.json")
+            v.debug.show_bounding_box = True
+            pump(v)
+            return v
+
+        v_sync = fresh()
+        ref_a, _, _ = v_sync.render()
+        v_sync.close()
+
+        v_pipe = fresh()
+        assert v_pipe.render_pipelined() is None  # first call: in flight
+        # move the camera BEFORE the frame lands: the returned frame A
+        # must still carry pose A's image and pose A's bbox wireframe
+        v_pipe.update(0.016, inputs=ViewerInput(forward=1.0))
+        out = v_pipe.render_pipelined()
+        assert out is not None
+        np.testing.assert_array_equal(out[0], ref_a)
+        # drain frame B; afterwards nothing is in flight
+        assert v_pipe.render_flush() is not None
+        assert v_pipe.render_flush() is None
+        v_pipe.close()
