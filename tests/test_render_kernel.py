@@ -1279,3 +1279,52 @@ class TestLiveCellUpdates:
         assert stats2["points_in"] > 400  # both cells feed the frame
         bright = (rgb2.max(axis=2) > 200).sum()
         assert bright > 0, "new-hierarchy points did not raster"
+
+
+class TestCompactClasses:
+    def test_matches_numpy_oracle(self):
+        """splat.compact_classes: class regions at device offsets must
+        hold exactly each class's survivor row indices, in row order,
+        with counts/offsets the exclusive-cumsum contract."""
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.splat import compact_classes
+
+        rng = np.random.default_rng(77)
+        for trial in range(5):
+            c, n = int(rng.integers(1, 6)), int(rng.integers(8, 200))
+            owner = rng.integers(-1, c, n)  # -1 = in no class
+            masks = np.stack([owner == i for i in range(c)])
+            perm, counts, offsets = compact_classes(jnp.asarray(masks))
+            perm = np.asarray(perm)
+            counts = np.asarray(counts)
+            offsets = np.asarray(offsets)
+            assert perm.shape == (2 * n,)
+            np.testing.assert_array_equal(
+                counts, masks.sum(axis=1), err_msg=f"trial {trial}"
+            )
+            np.testing.assert_array_equal(
+                offsets,
+                np.concatenate([[0], np.cumsum(counts)[:-1]]),
+            )
+            for i in range(c):
+                got = perm[offsets[i] : offsets[i] + counts[i]]
+                np.testing.assert_array_equal(
+                    got, np.flatnonzero(masks[i]),
+                    err_msg=f"trial {trial} class {i}",
+                )
+
+    def test_empty_and_full_classes(self):
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.splat import compact_classes
+
+        n = 16
+        masks = np.zeros((3, n), bool)
+        masks[2] = True  # one full class, two empty
+        perm, counts, offsets = compact_classes(jnp.asarray(masks))
+        np.testing.assert_array_equal(np.asarray(counts), [0, 0, n])
+        np.testing.assert_array_equal(np.asarray(offsets), [0, 0, 0])
+        np.testing.assert_array_equal(
+            np.asarray(perm)[:n], np.arange(n)
+        )
