@@ -16,11 +16,28 @@ _configured = False
 
 
 def setup_jax_cache(cache_dir: str | None = None) -> None:
-    """Enable the persistent XLA compilation cache (idempotent)."""
+    """Enable the persistent XLA compilation cache (idempotent).
+
+    Also re-asserts an explicit ``JAX_PLATFORMS`` env request: the TPU
+    tunnel plugin's sitecustomize ``register()`` overwrites the
+    ``jax_platforms`` config in-process, so the env var's documented
+    JAX semantics are silently lost — ``JAX_PLATFORMS=cpu python -m
+    point_cloud_tpu.serve ...`` would still initialize the tunnel
+    client, which HANGS indefinitely when the tunnel endpoint is
+    wedged (CLAUDE.md environment constraints). Every entry point
+    calls this before its first backend touch, restoring the env var.
+    """
     global _configured
     if _configured:
         return
     import jax
+
+    requested = os.environ.get("JAX_PLATFORMS")
+    if requested:
+        try:
+            jax.config.update("jax_platforms", requested)
+        except Exception:
+            pass  # backend already initialized; too late to repin
 
     path = cache_dir or os.environ.get(
         "PCT_JAX_CACHE", str(Path.home() / ".cache" / "point_cloud_tpu_jax")

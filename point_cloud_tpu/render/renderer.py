@@ -137,6 +137,14 @@ class RenderSettings:
     # fused_compaction, raster_mode knobs all apply; they are also the
     # fallback when raster_mode="sorted")
     megakernel: bool = True
+    # megakernel-only: route splats to SUB-footprint windows (1x1/3x3
+    # for footprint 5) inside the same program — image-identical for
+    # fitting splats (splat_pixel_radii docs) at a fraction of the
+    # fragment rows. The multi-dispatch ladder paid one dispatch per
+    # rung for this (net slower through a high-latency link, PERF.md
+    # "even raster windows"); cond-gated rungs in one program keep the
+    # savings without the dispatches
+    sub_rungs: bool = True
 
 
 def hierarchy_tables(metadata: Metadata) -> tuple[np.ndarray, np.ndarray]:
@@ -453,21 +461,31 @@ class PointRenderer:
             if use_mega:
                 from .splat import render_bucket_pass
 
-                held = self._survivor_buffer_size((bucket, "a"), n)
                 mega_rungs = tuple(
                     k for k in LARGE_WINDOWS if k > s.footprint
                 )
+                mega_subs = (
+                    tuple(k for k in SMALL_WINDOWS if k < s.footprint)
+                    if s.sub_rungs else ()
+                )
+                # with sub rungs active the footprint raster carries
+                # only its exclusive band (+ transient spill), so it
+                # sizes from its own landed count; without them it
+                # carries every small splat = the kept total
+                held = self._survivor_buffer_size(
+                    (bucket, s.footprint if mega_subs else "a"), n
+                )
 
-                def rung_budget(k):
+                def rung_budget(k, ladder=(64, 1024, 16384)):
                     # per-rung sticky budget snapped to a COARSE ladder:
                     # fine steps would re-key the megakernel compile on
                     # a drifting tuple (PERF.md trap #1 of the
                     # compaction rework)
                     held_k = self._survivor_buffer_size(
-                        (bucket, k), n, minimum=64
+                        (bucket, k), n, minimum=ladder[0]
                     )
-                    v = min(held_k or 64, n)
-                    for c in (64, 1024, 16384):
+                    v = min(held_k or ladder[0], n)
+                    for c in ladder:
                         if v <= c:
                             return min(c, n)
                     return n
@@ -484,10 +502,18 @@ class PointRenderer:
                         rung_budget(k) for k in mega_rungs
                     ),
                     overflow_ks=mega_rungs,
+                    # sub rungs carry the bulk of a deep store's splats:
+                    # a coarser, larger ladder than the (rare) overflow
+                    # windows
+                    sub_rows=tuple(
+                        rung_budget(k, ladder=(1024, 16384, 65536))
+                        for k in mega_subs
+                    ),
+                    sub_ks=mega_subs,
                 )
                 frame_vecs.append(
-                    (bucket, (s.footprint,) + mega_rungs, counts_vec,
-                     "excl")
+                    (bucket, mega_subs + (s.footprint,) + mega_rungs,
+                     counts_vec, "excl")
                 )
                 all_colors.append(colors)
                 frame_bucket_keys.append(bucket_key)

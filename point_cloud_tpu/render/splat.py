@@ -454,7 +454,7 @@ def _sort4_frags(pix, depth_bits, ids):
     jax.jit,
     static_argnames=(
         "height", "width", "footprint", "voronoi", "use_occlusion",
-        "out_size", "overflow_rows", "overflow_ks",
+        "out_size", "overflow_rows", "overflow_ks", "sub_rows", "sub_ks",
     ),
 )
 def render_bucket_pass(
@@ -474,6 +474,8 @@ def render_bucket_pass(
     out_size: int = 1 << 10,
     overflow_rows: tuple = (),
     overflow_ks: tuple = (),
+    sub_rows: tuple = (),
+    sub_ks: tuple = (),
 ):
     """One bucket's ENTIRE frame chain in a single XLA program.
 
@@ -500,9 +502,23 @@ def render_bucket_pass(
     splats in small-viewport scenes where nearly everything is
     oversized).
 
+    ``sub_ks``/``sub_rows`` add SUB-footprint rungs (k < footprint, the
+    SMALL_WINDOWS semantics): a splat with projected half-extent under
+    k/2 rasters image-identically through a k x k window instead of
+    footprint^2 fragments (splat_pixel_radii docs), and in a deep store
+    the far majority of splats are 1-3 px — the fragment savings are
+    several-fold. The multi-dispatch ladder paid one dispatch per rung
+    for this (measured slower through the tunnel, PERF.md "even raster
+    windows"); in here each rung is one cond-gated branch of the same
+    program, so the savings come at ~zero dispatch cost. Rows beyond a
+    sub-rung's budget spill UP into the footprint raster — a wider
+    window is exact for a smaller splat, so spill costs fragments, not
+    correctness.
+
     Returns (framebuffer, counts_vec) where counts_vec is
-    [kept total, then each rung's EXCLUSIVE survivor count] — landed
-    host-side for buffer sizing and stats (renderer._land_count_vecs,
+    [kept total, then each rung's EXCLUSIVE survivor count in
+    (sub_ks..., footprint, overflow_ks...) order] — landed host-side
+    for buffer sizing and stats (renderer._land_count_vecs,
     kind="excl").
     """
     from .kernel import _cull_body
@@ -515,26 +531,36 @@ def render_bucket_pass(
     rx, ry = splat_pixel_radii(view_pos, radius, projection, width, height)
     rmax = jnp.maximum(rx, ry)
 
-    rungs = (footprint,) + tuple(overflow_ks)
-    fits = [
-        keep & (rmax < jnp.float32(k / 2.0)) for k in rungs[:-1]
-    ]
-    if len(rungs) == 1:
-        masks = [keep]
-    else:
-        masks = [fits[0]]
-        for j in range(1, len(rungs) - 1):
-            masks.append(fits[j] & jnp.logical_not(fits[j - 1]))
-        masks.append(keep & jnp.logical_not(fits[-1]))
-    counts = [jnp.sum(m.astype(jnp.int32)) for m in masks]
-
     assert len(overflow_rows) == len(overflow_ks)
-    # overflow rows beyond their rung's budget spill into the footprint
-    # raster (clipped for this frame; the budget grows next frame)
-    fp_mask = masks[0]
-    for m, budget in zip(masks[1:], overflow_rows):
+    assert len(sub_rows) == len(sub_ks)
+    rungs = tuple(sub_ks) + (footprint,) + tuple(overflow_ks)
+    fp_i = len(sub_ks)  # the footprint rung's index in ``rungs``
+    # exclusive fit bands, ascending k; the last rung is the catch-all
+    masks = []
+    covered = None
+    for j, k in enumerate(rungs):
+        if j == len(rungs) - 1:
+            m = keep if covered is None else (
+                keep & jnp.logical_not(covered)
+            )
+        else:
+            f = keep & (rmax < jnp.float32(k / 2.0))
+            m = f if covered is None else f & jnp.logical_not(covered)
+            covered = f if covered is None else covered | f
+        masks.append(m)
+    counts = [jnp.sum(m.astype(jnp.int32)) for m in masks]
+    budgets = tuple(sub_rows) + (None,) + tuple(overflow_rows)
+
+    # rows beyond any non-footprint rung's budget spill into the
+    # footprint raster (sub rungs: rendered exactly through the wider
+    # window; overflow rungs: clipped for this frame; either way the
+    # budget grows next frame)
+    fp_mask = masks[fp_i]
+    for j, m in enumerate(masks):
+        if j == fp_i:
+            continue
         rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        fp_mask = fp_mask | (m & (rank >= budget))
+        fp_mask = fp_mask | (m & (rank >= budgets[j]))
 
     # main footprint raster over the sticky compacted buffer
     vp, nd, rd, pid, ok = compact_rows(
@@ -545,10 +571,11 @@ def render_bucket_pass(
         height, width, footprint, voronoi,
     )
 
-    for j in range(1, len(rungs)):
-        k = rungs[j]
+    for j, k in enumerate(rungs):
+        if j == fp_i:
+            continue
         m = masks[j]
-        budget = overflow_rows[j - 1]
+        budget = budgets[j]
 
         def _raster_rung(fb, m=m, k=k, budget=budget):
             r = compact_rows(

@@ -596,6 +596,74 @@ class TestFullFrame:
         np.testing.assert_array_equal(d_m, d_s)
         assert stats_m["points_visible"] == stats_s["points_visible"] > 0
 
+    def test_megakernel_sub_rungs_image_identical(self, tmp_path):
+        """Sub-footprint rungs (splats routed through 1x1/3x3 windows
+        inside the megakernel) must be byte-identical to the plain
+        footprint raster: a k x k window is image-exact for half-extents
+        under k/2 (splat_pixel_radii docs), and over-budget rows spill
+        UP into the footprint window. Uses a far camera so the scene is
+        dominated by sub-pixel splats (the sub rungs' target regime)."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(23)
+        pos = rng.uniform(-120, 120, (30_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (30_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        def run(subs):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata,
+                RenderSettings(width=128, height=96, sub_rungs=subs),
+            )
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            cam.look_at_aabb(metadata.bounding_box)
+            # back the camera off: far splats project under half a pixel
+            center = metadata.bounding_box.center()
+            cam.transform.translation = (
+                center
+                + (cam.transform.translation - center) * 4.0
+            ).astype(np.float32)
+            cam.transform.look_at(
+                center, np.array([0.0, 0.0, 1.0], np.float32)
+            )
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(200):
+                if not streamer.fill_load_slots():
+                    break
+            out = None
+            counts = None
+            for _ in range(4):  # budgets converge after counts land
+                out = renderer.render(streamer, cam, frustums)
+                counts = dict(renderer._survivor_counts)
+            return out, counts
+
+        (rgb_a, d_a, stats_a), counts_a = run(True)
+        (rgb_b, d_b, stats_b), _ = run(False)
+        np.testing.assert_array_equal(rgb_a, rgb_b)
+        np.testing.assert_array_equal(d_a, d_b)
+        assert stats_a["points_visible"] == stats_b["points_visible"] > 0
+        # the far camera must actually exercise a sub rung, or this
+        # test proves nothing
+        assert any(
+            k[1] in (1, 3) and v > 0 for k, v in counts_a.items()
+            if isinstance(k[1], int)
+        )
+
     def test_pipelined_frames_match_sync(self, tmp_path):
         """render_pipelined returns each frame one call late but the
         images must be byte-identical to the synchronous render."""
