@@ -147,9 +147,35 @@ def main(argv=None) -> int:
         batch_size = batch_size or DEFAULT_BATCH_SIZE
 
     if args.device or args.mesh is not None or args.device_native:
-        from ..ops.runtime import setup_jax_cache
+        from ..ops.runtime import device_reachable, setup_jax_cache
 
         setup_jax_cache()
+        # a wedged tunnel hangs PJRT client creation uninterruptibly
+        # (environment constraint, PERF.md); probe in a bounded
+        # subprocess BEFORE committing the conversion to a device
+        # backend. Stores are byte-identical across every backend, so
+        # failing over to the C++ engine only changes throughput.
+        if not device_reachable():
+            if args.multihost:
+                log.error(
+                    "accelerator unreachable (PCT_DEVICE_PROBE_S budget "
+                    "exceeded); refusing the multihost launch"
+                )
+                return 1
+            log.error(
+                "accelerator unreachable within the probe budget; "
+                "falling back to the host C++ engine (byte-identical "
+                "store, host-side throughput)"
+            )
+            from ..native import hex_lockstep_ok
+
+            if hex_lockstep_ok():
+                from .native import NativeConverter
+
+                factory = NativeConverter
+            else:
+                factory = Converter
+            batch_size = args.batch_size or 1 << 18
 
     from .converter import DEFAULT_CACHE_SIZE
 

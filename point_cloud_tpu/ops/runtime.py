@@ -47,3 +47,34 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _configured = True
+
+
+def device_reachable(timeout_s: float | None = None) -> bool:
+    """Probe accelerator reachability in a BOUNDED subprocess.
+
+    Through this environment's tunnel a wedged TPU endpoint hangs PJRT
+    client creation *inside a C extension* — uninterruptible from
+    Python, so an in-process try/except can never bound it; only a
+    subprocess + timeout can (the same rule bench.py applies). Callers
+    that are about to commit a long job to a device backend use this to
+    fail over instead of hanging forever.
+
+    Timeout: ``PCT_DEVICE_PROBE_S`` env (default 180 s — the first
+    contact pays ~30 s tunnel setup on a healthy link); <= 0 skips the
+    probe and reports reachable.
+    """
+    import subprocess
+    import sys
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("PCT_DEVICE_PROBE_S", "180"))
+    if timeout_s <= 0:
+        return True
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "ok" in proc.stdout

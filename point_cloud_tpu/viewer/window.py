@@ -84,11 +84,30 @@ def rgb_to_ppm(rgb: np.ndarray) -> bytes:
     return header + np.ascontiguousarray(rgb, dtype=np.uint8).tobytes()
 
 
+HOTKEY_HELP = """\
+point_cloud_tpu window hotkeys (the egui panel's runtime controls,
+reference src/plugins/render/ui.rs:122-146, as key toggles):
+  p        pause/resume streaming          v  voronoi / flat splats
+  o        size-by-distance LOD override   x  streaming far-plane rects
+  b        cloud bounding box              g  per-hierarchy cell grid
+  c        freeze/clear frustum wireframe  n  frustum plane normals
+  [ / ]    streaming-frustums scale -/+ (1..5)
+  0-9      toggle hierarchy N point visibility
+  h        print this help
+fly cam: WASD move, Space/Shift ascend/descend, hold RMB to look,
+wheel (while looking) adjusts speed."""
+
+
 class WindowLoop:
     """The per-frame pump: events -> input sample -> update -> render ->
     blit. Mirrors the reference's event_loop closure (winit.rs:112-159):
     window events feed the input plugin, RedrawRequested runs the
     schedule, Resized reconfigures the surface, CloseRequested exits.
+
+    Key toggles stand in for the reference's egui panel controls
+    (ui.rs:122-146 / debug.rs:21-36) — the browser client has the full
+    mouse UI; locally the same runtime state flips from the keyboard
+    (``HOTKEY_HELP``).
     """
 
     def __init__(self, viewer, backend, input_state: InputState | None = None,
@@ -101,10 +120,53 @@ class WindowLoop:
         self.frames = 0
         self._last = None  # previous frame timestamp for real dt
 
+    # --- hotkeys -------------------------------------------------------------
+
+    def _apply_hotkey(self, key: str) -> None:
+        v = self.viewer
+        s = v.settings
+        d = v.debug
+        if key == "p":
+            v.stream_enabled = not v.stream_enabled
+        elif key == "v":
+            s.voronoi = not s.voronoi
+        elif key == "o":
+            s.size_by_distance = not s.size_by_distance
+        elif key == "x":
+            d.show_streaming_rects = not d.show_streaming_rects
+        elif key == "b":
+            d.show_bounding_box = not d.show_bounding_box
+        elif key == "g":
+            d.show_cell_grid = not d.show_cell_grid
+        elif key == "c":
+            if d.show_frustum:
+                d.show_frustum = False
+            else:
+                v.freeze_frustum()
+        elif key == "n":
+            if d.frozen_frustum is None:
+                v.freeze_frustum()
+            d.show_plane_normals = not d.show_plane_normals
+        elif key in ("bracketleft", "["):
+            v.streaming_scale = max(1.0, v.streaming_scale - 0.5)
+        elif key in ("bracketright", "]"):
+            v.streaming_scale = min(5.0, v.streaming_scale + 0.5)
+        elif key.isdigit():
+            h = int(key)
+            hidden = s.hidden_hierarchies
+            (hidden.discard if h in hidden else hidden.add)(h)
+        elif key == "h":
+            print(HOTKEY_HELP)
+
     # --- event application -------------------------------------------------
 
     def apply_event(self, ev: WindowEvent) -> None:
         if ev.kind == "key_down" and ev.key:
+            # toggles fire on the PRESS edge only: Tk auto-repeat
+            # delivers held keys as repeated KeyPress events, which
+            # would flicker a toggle while held
+            if ev.key not in self.input.pressed_keys:
+                self._apply_hotkey(ev.key)
             self.input.key_down(ev.key)
         elif ev.kind == "key_up" and ev.key:
             self.input.key_up(ev.key)

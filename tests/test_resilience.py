@@ -148,3 +148,47 @@ class TestUnderDeliveringSource:
         )  # must terminate
         out_meta = Md.from_path(tmp_path / "out" / "metadata.json")
         assert out_meta.number_of_points == 2_000
+
+
+class TestWedgedAccelerator:
+    def test_cli_device_falls_back_when_unreachable(self, tmp_path, monkeypatch):
+        """--device against an unreachable accelerator must fail over to
+        a host backend (byte-identical store) instead of hanging forever
+        in PJRT client creation (the wedged-tunnel environment failure
+        mode, PERF.md)."""
+        from point_cloud_tpu.convert import cli
+        from point_cloud_tpu.core.metadata import Metadata as Md
+        from point_cloud_tpu.io.ply import write_ply
+        from point_cloud_tpu.ops import runtime
+
+        batch = random_batch(3_000, seed=91)
+        src = tmp_path / "cloud.ply"
+        write_ply(src, batch)
+
+        monkeypatch.setattr(runtime, "device_reachable", lambda *a: False)
+        rc = cli.main(["-o", str(tmp_path / "dev"), "-f", str(src),
+                       "--device"])
+        assert rc == 0
+        meta = Md.from_path(tmp_path / "dev" / "metadata.json")
+        assert meta.number_of_points == 3_000
+
+        # byte parity with the host oracle store
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        import filecmp
+
+        cmp = filecmp.dircmp(tmp_path / "dev", tmp_path / "host")
+        assert not cmp.diff_files and not cmp.left_only and not cmp.right_only
+
+    def test_cli_multihost_refuses_when_unreachable(self, tmp_path, monkeypatch):
+        from point_cloud_tpu.convert import cli
+        from point_cloud_tpu.io.ply import write_ply
+        from point_cloud_tpu.ops import runtime
+
+        src = tmp_path / "cloud.ply"
+        write_ply(src, random_batch(100, seed=92))
+        monkeypatch.setattr(runtime, "device_reachable", lambda *a: False)
+        rc = cli.main(["-o", str(tmp_path / "out"), "-f", str(src),
+                       "--mesh", "2", "--multihost"])
+        assert rc == 1
+        assert not (tmp_path / "out" / "metadata.json").exists()

@@ -163,3 +163,80 @@ def test_run_window_with_store(tmp_path):
     assert run_window(
         str(tmp_path), width=64, height=48, max_frames=1, backend=backend2,
     ) == 1
+
+
+def test_hotkeys_toggle_runtime_settings(viewer):
+    """The keyboard control surface flips the same runtime state the
+    reference's egui panel exposes (ui.rs:122-146, debug.rs:21-36)."""
+    from point_cloud_tpu.viewer.window import WindowLoop
+
+    loop = WindowLoop(viewer, FakeBackend())
+
+    def press(key):
+        loop.apply_event(WindowEvent("key_down", key=key))
+        loop.apply_event(WindowEvent("key_up", key=key))
+
+    assert viewer.stream_enabled
+    press("p")
+    assert not viewer.stream_enabled
+    press("p")
+    assert viewer.stream_enabled
+
+    assert viewer.settings.voronoi
+    press("v")
+    assert not viewer.settings.voronoi
+
+    assert not viewer.settings.size_by_distance
+    press("o")
+    assert viewer.settings.size_by_distance
+
+    for key, attr in (
+        ("b", "show_bounding_box"),
+        ("g", "show_cell_grid"),
+        ("x", "show_streaming_rects"),
+    ):
+        assert not getattr(viewer.debug, attr)
+        press(key)
+        assert getattr(viewer.debug, attr)
+
+    # frustum freeze + plane normals capture a frozen frustum
+    assert viewer.debug.frozen_frustum is None
+    press("c")
+    assert viewer.debug.show_frustum
+    assert viewer.debug.frozen_frustum is not None
+    press("c")
+    assert not viewer.debug.show_frustum
+    press("n")
+    assert viewer.debug.show_plane_normals
+
+    # streaming scale steps, clamped to the reference slider range 1..5
+    start = viewer.streaming_scale
+    press("bracketright")
+    assert viewer.streaming_scale == start + 0.5
+    for _ in range(20):
+        press("bracketleft")
+    assert viewer.streaming_scale == 1.0
+    for _ in range(20):
+        press("bracketright")
+    assert viewer.streaming_scale == 5.0
+
+    # hierarchy visibility digits
+    press("2")
+    assert 2 in viewer.settings.hidden_hierarchies
+    press("2")
+    assert 2 not in viewer.settings.hidden_hierarchies
+
+
+def test_hotkey_autorepeat_does_not_flicker(viewer):
+    """Tk auto-repeat delivers held keys as repeated KeyPress events;
+    a toggle must fire once per press edge, not per repeat."""
+    from point_cloud_tpu.viewer.window import WindowLoop
+
+    loop = WindowLoop(viewer, FakeBackend())
+    loop.apply_event(WindowEvent("key_down", key="p"))
+    loop.apply_event(WindowEvent("key_down", key="p"))  # auto-repeat
+    loop.apply_event(WindowEvent("key_down", key="p"))
+    assert not viewer.stream_enabled  # toggled exactly once
+    loop.apply_event(WindowEvent("key_up", key="p"))
+    loop.apply_event(WindowEvent("key_down", key="p"))
+    assert viewer.stream_enabled

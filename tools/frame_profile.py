@@ -145,6 +145,7 @@ def main():
             (SP, "rasterize_class_slice"),
             (SP, "emit_fragments"),
             (SP, "sorted_raster_merge"),
+            (SP, "render_bucket_pass"),
             (SP, "pack_frame"),
         ):
             if hasattr(mod, name):
@@ -159,6 +160,13 @@ def main():
             print(f"  {name:24s} {v*1e3:8.1f} ms")
         for mod, name, orig in saved:
             setattr(mod, name, orig)
+
+        # the landed per-(bucket, rung) survivor counts: the window-
+        # ladder occupancy that decides what the sub/overflow rungs save
+        counts = getattr(renderer, "_survivor_counts", {})
+        print("survivor counts (bucket, rung):")
+        for key in sorted(counts, key=str):
+            print(f"  {key!s:14s} {counts[key]:8d}")
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
