@@ -78,3 +78,27 @@ def device_reachable(timeout_s: float | None = None) -> bool:
     except subprocess.TimeoutExpired:
         return False
     return proc.returncode == 0 and "ok" in proc.stdout
+
+
+def pin_cpu_if_unreachable(log=None) -> bool:
+    """For LONG-RUNNING entry points (serve, the viewer window): if the
+    accelerator is unreachable within the probe budget, pin this
+    process to the CPU platform so the first frame degrades to host
+    rendering instead of hanging forever in PJRT client creation.
+    Returns True when the fallback was applied. Must run before the
+    process's first backend touch (entry points call it right after
+    :func:`setup_jax_cache`)."""
+    if device_reachable():
+        return False
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        return False  # backend already initialized; nothing safe to do
+    if log is not None:
+        log.warning(
+            "accelerator unreachable within the probe budget "
+            "(PCT_DEVICE_PROBE_S); rendering on the CPU platform"
+        )
+    return True

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -586,9 +587,12 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    from .ops.runtime import setup_jax_cache
+    from .ops.runtime import pin_cpu_if_unreachable, setup_jax_cache
 
     setup_jax_cache()  # persistent XLA cache: every entry point must
+    # a wedged tunnel would hang the FIRST /render forever inside PJRT
+    # client creation; a long-running server degrades to CPU instead
+    pin_cpu_if_unreachable(logging.getLogger("point_cloud_tpu.serve"))
     httpd = serve(args.store, args.host, args.port, args.width,
                   args.height, convert_root=args.convert_root)
     print(f"serving {args.store} on http://{args.host}:{args.port}")

@@ -374,9 +374,14 @@ def main(argv=None) -> int:
                    help="exit after N frames (default: until closed)")
     args = p.parse_args(argv)
 
-    from ..ops.runtime import setup_jax_cache
+    import logging
+
+    from ..ops.runtime import pin_cpu_if_unreachable, setup_jax_cache
 
     setup_jax_cache()
+    # a wedged tunnel would hang the first frame forever inside PJRT
+    # client creation; an interactive window degrades to CPU instead
+    pin_cpu_if_unreachable(logging.getLogger("point_cloud_tpu.window"))
     run_window(args.store, width=args.width, height=args.height,
                max_frames=args.frames)
     return 0
