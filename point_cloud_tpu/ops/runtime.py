@@ -70,10 +70,29 @@ def device_reachable(timeout_s: float | None = None) -> bool:
         timeout_s = float(os.environ.get("PCT_DEVICE_PROBE_S", "180"))
     if timeout_s <= 0:
         return True
+    # propagate an in-process platform pin (e.g. tests pin cpu via
+    # jax.config, not env) so the probe checks the platform this
+    # process would actually use; the probe script re-asserts the env
+    # var itself because the tunnel plugin's sitecustomize overwrites it
+    env = dict(os.environ)
+    try:
+        import jax
+
+        configured = jax.config.jax_platforms
+        if configured:
+            env["JAX_PLATFORMS"] = configured
+    except Exception:
+        pass
+    script = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "jax.devices(); print('ok')\n"
+    )
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s,
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
         )
     except subprocess.TimeoutExpired:
         return False

@@ -19,3 +19,9 @@ if platform == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# skip the CLI's bounded device-reachability probe (a subprocess jax
+# import per --device/--mesh CLI invocation): the suite pins the cpu
+# platform, which is always "reachable". The probe's own behavior is
+# covered by monkeypatched tests in test_resilience.py.
+os.environ.setdefault("PCT_DEVICE_PROBE_S", "0")
