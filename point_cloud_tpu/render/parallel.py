@@ -132,13 +132,19 @@ class MeshPointRenderer:
     pass and does not change images.
     """
 
-    def __init__(self, metadata: Metadata, mesh, axis: str | None = None,
+    def __init__(self, metadata: Metadata, mesh=None,
+                 axis: str | None = None,
                  settings: RenderSettings | None = None):
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
         self.metadata = metadata
         self.mesh = mesh
         self.axis = axis or mesh.axis_names[0]
         self.settings = settings or RenderSettings()
         self._fns: dict = {}
+        self._bucket_cache: dict = {}
         self._n_dev = int(np.prod(mesh.devices.shape))
 
     def _pad_rows(self, n_real: int) -> int:
@@ -204,30 +210,48 @@ class MeshPointRenderer:
         row_spec = NamedSharding(self.mesh, P(self.axis))
         mat_spec = NamedSharding(self.mesh, P(self.axis, None))
         for group in buckets:
-            positions = np.concatenate([g[3].positions for g in group])
-            colors = np.concatenate([g[3].colors for g in group])
-            hier = np.concatenate([
-                np.full(len(g[3]), g[2].hierarchy, np.int32) for g in group
-            ])
-            n_real = len(positions)
+            # device-resident sharded bucket arrays, cached per (cell
+            # ids + generations, id_base): an orbiting camera costs zero
+            # host->device point traffic until the loaded set changes —
+            # the same contract as the single-device renderer's
+            # _bucket_device_arrays
+            ckey = (tuple((g[2], g[4]) for g in group), id_base)
+            cached = self._bucket_cache.get(ckey)
+            if cached is None:
+                positions = np.concatenate([g[3].positions for g in group])
+                colors = np.concatenate([g[3].colors for g in group])
+                hier = np.concatenate([
+                    np.full(len(g[3]), g[2].hierarchy, np.int32)
+                    for g in group
+                ])
+                n_real = len(positions)
+                n = self._pad_rows(n_real)
+                pos_pad = np.zeros((n, 3), np.float32)
+                pos_pad[:n_real] = positions
+                hier_pad = np.zeros(n, np.int32)
+                hier_pad[:n_real] = hier
+                valid = np.zeros(n, bool)
+                valid[:n_real] = True
+                ids = np.zeros(n, np.int32)
+                ids[:n_real] = np.arange(
+                    id_base, id_base + n_real, dtype=np.int32
+                )
+                cached = (
+                    (
+                        jax.device_put(pos_pad, mat_spec),
+                        jax.device_put(hier_pad, row_spec),
+                        jax.device_put(valid, row_spec),
+                        jax.device_put(ids, row_spec),
+                    ),
+                    colors,
+                    n_real,
+                )
+                if len(self._bucket_cache) > 64:
+                    self._bucket_cache.pop(next(iter(self._bucket_cache)))
+                self._bucket_cache[ckey] = cached
+            arrays, colors, n_real = cached
             total_in += n_real
-            n = self._pad_rows(n_real)
-            pos_pad = np.zeros((n, 3), np.float32)
-            pos_pad[:n_real] = positions
-            hier_pad = np.zeros(n, np.int32)
-            hier_pad[:n_real] = hier
-            valid = np.zeros(n, bool)
-            valid[:n_real] = True
-            ids = np.zeros(n, np.int32)
-            ids[:n_real] = np.arange(
-                id_base, id_base + n_real, dtype=np.int32
-            )
-            bucket_arrays += [
-                jax.device_put(pos_pad, mat_spec),
-                jax.device_put(hier_pad, row_spec),
-                jax.device_put(valid, row_spec),
-                jax.device_put(ids, row_spec),
-            ]
+            bucket_arrays += list(arrays)
             all_colors.append(colors)
             id_base += n_real
 
@@ -278,4 +302,28 @@ class MeshPointRenderer:
             "points_in": total_in,
             "points_visible": int(visible),
         }
-        return np.asarray(rgb), np.asarray(depth), stats
+        depth_out = np.asarray(depth) if s.transfer_depth else None
+        return np.asarray(rgb), depth_out, stats
+
+    # --- Viewer-compatible frame API ------------------------------------
+    #
+    # The single-device renderer's start/finish split overlaps the image
+    # readback with the next frame's dispatch (renderer.render_pipelined).
+    # The sharded path keeps the same interface so Viewer/serve can swap
+    # renderers transparently; it completes synchronously for now (the
+    # pmin merge replicates the framebuffer, so the readback is already
+    # the only host transfer).
+
+    def render_start(self, streamer, camera: Camera,
+                     streaming_frustums=None, paused: bool = False):
+        return self.render(streamer, camera, streaming_frustums, paused)
+
+    def render_finish(self, handle):
+        return handle
+
+    def render_pipelined(self, streamer, camera: Camera,
+                         streaming_frustums=None, paused: bool = False):
+        return self.render(streamer, camera, streaming_frustums, paused)
+
+    def render_flush(self):
+        return None

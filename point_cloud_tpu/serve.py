@@ -45,7 +45,7 @@ class StoreServer:
     """
 
     def __init__(self, store_dir, width=640, height=480,
-                 convert_root=None):
+                 convert_root=None, mesh_devices=0):
         from .render.renderer import RenderSettings
         from .viewer.app import Viewer
 
@@ -56,7 +56,7 @@ class StoreServer:
         settings = RenderSettings(
             width=width, height=height, transfer_depth=False
         )
-        self.viewer = Viewer(settings)
+        self.viewer = Viewer(settings, mesh_devices=mesh_devices)
         self.viewer.load_metadata(self.store_dir / "metadata.json")
         self.convert_root = Path(convert_root) if convert_root else None
         self._converter = None
@@ -318,10 +318,12 @@ class StoreRegistry:
     (`/stores` lists them, `/s/<name>/...` scopes every endpoint).
     """
 
-    def __init__(self, root, width=640, height=480, convert_root=None):
+    def __init__(self, root, width=640, height=480, convert_root=None,
+                 mesh_devices=0):
         self.root = Path(root)
         self._width, self._height = width, height
         self._convert_root = convert_root
+        self._mesh_devices = mesh_devices
         self._servers: dict[str, StoreServer] = {}
         self._lock = threading.Lock()
         if (self.root / "metadata.json").exists():
@@ -355,6 +357,7 @@ class StoreRegistry:
                     self._dirs[name], width=self._width,
                     height=self._height,
                     convert_root=self._convert_root,
+                    mesh_devices=self._mesh_devices,
                 )
             return self._servers[name]
 
@@ -555,7 +558,7 @@ def make_handler(registry: StoreRegistry):
 
 
 def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480,
-          convert_root=None):
+          convert_root=None, mesh_devices=0):
     """Build and return the HTTP server (call serve_forever on it).
 
     ``store_dir`` may be one store (holds metadata.json) or a directory
@@ -564,7 +567,8 @@ def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480,
     ``convert_root`` (optional) enables the in-app converter endpoints,
     restricted to files under that directory."""
     registry = StoreRegistry(
-        store_dir, width=width, height=height, convert_root=convert_root
+        store_dir, width=width, height=height, convert_root=convert_root,
+        mesh_devices=mesh_devices,
     )
     httpd = ThreadingHTTPServer((host, port), make_handler(registry))
     return httpd
@@ -585,6 +589,12 @@ def main(argv=None) -> int:
         help="enable the in-app converter endpoints for files under "
         "this directory (disabled otherwise)",
     )
+    parser.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="render frames data-parallel over an N-device mesh "
+        "(render/parallel.py; images identical to single-device — "
+        "for co-located multi-chip hosts)",
+    )
     args = parser.parse_args(argv)
 
     from .ops.runtime import pin_cpu_if_unreachable, setup_jax_cache
@@ -594,7 +604,8 @@ def main(argv=None) -> int:
     # client creation; a long-running server degrades to CPU instead
     pin_cpu_if_unreachable(logging.getLogger("point_cloud_tpu.serve"))
     httpd = serve(args.store, args.host, args.port, args.width,
-                  args.height, convert_root=args.convert_root)
+                  args.height, convert_root=args.convert_root,
+                  mesh_devices=args.mesh)
     print(f"serving {args.store} on http://{args.host}:{args.port}")
     httpd.serve_forever()
     return 0

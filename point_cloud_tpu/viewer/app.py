@@ -102,7 +102,11 @@ class Viewer:
     streaming_scale: float  # property below: changes re-stream immediately
 
     def __init__(self, settings: RenderSettings | None = None,
-                 pool: ThreadPool | None = None):
+                 pool: ThreadPool | None = None, mesh_devices: int = 0):
+        # mesh_devices > 0 renders frames data-parallel over a device
+        # mesh (render/parallel.py) — images identical to the
+        # single-device renderer; meant for co-located multi-chip hosts
+        self.mesh_devices = int(mesh_devices)
         self.settings = settings or RenderSettings()
         self.pool = pool or ThreadPool(2)  # ThreadPoolPlugin size (2)
         self.metadata = Metadata()  # placeholder "Unknown" cloud
@@ -126,9 +130,20 @@ class Viewer:
         )
         self._cell_handles: dict[CellId, object] = {}
         self.streamer = CellStreamer(self.metadata)
-        self.renderer = PointRenderer(self.metadata, self.settings)
+        self.renderer = self._make_renderer(self.metadata)
         self._frustums = []
         self._camera_dirty = True
+
+    def _make_renderer(self, metadata):
+        if self.mesh_devices > 0:
+            from ..parallel.mesh import make_mesh
+            from ..render.parallel import MeshPointRenderer
+
+            return MeshPointRenderer(
+                metadata, make_mesh(self.mesh_devices),
+                settings=self.settings,
+            )
+        return PointRenderer(metadata, self.settings)
 
     # --- metadata loading (src/plugins/metadata.rs) ---------------------------
 
@@ -151,7 +166,7 @@ class Viewer:
         self.streamer.cleanup()
         self.streamer.metadata = metadata
         self._cell_handles.clear()
-        self.renderer = PointRenderer(metadata, self.settings)
+        self.renderer = self._make_renderer(metadata)
         # reframe + view distance (metadata.rs:299-312, cell.rs:155-162)
         self.camera.projection.far = float(
             metadata.config.max_cell_size * 5.0
@@ -182,7 +197,7 @@ class Viewer:
         self.camera.projection.aspect_ratio = (
             self.settings.width / self.settings.height
         )
-        self.renderer = PointRenderer(self.metadata, self.settings)
+        self.renderer = self._make_renderer(self.metadata)
         self._camera_dirty = True
 
     # --- per-frame update ------------------------------------------------------

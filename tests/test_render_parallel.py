@@ -122,6 +122,58 @@ class TestMeshFrameEquality:
         assert stats["points_visible"] == 0
         assert (depth == 1.0).all()
 
+    def test_serve_mesh_backend(self, tmp_path):
+        """The --mesh server flag renders frames through the sharded
+        renderer (wiring test: Viewer(mesh_devices) + serve plumbing)."""
+        import threading
+        import urllib.request
+
+        from point_cloud_tpu.serve import serve
+
+        _build_scene(tmp_path, n=4_000)
+        httpd = serve(
+            tmp_path, host="127.0.0.1", port=0, width=64, height=48,
+            mesh_devices=8,
+        )
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            base = f"http://127.0.0.1:{httpd.server_address[1]}"
+            with urllib.request.urlopen(
+                f"{base}/render?yaw=0.3", timeout=180
+            ) as resp:
+                body = resp.read()
+            assert resp.status == 200
+            assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        finally:
+            httpd.shutdown()
+
+    def test_viewer_mesh_devices_renders(self, tmp_path):
+        """Viewer(mesh_devices=8) produces the same image as the default
+        single-device Viewer for the plain raster configuration."""
+        from point_cloud_tpu.render.parallel import MeshPointRenderer
+        from point_cloud_tpu.viewer.app import Viewer
+
+        _build_scene(tmp_path, n=4_000)
+
+        frames = []
+        for mesh_devices in (0, 8):
+            settings = _plain_settings()
+            v = Viewer(settings, mesh_devices=mesh_devices)
+            v.load_metadata(tmp_path / "metadata.json")
+            if mesh_devices:
+                assert isinstance(v.renderer, MeshPointRenderer)
+            for _ in range(300):
+                v.update(0.0)
+                if not v.streamer.loading and not v.streamer.should_load:
+                    break
+            frames.append(v.render())
+        rgb_1, depth_1, stats_1 = frames[0]
+        rgb_n, depth_n, stats_n = frames[1]
+        assert stats_n["points_visible"] == stats_1["points_visible"]
+        np.testing.assert_array_equal(rgb_n, rgb_1)
+        np.testing.assert_array_equal(depth_n, depth_1)
+
     def test_mesh_width_does_not_change_image(self, tmp_path):
         """2-way and 8-way meshes produce the same bytes (the scaling
         axis is free to follow the hardware)."""
