@@ -145,6 +145,15 @@ class RenderSettings:
     # "even raster windows"); cond-gated rungs in one program keep the
     # savings without the dispatches
     sub_rungs: bool = True
+    # fuse the WHOLE frame (every bucket's megakernel chain + the packed
+    # resolve) into ONE XLA program: one dispatch + one readback per
+    # frame (splat.render_frame_pass). Image-identical to the per-bucket
+    # megakernel. Trade-off: the compile key concatenates every bucket's
+    # shape + budget tuple, so any one bucket resizing re-mints the
+    # whole-frame executable (5-17 s on TPU) where the per-bucket path
+    # recompiles only the moved bucket — enable on steady scenes whose
+    # shape vocabulary has settled; A/B before changing the default
+    frame_fusion: bool = False
 
 
 def hierarchy_tables(metadata: Metadata) -> tuple[np.ndarray, np.ndarray]:
@@ -390,6 +399,12 @@ class PointRenderer:
         # group consecutive same-bucket cells; near buckets raster first so
         # farther buckets' occlusion test sees their depth (point.rs:144-215)
         i = 0
+        # whole-frame fusion (frame_fusion): collect every bucket's args
+        # and dispatch ONE program after the loop instead of one per
+        # bucket. Eligibility is settings-only, so a frame is either
+        # fully fused or fully per-bucket
+        fused_args: list = []
+        fused_static: list = []
 
         while i < len(cells):
             bucket = cells[i][0]
@@ -490,27 +505,40 @@ class PointRenderer:
                             return min(c, n)
                     return n
 
-                framebuffer, counts_vec = render_bucket_pass(
-                    framebuffer, pos_dev, hier_base, valid_dev, ids_dev,
-                    view_dev, proj_dev, cam_dev, spacings_dev, fars_dev,
-                    sbd_dev, maxh_dev, depth=depth_now,
-                    height=s.height, width=s.width,
-                    footprint=s.footprint, voronoi=s.voronoi,
-                    use_occlusion=use_occ,
-                    out_size=min(held, n) if held else n,
-                    overflow_rows=tuple(
-                        rung_budget(k) for k in mega_rungs
-                    ),
-                    overflow_ks=mega_rungs,
+                static_cfg = (
+                    min(held, n) if held else n,
+                    tuple(rung_budget(k) for k in mega_rungs),
+                    mega_rungs,
                     # sub rungs carry the bulk of a deep store's splats:
                     # a coarser, larger ladder than the (rare) overflow
                     # windows
-                    sub_rows=tuple(
+                    tuple(
                         rung_budget(k, ladder=(1024, 16384, 65536))
                         for k in mega_subs
                     ),
-                    sub_ks=mega_subs,
+                    mega_subs,
                 )
+                if s.frame_fusion:
+                    fused_args.append(
+                        (pos_dev, hier_base, valid_dev, ids_dev)
+                    )
+                    fused_static.append(static_cfg)
+                    counts_vec = None  # produced by the fused program
+                else:
+                    framebuffer, counts_vec = render_bucket_pass(
+                        framebuffer, pos_dev, hier_base, valid_dev,
+                        ids_dev, view_dev, proj_dev, cam_dev,
+                        spacings_dev, fars_dev, sbd_dev, maxh_dev,
+                        depth=depth_now,
+                        height=s.height, width=s.width,
+                        footprint=s.footprint, voronoi=s.voronoi,
+                        use_occlusion=use_occ,
+                        out_size=static_cfg[0],
+                        overflow_rows=static_cfg[1],
+                        overflow_ks=static_cfg[2],
+                        sub_rows=static_cfg[3],
+                        sub_ks=static_cfg[4],
+                    )
                 frame_vecs.append(
                     (bucket, mega_subs + (s.footprint,) + mega_rungs,
                      counts_vec, "excl")
@@ -799,16 +827,53 @@ class PointRenderer:
         ]
         total_counts = sum(m[2] for m in vec_meta)
         stats = {"cells": len(cells), "points_in": total_in}
+        if fused_args and total_counts > PACK_COUNTS:
+            # the packed counts tail can't carry this frame's vectors:
+            # fall back to per-bucket dispatches for the collected
+            # buckets (identical chain, one program each) and take the
+            # synchronous path below
+            from .splat import render_bucket_pass as _bucket_pass
+
+            for bi, (args, cfg) in enumerate(zip(fused_args, fused_static)):
+                depth_now = (
+                    framebuffer.depth.reshape(s.height, s.width)
+                    if use_occ else None
+                )
+                framebuffer, counts_vec = _bucket_pass(
+                    framebuffer, *args, view_dev, proj_dev, cam_dev,
+                    spacings_dev, fars_dev, sbd_dev, maxh_dev,
+                    depth=depth_now, height=s.height, width=s.width,
+                    footprint=s.footprint, voronoi=s.voronoi,
+                    use_occlusion=use_occ, out_size=cfg[0],
+                    overflow_rows=cfg[1], overflow_ks=cfg[2],
+                    sub_rows=cfg[3], sub_ks=cfg[4],
+                )
+                b, ks, _, kind = frame_vecs[bi]
+                frame_vecs[bi] = (b, ks, counts_vec, kind)
+            fused_args = []
         if total_counts <= PACK_COUNTS:
-            packed = pack_frame(
-                framebuffer,
-                color_dev,
-                (jnp.concatenate([v for _, _, v, _ in frame_vecs])
-                 if frame_vecs else jnp.zeros(1, jnp.int32)),
-                s.height,
-                s.width,
-                with_depth=s.transfer_depth,
-            )
+            if fused_args:
+                from .splat import render_frame_pass
+
+                packed = render_frame_pass(
+                    tuple(fused_args), view_dev, proj_dev, cam_dev,
+                    spacings_dev, fars_dev, sbd_dev, maxh_dev, color_dev,
+                    height=s.height, width=s.width,
+                    footprint=s.footprint, voronoi=s.voronoi,
+                    use_occlusion=use_occ,
+                    bucket_static=tuple(fused_static),
+                    with_depth=s.transfer_depth,
+                )
+            else:
+                packed = pack_frame(
+                    framebuffer,
+                    color_dev,
+                    (jnp.concatenate([v for _, _, v, _ in frame_vecs])
+                     if frame_vecs else jnp.zeros(1, jnp.int32)),
+                    s.height,
+                    s.width,
+                    with_depth=s.transfer_depth,
+                )
             try:  # start the d2h copy now: render_finish may run a whole
                 packed.copy_to_host_async()  # frame later (pipelined mode)
             except AttributeError:

@@ -450,14 +450,7 @@ def _sort4_frags(pix, depth_bits, ids):
     return bitonic_sort4(pix, depth_bits, ids, arrival)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "height", "width", "footprint", "voronoi", "use_occlusion",
-        "out_size", "overflow_rows", "overflow_ks", "sub_rows", "sub_ks",
-    ),
-)
-def render_bucket_pass(
+def _render_bucket_body(
     framebuffer: Framebuffer,
     positions,  # (N, 3) f32
     hier_base,  # (N,) i32 cached LOD-walk result (kernel.lod_select)
@@ -595,6 +588,76 @@ def render_bucket_pass(
     return fb, counts_vec
 
 
+render_bucket_pass = partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "footprint", "voronoi", "use_occlusion",
+        "out_size", "overflow_rows", "overflow_ks", "sub_rows", "sub_ks",
+    ),
+)(_render_bucket_body)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "footprint", "voronoi", "use_occlusion",
+        "bucket_static", "with_depth",
+    ),
+)
+def render_frame_pass(
+    bucket_arrays,  # tuple of (pos, hier_base, valid, ids) per bucket
+    view, projection, cam_pos, spacings, far_distances,
+    size_by_distance, max_hierarchy,
+    colors,  # (C, 4) u8 padded color table for the device resolve
+    height: int, width: int, footprint: int, voronoi: bool,
+    use_occlusion: bool,
+    # per-bucket (out_size, overflow_rows, overflow_ks, sub_rows, sub_ks)
+    bucket_static: tuple,
+    with_depth: bool,
+):
+    """The WHOLE frame — every bucket's megakernel chain plus the packed
+    resolve — as ONE XLA program: one dispatch + one readback per frame.
+
+    The per-bucket megakernel (``render_bucket_pass``) brought a frame
+    to ~(buckets + 1) dispatches; through a high-latency link each
+    remaining executable switch still costs ~2.4-4.5 ms (PERF.md
+    dispatch-cost table). Threading the framebuffer through the buckets
+    inside one program removes them all, and the near-to-far occlusion
+    ordering is preserved exactly: bucket b's cull reads the running
+    framebuffer's depth (the same value the host loop passed between
+    dispatches — point.rs:117-218 semantics).
+
+    The compile key is the concatenation of every bucket's shape and
+    sticky budget tuple, so any single bucket resizing re-mints the
+    whole frame program — the per-bucket path recompiles only the
+    bucket that moved. That trade is measured, not assumed
+    (``RenderSettings.frame_fusion``): fused wins on steady orbits
+    whose shape vocabulary has stabilized; the per-bucket path is the
+    safer default while shapes churn.
+
+    Returns (packed u8 frame buffer as ``pack_frame``, with every
+    bucket's exclusive counts vector concatenated into the counts tail).
+    """
+    fb = make_framebuffer(height, width)
+    vecs = []
+    for (pos, hier_base, valid, ids), (out_size, orows, oks, srows, sks) \
+            in zip(bucket_arrays, bucket_static):
+        depth = fb.depth.reshape(height, width) if use_occlusion else None
+        fb, counts_vec = _render_bucket_body(
+            fb, pos, hier_base, valid, ids, view, projection, cam_pos,
+            spacings, far_distances, size_by_distance, max_hierarchy,
+            depth=depth, height=height, width=width, footprint=footprint,
+            voronoi=voronoi, use_occlusion=use_occlusion,
+            out_size=out_size, overflow_rows=orows, overflow_ks=oks,
+            sub_rows=srows, sub_ks=sks,
+        )
+        vecs.append(counts_vec)
+    counts = (
+        jnp.concatenate(vecs) if vecs else jnp.zeros(1, jnp.int32)
+    )
+    return _pack_frame_body(fb, colors, counts, height, width, with_depth)
+
+
 @partial(jax.jit, static_argnames=("height", "width"))
 def resolve_framebuffer(framebuffer: Framebuffer, colors, height: int, width: int):
     """Framebuffer -> (rgb image (H, W, 3) u8, depth (H, W) f32).
@@ -624,9 +687,8 @@ def resolve_framebuffer(framebuffer: Framebuffer, colors, height: int, width: in
 PACK_COUNTS = 96
 
 
-@partial(jax.jit, static_argnames=("height", "width", "with_depth"))
-def pack_frame(framebuffer: Framebuffer, colors, counts, height: int,
-               width: int, with_depth: bool):
+def _pack_frame_body(framebuffer: Framebuffer, colors, counts, height: int,
+                     width: int, with_depth: bool):
     """Resolve a frame and flatten EVERYTHING the host reads into one u8
     buffer: [rgb | PACK_COUNTS i32 counts | optional f32 depth].
 
@@ -652,3 +714,8 @@ def pack_frame(framebuffer: Framebuffer, colors, counts, height: int,
             jax.lax.bitcast_convert_type(depth, jnp.uint8).reshape(-1)
         )
     return jnp.concatenate(parts)
+
+
+pack_frame = partial(
+    jax.jit, static_argnames=("height", "width", "with_depth")
+)(_pack_frame_body)

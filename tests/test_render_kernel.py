@@ -664,6 +664,120 @@ class TestFullFrame:
             if isinstance(k[1], int)
         )
 
+    def test_frame_fusion_matches_per_bucket(self, tmp_path):
+        """The whole-frame fused program (frame_fusion) must be
+        byte-identical to the per-bucket megakernel on a steady frame,
+        including across buckets (the fused program threads the running
+        depth between buckets exactly like the host loop passes it
+        between dispatches). Corridor scene -> multiple ilog2 buckets."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(31)
+        pos = np.stack([
+            rng.uniform(-1600, 1600, 25_000),
+            rng.uniform(-200, 200, 25_000),
+            rng.uniform(-200, 200, 25_000),
+        ], axis=1).astype(np.float32)
+        col = rng.integers(0, 256, (25_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        def run(fused):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata,
+                RenderSettings(width=96, height=72, frame_fusion=fused),
+            )
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            cam.transform.translation = np.array(
+                [-1400.0, 60.0, 90.0], np.float32
+            )
+            cam.transform.look_at(
+                np.array([1500.0, 0.0, 0.0], np.float32),
+                np.array([0.0, 0.0, 1.0], np.float32),
+            )
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(300):
+                if not streamer.fill_load_slots():
+                    break
+            out = None
+            for _ in range(4):  # budgets converge after counts land
+                out = renderer.render(streamer, cam, frustums)
+            buckets = {c[0] for c in renderer.gather_points(streamer, cam)}
+            assert len(buckets) > 1  # multi-bucket or the test is weak
+            return out, dict(renderer._survivor_counts)
+
+        (rgb_f, d_f, stats_f), counts_f = run(True)
+        (rgb_b, d_b, stats_b), counts_b = run(False)
+        np.testing.assert_array_equal(rgb_f, rgb_b)
+        np.testing.assert_array_equal(d_f, d_b)
+        assert stats_f["points_visible"] == stats_b["points_visible"] > 0
+        assert counts_f == counts_b  # the fused counts tail lands too
+
+    def test_frame_fusion_pack_overflow_fallback(self, tmp_path, monkeypatch):
+        """When a frame's counts vectors outgrow the packed tail, the
+        fused path falls back to per-bucket dispatches + the synchronous
+        readback — images stay identical."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render import splat
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(32)
+        pos = rng.uniform(-60, 60, (10_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (10_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        def run(fused):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata,
+                RenderSettings(width=64, height=48, frame_fusion=fused),
+            )
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            cam.look_at_aabb(metadata.bounding_box)
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(200):
+                if not streamer.fill_load_slots():
+                    break
+            out = None
+            for _ in range(3):
+                out = renderer.render(streamer, cam, frustums)
+            return out
+
+        baseline = run(False)
+        monkeypatch.setattr(splat, "PACK_COUNTS", 3)
+        fallback = run(True)
+        np.testing.assert_array_equal(fallback[0], baseline[0])
+        assert (
+            fallback[2]["points_visible"] == baseline[2]["points_visible"]
+        )
+
     def test_pipelined_frames_match_sync(self, tmp_path):
         """render_pipelined returns each frame one call late but the
         images must be byte-identical to the synchronous render."""
