@@ -459,18 +459,33 @@ def _run_extra(name: str):
 def _device_healthy() -> bool:
     """Can this process family reach the accelerator at all? A bounded
     subprocess probe — jax.devices() through a wedged tunnel blocks
-    forever, so never probe in-process."""
+    forever, so never probe in-process.
+
+    The tunnel endpoint FLAPS (observed down for stretches of an hour+,
+    PERF.md): one failed probe at bench time would silently cost the
+    run every device metric, so the gate retries a few times with a
+    pause between probes (PCT_BENCH_HEALTH_RETRIES / _RETRY_S to tune;
+    worst case adds retries * (timeout + pause) before the host-only
+    fallback)."""
+    import os
     import subprocess
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=_HEALTH_TIMEOUT_S,
-        )
-    except subprocess.TimeoutExpired:
-        return False
-    return proc.returncode == 0 and "ok" in proc.stdout
+    retries = int(os.environ.get("PCT_BENCH_HEALTH_RETRIES", "3"))
+    pause_s = float(os.environ.get("PCT_BENCH_HEALTH_RETRY_S", "120"))
+    for attempt in range(max(retries, 1)):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=_HEALTH_TIMEOUT_S,
+            )
+            if proc.returncode == 0 and "ok" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < max(retries, 1):
+            time.sleep(pause_s)
+    return False
 
 
 def main() -> None:
