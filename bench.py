@@ -121,6 +121,44 @@ def bench_hierarchy_build() -> float:
     return _convert_once(NativeConverter, positions, colors, n)
 
 
+def bench_incremental_merge() -> float:
+    """BASELINE config 3 (streaming merge): Mpts/s merging a second
+    2 Mi-point cloud into an EXISTING converted store — every batch
+    dedups against on-disk cell occupancy through the engine's lazy
+    cell loads (the reference's resume path, point-converter/src/
+    lib.rs:86-101). Host metric: needs no accelerator."""
+    from point_cloud_tpu.convert.converter import load_metadata
+    from point_cloud_tpu.convert.native import NativeConverter
+    from point_cloud_tpu.core.metadata import Metadata
+    from point_cloud_tpu.core.point import PointBatch
+
+    rng = np.random.default_rng(9)
+    base = synth_cloud(N_POINTS, seed=3)
+    extra = synth_cloud(N_POINTS, seed=4)
+    col_a = rng.integers(0, 256, (N_POINTS, 4), dtype=np.uint8)
+    col_b = rng.integers(0, 256, (N_POINTS, 4), dtype=np.uint8)
+
+    out_dir = tempfile.mkdtemp(prefix="pct_bench_merge_")
+    try:
+        with NativeConverter(Metadata(), out_dir) as conv:
+            for i in range(0, N_POINTS, BATCH):
+                conv.add_points_batch(
+                    PointBatch(base[i : i + BATCH], col_a[i : i + BATCH])
+                )
+        t0 = time.perf_counter()
+        metadata = load_metadata(Path(out_dir))
+        with NativeConverter(metadata, out_dir) as conv:
+            for i in range(0, N_POINTS, BATCH):
+                conv.add_points_batch(
+                    PointBatch(extra[i : i + BATCH], col_b[i : i + BATCH])
+                )
+        elapsed = time.perf_counter() - t0
+        assert conv.metadata.number_of_points == 2 * N_POINTS
+        return N_POINTS / elapsed / 1e6
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _convert_once(converter_cls, positions, colors, n_points) -> float:
     from point_cloud_tpu.core.metadata import Metadata
     from point_cloud_tpu.core.point import PointBatch
@@ -524,6 +562,12 @@ def main() -> None:
         )
     except Exception as err:
         extra["hierarchy_build_10m_wall_s"] = f"error: {err}"
+    try:  # host metric (BASELINE config 3): incremental merge
+        extra["incremental_merge_mpts"] = round(
+            bench_incremental_merge(), 3
+        )
+    except Exception as err:
+        extra["incremental_merge_mpts"] = f"error: {err}"
     healthy = _device_healthy()
     for name in _EXTRAS:
         extra[name] = (

@@ -334,7 +334,8 @@ class TkBackend:
 
 
 def run_window(store: str, width: int = 960, height: int = 600,
-               max_frames: int | None = None, backend=None) -> int:
+               max_frames: int | None = None, backend=None,
+               mesh_devices: int = 0) -> int:
     """Open a local window on a converted store and run the event loop.
 
     ``backend=None`` builds a :class:`TkBackend` (needs a display);
@@ -350,7 +351,7 @@ def run_window(store: str, width: int = 960, height: int = 600,
         p = p / "metadata.json"
 
     settings = RenderSettings(width=width, height=height)
-    viewer = Viewer(settings)
+    viewer = Viewer(settings, mesh_devices=mesh_devices)
     viewer.load_metadata(p)
     backend = backend or TkBackend(width, height)
     loop = WindowLoop(viewer, backend)
@@ -372,6 +373,9 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=600)
     p.add_argument("--frames", type=int, default=None,
                    help="exit after N frames (default: until closed)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="render data-parallel over an N-device mesh "
+                   "(images identical to single-device)")
     args = p.parse_args(argv)
 
     import logging
@@ -383,7 +387,7 @@ def main(argv=None) -> int:
     # client creation; an interactive window degrades to CPU instead
     pin_cpu_if_unreachable(logging.getLogger("point_cloud_tpu.window"))
     run_window(args.store, width=args.width, height=args.height,
-               max_frames=args.frames)
+               max_frames=args.frames, mesh_devices=args.mesh)
     return 0
 
 

@@ -164,6 +164,14 @@ def test_run_window_with_store(tmp_path):
         str(tmp_path), width=64, height=48, max_frames=1, backend=backend2,
     ) == 1
 
+    # --mesh N renders through the sharded renderer (same loop contract)
+    backend3 = FakeBackend()
+    assert run_window(
+        str(tmp_path), width=64, height=48, max_frames=2,
+        backend=backend3, mesh_devices=8,
+    ) == 2
+    assert backend3.blits[-1].shape == (48, 64, 3)
+
 
 def test_hotkeys_toggle_runtime_settings(viewer):
     """The keyboard control surface flips the same runtime state the
