@@ -329,10 +329,14 @@ def bench_render_kernel_steady(positions) -> float:
     return n / dt / 1e6
 
 
-def bench_render_fps(positions, colors) -> float:
+def bench_render_fps(positions, colors, settings_overrides=None) -> float:
     """End-to-end frames/s over an animated camera path (BASELINE
     config 4): streamed store -> cull+LOD -> splat raster -> resolved
-    RGB on the host, 640x480, orbiting camera."""
+    RGB on the host, 640x480, orbiting camera.
+
+    ``settings_overrides`` (dict of RenderSettings fields) supports
+    A/B runs — e.g. ``{"frame_fusion": True}`` via
+    ``python bench.py --fps-ab frame_fusion``."""
     import math
 
     from point_cloud_tpu.convert.native import NativeConverter
@@ -358,9 +362,12 @@ def bench_render_fps(positions, colors) -> float:
             return Cell.from_path(path) if path.exists() else None
 
         streamer = CellStreamer(metadata, loader=loader)
-        renderer = PointRenderer(metadata, RenderSettings(
+        settings = RenderSettings(
             width=640, height=480, occlusion=True, transfer_depth=False,
-        ))
+        )
+        for key, value in (settings_overrides or {}).items():
+            setattr(settings, key, value)
+        renderer = PointRenderer(metadata, settings)
 
         def frame(yaw: float):
             cam = Camera()
@@ -540,6 +547,16 @@ def main() -> None:
         fn, wants_colors = _EXTRAS[sys.argv[2]]
         args = (positions, colors) if wants_colors else (positions,)
         print(fn(*args))
+        return
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--fps-ab":
+        # A/B the orbit fps with one RenderSettings boolean flipped ON
+        # (e.g. --fps-ab frame_fusion); prints baseline then variant
+        knob = sys.argv[2]
+        base = bench_render_fps(positions, colors)
+        variant = bench_render_fps(positions, colors, {knob: True})
+        print(json.dumps({"baseline_fps": round(base, 3),
+                          f"{knob}_fps": round(variant, 3)}))
         return
 
     # headline first: the host C++ engine needs no accelerator, so a
