@@ -33,6 +33,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import statistics
 import sys
@@ -512,7 +513,6 @@ def _device_healthy() -> bool:
     pause between probes (PCT_BENCH_HEALTH_RETRIES / _RETRY_S to tune;
     worst case adds retries * (timeout + pause) before the host-only
     fallback)."""
-    import os
     import subprocess
 
     retries = int(os.environ.get("PCT_BENCH_HEALTH_RETRIES", "3"))
@@ -553,6 +553,19 @@ def main() -> None:
         # A/B the orbit fps with one RenderSettings boolean flipped ON
         # (e.g. --fps-ab frame_fusion); prints baseline then variant
         knob = sys.argv[2]
+        import dataclasses
+
+        from point_cloud_tpu.render.renderer import RenderSettings
+
+        valid = {f.name for f in dataclasses.fields(RenderSettings)}
+        if knob not in valid:
+            # a typo'd knob would silently run two identical baselines
+            # and mislabel one as the variant — the A/B is a default-
+            # flipping decision gate, so fail loudly instead
+            raise SystemExit(
+                f"unknown RenderSettings knob {knob!r}; "
+                f"choose from {sorted(valid)}"
+            )
         base = bench_render_fps(positions, colors)
         variant = bench_render_fps(positions, colors, {knob: True})
         print(json.dumps({"baseline_fps": round(base, 3),
@@ -589,7 +602,11 @@ def main() -> None:
     for name in _EXTRAS:
         extra[name] = (
             _run_extra(name) if healthy
-            else f"error: device unreachable within {_HEALTH_TIMEOUT_S}s"
+            else (
+                "error: device unreachable (health gate: "
+                f"{os.environ.get('PCT_BENCH_HEALTH_RETRIES', '3')} "
+                f"probes x {_HEALTH_TIMEOUT_S}s)"
+            )
         )
 
     print(

@@ -168,17 +168,36 @@ class MeshPointRenderer:
         gather = PointRenderer.gather_points
         cells = gather(self, streamer, camera)
 
-        sizes, spacings = hierarchy_tables(self.metadata)
-        cell_sizes = np.zeros(MAX_HIERARCHIES, np.float32)
-        for h in range(min(self.metadata.hierarchies, MAX_HIERARCHIES)):
-            cell_sizes[h] = self.metadata.config.cell_size(h)
+        # camera-independent constants, cached like the single-device
+        # renderer's (_const_cache / _hash_cache): rebuilding the hash
+        # + re-uploading the tables per frame is measured host cost
+        # (renderer.py cProfile notes)
+        rep = NamedSharding(self.mesh, P())
+        const_key = (id(self.metadata), int(self.metadata.hierarchies))
+        cached = getattr(self, "_const_cache", None)
+        if cached is None or cached[0] != const_key:
+            cell_sizes, spacings = hierarchy_tables(self.metadata)
+            cached = self._const_cache = (
+                const_key,
+                jax.device_put(cell_sizes, rep),
+                jax.device_put(spacings, rep),
+            )
+        _, sizes_dev, spacings_dev = cached
+        table = streamer.loaded_cells_table()
+        table_key = table.tobytes()
+        hcached = getattr(self, "_hash_cache", None)
+        if hcached is None or hcached[0] != table_key:
+            hcached = self._hash_cache = (
+                table_key,
+                jax.device_put(build_loaded_cells_hash(table), rep),
+            )
+        loaded_hash_dev = hcached[1]
         far_distances = np.zeros(MAX_HIERARCHIES, np.float32)
         if streaming_frustums is not None:
             fd = streamer.frustum_far_distances(
                 streaming_frustums, camera.transform
             )
             far_distances[: len(fd)] = fd
-        loaded_hash = build_loaded_cells_hash(streamer.loaded_cells_table())
 
         if not cells:
             hw = s.height * s.width
@@ -189,7 +208,8 @@ class MeshPointRenderer:
             rgb, depth = resolve_framebuffer(
                 fb, jnp.zeros((1024, 4), jnp.uint8), s.height, s.width
             )
-            return (np.asarray(rgb), np.asarray(depth),
+            return (np.asarray(rgb),
+                    np.asarray(depth) if s.transfer_depth else None,
                     {"cells": 0, "points_in": 0, "points_visible": 0})
 
         # group into buckets and build shard-divisible padded arrays
@@ -270,17 +290,16 @@ class MeshPointRenderer:
             if len(self._fns) > 32:
                 self._fns.pop(next(iter(self._fns)))
 
-        rep = NamedSharding(self.mesh, P())
         consts = [
             jax.device_put(np.asarray(camera.view_matrix(), np.float32), rep),
             jax.device_put(np.asarray(camera.projection_matrix(), np.float32), rep),
             jax.device_put(np.asarray(camera.transform.translation, np.float32), rep),
-            jax.device_put(cell_sizes, rep),
-            jax.device_put(spacings, rep),
+            sizes_dev,
+            spacings_dev,
             jax.device_put(far_distances, rep),
             jax.device_put(np.bool_(s.size_by_distance), rep),
             jax.device_put(np.int32(s.max_hierarchy), rep),
-            jax.device_put(loaded_hash, rep),
+            loaded_hash_dev,
         ]
         gdepth, gid, visible = fn(*bucket_arrays, *consts)
 
