@@ -155,9 +155,13 @@ class MeshPointRenderer:
             n += self._n_dev - (n % self._n_dev)
         return n
 
-    def render(self, streamer, camera: Camera, streaming_frustums=None,
-               paused: bool = False):
-        """Returns (rgb (H,W,3) u8, depth (H,W) f32, stats dict)."""
+    def render_start(self, streamer, camera: Camera,
+                     streaming_frustums=None, paused: bool = False) -> dict:
+        """Dispatch a frame's device chain without blocking; returns an
+        opaque handle for :meth:`render_finish` (the single-device
+        renderer's start/finish contract, so Viewer/serve swap
+        renderers transparently and the double-buffered loop overlaps
+        the readback with the next frame's dispatch)."""
         s = self.settings
         use_occ = s.occlusion and not paused
 
@@ -208,9 +212,12 @@ class MeshPointRenderer:
             rgb, depth = resolve_framebuffer(
                 fb, jnp.zeros((1024, 4), jnp.uint8), s.height, s.width
             )
-            return (np.asarray(rgb),
-                    np.asarray(depth) if s.transfer_depth else None,
-                    {"cells": 0, "points_in": 0, "points_visible": 0})
+            return {
+                "rgb_dev": rgb,
+                "depth_dev": depth if s.transfer_depth else None,
+                "visible_dev": jnp.int32(0),
+                "stats": {"cells": 0, "points_in": 0},
+            }
 
         # group into buckets and build shard-divisible padded arrays
         buckets = []
@@ -316,33 +323,53 @@ class MeshPointRenderer:
             Framebuffer(depth=gdepth, point_id=gid),
             jnp.asarray(color_table), s.height, s.width,
         )
-        stats = {
-            "cells": len(cells),
-            "points_in": total_in,
-            "points_visible": int(visible),
+        for arr in (rgb, depth, visible):
+            try:  # start the d2h copies now; render_finish may run a
+                arr.copy_to_host_async()  # whole frame later (pipelined)
+            except AttributeError:
+                pass
+        return {
+            "rgb_dev": rgb,
+            "depth_dev": depth if s.transfer_depth else None,
+            "visible_dev": visible,
+            "stats": {"cells": len(cells), "points_in": total_in},
         }
-        depth_out = np.asarray(depth) if s.transfer_depth else None
-        return np.asarray(rgb), depth_out, stats
-
-    # --- Viewer-compatible frame API ------------------------------------
-    #
-    # The single-device renderer's start/finish split overlaps the image
-    # readback with the next frame's dispatch (renderer.render_pipelined).
-    # The sharded path keeps the same interface so Viewer/serve can swap
-    # renderers transparently; it completes synchronously for now (the
-    # pmin merge replicates the framebuffer, so the readback is already
-    # the only host transfer).
-
-    def render_start(self, streamer, camera: Camera,
-                     streaming_frustums=None, paused: bool = False):
-        return self.render(streamer, camera, streaming_frustums, paused)
 
     def render_finish(self, handle):
-        return handle
+        """Block on a frame dispatched by :meth:`render_start`."""
+        stats = handle["stats"]
+        stats["points_visible"] = int(handle["visible_dev"])
+        depth = handle["depth_dev"]
+        return (
+            np.asarray(handle["rgb_dev"]),
+            np.asarray(depth) if depth is not None else None,
+            stats,
+        )
+
+    def render(self, streamer, camera: Camera, streaming_frustums=None,
+               paused: bool = False):
+        """Returns (rgb (H,W,3) u8, depth (H,W) f32 or None, stats)."""
+        return self.render_finish(
+            self.render_start(streamer, camera, streaming_frustums, paused)
+        )
 
     def render_pipelined(self, streamer, camera: Camera,
                          streaming_frustums=None, paused: bool = False):
-        return self.render(streamer, camera, streaming_frustums, paused)
+        """Double-buffered frames, same contract as the single-device
+        renderer: dispatch this frame, return the PREVIOUS one (None on
+        the first call)."""
+        handle = self.render_start(
+            streamer, camera, streaming_frustums, paused
+        )
+        prev = getattr(self, "_inflight_frame", None)
+        self._inflight_frame = handle
+        if prev is None:
+            return None
+        return self.render_finish(prev)
 
     def render_flush(self):
-        return None
+        prev = getattr(self, "_inflight_frame", None)
+        self._inflight_frame = None
+        if prev is None:
+            return None
+        return self.render_finish(prev)

@@ -174,6 +174,23 @@ class TestMeshFrameEquality:
         np.testing.assert_array_equal(rgb_n, rgb_1)
         np.testing.assert_array_equal(depth_n, depth_1)
 
+    def test_pipelined_matches_sync(self, tmp_path):
+        """The mesh renderer's double-buffered loop returns each frame
+        one call late with bytes identical to the synchronous render."""
+        metadata, cam, streamer, frustums = _build_scene(tmp_path, n=5_000)
+        r = MeshPointRenderer(
+            metadata, make_mesh(8), settings=_plain_settings()
+        )
+        sync = r.render(streamer, cam, frustums)
+        assert r.render_pipelined(streamer, cam, frustums) is None
+        piped = r.render_pipelined(streamer, cam, frustums)
+        flushed = r.render_flush()
+        for got in (piped, flushed):
+            np.testing.assert_array_equal(got[0], sync[0])
+            np.testing.assert_array_equal(got[1], sync[1])
+            assert got[2]["points_visible"] == sync[2]["points_visible"]
+        assert r.render_flush() is None
+
     def test_mesh_width_does_not_change_image(self, tmp_path):
         """2-way and 8-way meshes produce the same bytes (the scaling
         axis is free to follow the hardware)."""
