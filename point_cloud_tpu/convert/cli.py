@@ -44,7 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--batch-size", type=int, default=None,
-        help="Points per conversion batch (default 10000 host, 2^20 device).",
+        help="Points per conversion batch (defaults: 10000 host — the "
+        "reference's lib.rs:32 — 2^18 device/native, 2^20 mesh). Store "
+        "BYTES depend on the batch schedule (overflow groups stage "
+        "per-batch canonical chunks, like the reference's arrival-order "
+        "dependence), so pin the same --batch-size when byte-comparing "
+        "stores across backends; every backend is byte-identical at "
+        "equal batch size (tests/test_converter.py backend matrix).",
     )
     parser.add_argument(
         "--device", action="store_true",

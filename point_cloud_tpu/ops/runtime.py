@@ -33,7 +33,18 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
     import jax
 
     requested = os.environ.get("JAX_PLATFORMS")
-    if requested:
+    current = jax.config.jax_platforms
+    # Restore the env request ONLY over the plugin's own override (or an
+    # unset config) — never over a programmatic in-process pin. This
+    # environment exports JAX_PLATFORMS=axon globally, so blindly
+    # re-asserting the env var here UNDID jax.config.update("cpu") pins
+    # (tests, pin_cpu_if_unreachable, CPU-only subprocesses) and sent
+    # the first dispatch into the wedged-tunnel hang this function
+    # exists to prevent (found by the CLI backend-matrix test: a fresh
+    # process pinning cpu then calling the CLI wedged forever).
+    if requested and requested != current and current in (
+        None, "", "axon", "axon,cpu",
+    ):
         try:
             jax.config.update("jax_platforms", requested)
         except Exception:

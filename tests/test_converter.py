@@ -276,6 +276,51 @@ class TestConvertFromPaths:
         assert host_files == dev_files
 
 
+    def test_cli_backend_matrix_byte_identical(self, tmp_path):
+        """EVERY CLI backend produces byte-identical stores at a pinned
+        --batch-size, on a fixture whose overflow groups accumulate
+        staged losers across MULTIPLE batches (the store serializes
+        per-batch canonical chunks, so cross-batch staging order is
+        where backends could silently diverge — the default per-backend
+        batch sizes legitimately produce different bytes, which is why
+        the batch schedule is pinned here and documented in the CLI
+        help)."""
+        from point_cloud_tpu.convert.cli import main
+
+        src = tmp_path / "m.ply"
+        # ±300 over cell size 1000 -> a handful of h0 cells, each
+        # staging h1 losers across all six 10k batches
+        write_ply(src, random_batch(60_000, seed=123, lo=-300, hi=300))
+
+        modes = {"host": [], "device": ["--device"], "mesh": ["--mesh", "8"]}
+        from point_cloud_tpu.native import hex_lockstep_ok
+
+        if hex_lockstep_ok():
+            modes["native"] = ["--native"]
+            modes["device_native"] = ["--device-native"]
+        stores = {}
+        for name, flags in modes.items():
+            out = tmp_path / name
+            assert main(
+                ["-o", str(out), "-f", str(src), "--batch-size", "10000"]
+                + flags
+            ) == 0
+            stores[name] = {
+                p.relative_to(out): p.read_bytes()
+                for p in sorted(out.rglob("*")) if p.is_file()
+            }
+        base = stores.pop("host")
+        # the fixture must actually exercise cross-batch staging
+        from point_cloud_tpu.core.cell import Cell
+
+        cell = Cell.from_path(next((tmp_path / "host" / "h_0").iterdir()))
+        assert any(
+            v is not None and len(v) > 0 for v in cell.overflow.values()
+        )
+        for name, files in stores.items():
+            assert files == base, f"{name} store differs from host oracle"
+
+
 class TestOverflowCascade:
     def test_overflow_limit_flushes_and_tombstones(self, tmp_path):
         """Exceeding cell_point_overflow_limit pushes points to the next

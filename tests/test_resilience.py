@@ -7,6 +7,9 @@ error paths); the renderer negative-caches missing cells and survives
 load errors.
 """
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -192,3 +195,63 @@ class TestWedgedAccelerator:
                        "--mesh", "2", "--multihost"])
         assert rc == 1
         assert not (tmp_path / "out" / "metadata.json").exists()
+
+
+class TestPlatformPin:
+    def test_setup_jax_cache_keeps_programmatic_pin(self):
+        """A process that pins the cpu platform via jax.config must stay
+        pinned through setup_jax_cache even when the surrounding
+        environment exports JAX_PLATFORMS=<accelerator> (this
+        environment exports JAX_PLATFORMS=axon globally; blindly
+        re-asserting it undid cpu pins and hung the first dispatch in
+        wedged-tunnel PJRT client creation). Runs in a subprocess so
+        the config is virgin and no backend gets touched."""
+        import subprocess
+        import sys
+
+        script = (
+            "import os, jax\n"
+            "from point_cloud_tpu.ops import runtime\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "runtime.setup_jax_cache()\n"
+            "assert jax.config.jax_platforms == 'cpu', "
+            "jax.config.jax_platforms\n"
+            "print('pin-held')\n"
+        )
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "axon"
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True,
+            text=True, timeout=120, env=env,
+            cwd=str(Path(__file__).resolve().parent.parent),
+        )
+        assert proc.returncode == 0, proc.stderr[-800:]
+        assert "pin-held" in proc.stdout
+
+    def test_setup_jax_cache_restores_env_over_plugin_override(self):
+        """The original purpose stays intact: when the config carries
+        the tunnel plugin's own 'axon,cpu' override and the user
+        exported JAX_PLATFORMS=cpu, setup_jax_cache restores cpu."""
+        import subprocess
+        import sys
+
+        script = (
+            "import os, jax\n"
+            "from point_cloud_tpu.ops import runtime\n"
+            "jax.config.update('jax_platforms', 'axon,cpu')\n"  # plugin
+            "runtime.setup_jax_cache()\n"
+            "assert jax.config.jax_platforms == 'cpu', "
+            "jax.config.jax_platforms\n"
+            "print('env-restored')\n"
+        )
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True,
+            text=True, timeout=120, env=env,
+            cwd=str(Path(__file__).resolve().parent.parent),
+        )
+        assert proc.returncode == 0, proc.stderr[-800:]
+        assert "env-restored" in proc.stdout
