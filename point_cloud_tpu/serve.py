@@ -271,6 +271,8 @@ class StoreServer:
                 conv.save_at(self._resolve_under_root(
                     payload.get("directory", "")
                 ))
+            elif action == "batch_size":
+                conv.set_batch_size(payload.get("value", 0))
             elif action == "start":
                 conv.start()
             elif action == "stop":
@@ -292,6 +294,7 @@ class StoreServer:
         return {
             "state": conv.state.name.lower(),
             "auto_save": conv.auto_save,
+            "batch_size": conv.batch_size,
             "save_directory": (
                 str(conv.save_directory) if conv.save_directory else None
             ),

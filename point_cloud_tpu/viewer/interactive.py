@@ -98,6 +98,13 @@ class InteractiveConverter:
         self.files.clear()
         self.state = ConversionState.NOT_STARTED
 
+    def set_batch_size(self, value: int) -> None:
+        """Points per read batch, clamped to the reference's slider range
+        (converter.rs:594-607: 10k-500k, default 50k). Takes effect on
+        the next batch request."""
+        self.batch_size = int(np.clip(int(value), BATCH_SIZE_MIN,
+                                      BATCH_SIZE_MAX))
+
     def save_at(self, directory) -> None:
         """Choose the store directory: flush everything, enable auto-save
         (converter.rs:641-721)."""

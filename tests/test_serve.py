@@ -404,6 +404,16 @@ class TestConvertEndpoint:
         assert "cloud.ply" in body["files"]
 
         post_json(f"{url}/convert", {"action": "new_cloud"})
+        # batch-size knob (reference slider 10k-500k, converter.rs:594-607):
+        # round-trips through status and clamps out-of-range requests
+        status, st = post_json(
+            f"{url}/convert", {"action": "batch_size", "value": 20_000})
+        assert status == 200 and st["batch_size"] == 20_000
+        status, st = post_json(
+            f"{url}/convert", {"action": "batch_size", "value": 1})
+        assert st["batch_size"] == 10_000
+        post_json(f"{url}/convert", {"action": "batch_size",
+                                     "value": 50_000})
         post_json(f"{url}/convert",
                   {"action": "choose", "files": ["cloud.ply"]})
         post_json(f"{url}/convert", {"action": "save_at",
