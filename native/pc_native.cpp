@@ -342,4 +342,73 @@ void pc_lsm_probe(const int64_t* seg_keys,     // concatenated sorted keys
     for (auto& w : workers) w.join();
 }
 
+// Per-axis min/max of an (n, 3) f32 batch — the per-batch bounding-box
+// fold every converter runs (core/aabb.py Aabb.from_points). min/max are
+// exact and order-independent in IEEE f32, so any evaluation order is
+// bit-identical to NumPy's reduce; NumPy's axis-0 reduction over 3-wide
+// rows vectorizes poorly (measured ~14 ms per 2^18-point batch — 10% of
+// the engine conversion wall), while this flat three-accumulator SSE scan
+// runs at memory speed. Returns 0 on success; 1 when the result is not
+// provably bit-identical to NumPy's and the caller must fall back:
+// a NaN was seen (NumPy propagates NaN through min/max, SSE does not),
+// or a result component is a zero (min(-0.0, +0.0) is order-dependent
+// in IEEE and in NumPy's own reduce, so only nonzero extrema are
+// uniquely determined).
+int pc_bbox_f32(const float* pos, int64_t n, float* out_min,
+                float* out_max) {
+    if (n <= 0) return 1;
+    const int64_t total = 3 * n;
+    int64_t i = 0;
+    float mn[3] = {pos[0], pos[1], pos[2]};
+    float mx[3] = {pos[0], pos[1], pos[2]};
+    bool nan_seen = false;
+#ifdef PC_HEX_SIMD
+    if (total >= 24) {
+        // three rotating accumulators over the flat array: lane l of
+        // accumulator a holds component (4a + l) mod 3
+        __m128 amn[3], amx[3], unord = _mm_setzero_ps();
+        for (int a = 0; a < 3; ++a) {
+            amn[a] = amx[a] = _mm_loadu_ps(pos + 4 * a);
+            unord = _mm_or_ps(unord, _mm_cmpunord_ps(amn[a], amn[a]));
+        }
+        for (i = 12; i + 12 <= total; i += 12) {
+            for (int a = 0; a < 3; ++a) {
+                const __m128 v = _mm_loadu_ps(pos + i + 4 * a);
+                unord = _mm_or_ps(unord, _mm_cmpunord_ps(v, v));
+                amn[a] = _mm_min_ps(amn[a], v);
+                amx[a] = _mm_max_ps(amx[a], v);
+            }
+        }
+        nan_seen = _mm_movemask_ps(unord) != 0;
+        alignas(16) float lanes[4];
+        for (int a = 0; a < 3; ++a) {
+            _mm_store_ps(lanes, amn[a]);
+            for (int l = 0; l < 4; ++l) {
+                const int c = (4 * a + l) % 3;
+                mn[c] = lanes[l] < mn[c] ? lanes[l] : mn[c];
+            }
+            _mm_store_ps(lanes, amx[a]);
+            for (int l = 0; l < 4; ++l) {
+                const int c = (4 * a + l) % 3;
+                mx[c] = lanes[l] > mx[c] ? lanes[l] : mx[c];
+            }
+        }
+    }
+#endif
+    for (; i < total; ++i) {
+        const float v = pos[i];
+        nan_seen |= v != v;
+        const int c = static_cast<int>(i % 3);
+        mn[c] = v < mn[c] ? v : mn[c];
+        mx[c] = v > mx[c] ? v : mx[c];
+    }
+    bool zero_result = false;
+    for (int c = 0; c < 3; ++c) {
+        zero_result |= mn[c] == 0.0f || mx[c] == 0.0f;
+    }
+    std::memcpy(out_min, mn, 12);
+    std::memcpy(out_max, mx, 12);
+    return (nan_seen || zero_result) ? 1 : 0;
+}
+
 }  // extern "C"

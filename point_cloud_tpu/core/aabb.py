@@ -50,10 +50,25 @@ class Aabb:
 
     @staticmethod
     def from_points(points: np.ndarray) -> "Aabb | None":
-        """AABB of an ``(N, 3)`` array; ``None`` when empty (lib.rs:38-52)."""
+        """AABB of an ``(N, 3)`` array; ``None`` when empty (lib.rs:38-52).
+
+        Large contiguous batches take the native SSE scan — bit-identical
+        to NumPy because nonzero f32 min/max are exact and
+        order-independent, and the ambiguous cases (NaN input, a zero
+        extremum where min(-0.0, +0.0) is order-dependent) fall back to
+        NumPy. NumPy's axis-0 reduce over 3-wide rows costs ~10% of an
+        engine conversion, the scan ~2% of that.
+        """
         points = np.asarray(points, dtype=np.float32)
         if points.shape[0] == 0:
             return None
+        if (points.shape[0] >= 4096 and points.ndim == 2
+                and points.shape[1] == 3 and points.flags.c_contiguous):
+            from ..native import bbox_f32_native
+
+            native = bbox_f32_native(points)
+            if native is not None:
+                return Aabb(*native)
         return Aabb(points.min(axis=0), points.max(axis=0))
 
     def to_json(self) -> dict:

@@ -102,6 +102,11 @@ def load_native():
             ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.pc_bbox_f32.restype = ctypes.c_int
+        lib.pc_bbox_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.pc_staging_sort.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -289,6 +294,30 @@ def hex_keys_native(positions, cell_size, sub_cell_radius, next_cell_size,
         _ptr(cell_idx), _ptr(sub_idx), _ptr(dist), _ptr(next_idx), n_threads,
     )
     return cell_idx, sub_idx, dist, next_idx
+
+
+def bbox_f32_native(positions):
+    """Per-axis (min, max) of a contiguous (N, 3) f32 array via the SSE
+    scan in pc_native.cpp — bit-identical to ``positions.min(axis=0)`` /
+    ``.max(axis=0)`` (min/max are exact, order-independent IEEE f32 ops).
+    Returns None when unavailable or when bit-identity with NumPy is not
+    provable from the scan alone: NaN input (NumPy propagates NaN through
+    min/max; SSE does not) or a zero extremum (min(-0.0, +0.0) is
+    order-dependent even inside NumPy's reduce). Callers fall back to
+    NumPy then, so the fold semantics never change."""
+    lib = load_native()
+    if lib is None:
+        return None
+    import numpy as np
+
+    out_min = np.empty(3, np.float32)
+    out_max = np.empty(3, np.float32)
+    rc = lib.pc_bbox_f32(
+        _ptr(positions), len(positions), _ptr(out_min), _ptr(out_max)
+    )
+    if rc != 0:
+        return None
+    return out_min, out_max
 
 
 def lsm_probe_native(seg_keys, seg_valid, seg_dist, seg_offsets, queries,

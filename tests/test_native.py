@@ -6,6 +6,7 @@ import pytest
 
 from point_cloud_tpu.native import (
     AsyncStoreWriter,
+    bbox_f32_native,
     hex_keys_native,
     load_native,
     read_file_native,
@@ -83,6 +84,50 @@ class TestHexKeysParity:
             out[2].view(np.uint32),
             exp_dist.astype(np.float32).view(np.uint32),
         )
+
+
+@needs_native
+class TestBboxF32:
+    """pc_bbox_f32 must be bit-identical to positions.min/max(axis=0) —
+    it feeds the metadata bounding-box fold shared by every converter
+    (core/aabb.py Aabb.from_points)."""
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 12, 13, 4096, 100001])
+    def test_bit_parity(self, n):
+        rng = np.random.default_rng(n)
+        pos = np.concatenate([
+            rng.uniform(-1e6, 1e6, (max(n // 2, 1), 3)),
+            rng.normal(0, 1e-30, (n, 3)),  # denormal-scale values
+        ])[:n].astype(np.float32)
+        if n >= 4:
+            pos[n // 2] = [np.inf, -np.inf, 1.0]  # infinities are exact
+        got = bbox_f32_native(np.ascontiguousarray(pos))
+        assert got is not None
+        ref = (pos.min(axis=0), pos.max(axis=0))
+        assert np.array_equal(got[0].view(np.uint32), ref[0].view(np.uint32))
+        assert np.array_equal(got[1].view(np.uint32), ref[1].view(np.uint32))
+
+    def test_nan_falls_back(self):
+        pos = np.zeros((1000, 3), np.float32) + 1.0
+        pos[500, 1] = np.nan
+        assert bbox_f32_native(pos) is None
+
+    def test_zero_extremum_falls_back(self):
+        # min(-0.0, +0.0) is order-dependent even inside NumPy's reduce;
+        # a zero extremum must defer to NumPy (Aabb.from_points falls
+        # back), so the ambiguity never reaches metadata.json
+        pos = np.ones((1000, 3), np.float32)
+        pos[3, 2] = -0.0
+        assert bbox_f32_native(pos) is None
+
+    def test_from_points_routes_large_batches(self):
+        from point_cloud_tpu.core.aabb import Aabb
+
+        rng = np.random.default_rng(9)
+        pos = rng.uniform(-500, 500, (8192, 3)).astype(np.float32)
+        box = Aabb.from_points(pos)
+        assert np.array_equal(box.min, pos.min(axis=0))
+        assert np.array_equal(box.max, pos.max(axis=0))
 
 
 @needs_native
