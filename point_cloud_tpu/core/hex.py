@@ -90,19 +90,24 @@ def axial_from_world(pos: np.ndarray, cell_radius: float) -> np.ndarray:
     """
     radius = np.float32(cell_radius)
     pos = np.asarray(pos, dtype=np.float32)
-    x = pos[..., 0] / (radius * SQRT_3)
-    y = pos[..., 1] / (-radius * SQRT_3)
-    # Charles-Chambers hex quantization (hex.rs:71-82)
-    t = SQRT_3 * y + np.float32(1.0)
-    temp1 = np.floor(t + x).astype(np.float32)
-    temp2 = t - x
-    temp3 = np.float32(2.0) * x + np.float32(1.0)
-    qf = (temp1 + temp3) / np.float32(3.0)
-    rf = (temp1 + temp2) / np.float32(3.0)
-    q = _np_saturating_i32(np.floor(qf))
-    r = -_np_saturating_i32(np.floor(rf))
-    # `(pos.z / cell_radius) as i32` truncates toward zero (hex.rs:83)
-    h = _np_saturating_i32(np.trunc(pos[..., 2] / radius))
+    # extreme coordinates overflow to +/-inf here (and inf - inf makes
+    # NaN, which _np_saturating_i32 casts deterministically) — the
+    # IEEE-defined results the Rust reference, the C++ kernel, and jnp
+    # all produce, lockstep-tested; silence only the warnings
+    with np.errstate(over="ignore", invalid="ignore"):
+        x = pos[..., 0] / (radius * SQRT_3)
+        y = pos[..., 1] / (-radius * SQRT_3)
+        # Charles-Chambers hex quantization (hex.rs:71-82)
+        t = SQRT_3 * y + np.float32(1.0)
+        temp1 = np.floor(t + x).astype(np.float32)
+        temp2 = t - x
+        temp3 = np.float32(2.0) * x + np.float32(1.0)
+        qf = (temp1 + temp3) / np.float32(3.0)
+        rf = (temp1 + temp2) / np.float32(3.0)
+        q = _np_saturating_i32(np.floor(qf))
+        r = -_np_saturating_i32(np.floor(rf))
+        # `(pos.z / cell_radius) as i32` truncates toward zero (hex.rs:83)
+        h = _np_saturating_i32(np.trunc(pos[..., 2] / radius))
     return np.stack([q, r, h], axis=-1)
 
 

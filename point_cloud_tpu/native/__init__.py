@@ -242,7 +242,8 @@ def _check_hex_lockstep(lib) -> bool:
     ref_sub = hexgrid.offset_from_world(pos, radius)
     centers = hexgrid.offset_to_world(ref_sub, radius)
     d = pos - centers
-    ref_dist = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
+    with np.errstate(over="ignore"):  # inf on extremes is the IEEE result
+        ref_dist = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
     ok = (
         np.array_equal(cell_idx, ref_cell)
         and np.array_equal(next_idx, ref_next)

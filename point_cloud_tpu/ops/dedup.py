@@ -391,7 +391,10 @@ def host_keys(positions, cell_size, sub_cell_size):
     sub_idx = hexgrid.offset_from_world(positions, radius)
     centers = hexgrid.offset_to_world(sub_idx, radius)
     d = positions - centers
-    dist = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
+    # extreme coordinates overflow to inf — IEEE-defined, identical on
+    # the jnp and C++ paths (lockstep-tested); silence only the warning
+    with np.errstate(over="ignore"):
+        dist = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
     return cell_idx, sub_idx, dist
 
 
