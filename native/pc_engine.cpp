@@ -286,6 +286,11 @@ struct CellState {
     uint32_t n_points = 0;
     uint32_t n_overflow = 0;
     uint64_t last_touch = 0;  // batch stamp for spill eviction order
+    // false while the in-RAM state still serializes to exactly the bytes
+    // it was parsed from (our own writer's canonical form round-trips):
+    // clean cells skip the store write on save/spill — an incremental
+    // merge only rewrites the cells it actually changed
+    bool dirty = true;
 
     SlotMap slots;
     // slots whose sub index exceeds the packed-key range (rare)
@@ -474,6 +479,11 @@ class Engine {
             auto& shard = shards_[owner(key.h, key.idx)];
             auto it = shard.find(key);
             if (it == shard.end()) continue;
+            if (!it->second->dirty) {
+                // clean: the store file already holds these bytes
+                shard.erase(it);
+                continue;
+            }
             if (!serialize_cell(*it->second, &buf)) {
                 ++spill_errors_;
                 continue;  // unserializable cells stay resident
@@ -545,14 +555,16 @@ class Engine {
                 c->slots.claim(i, key, dist, pt);
                 c->total_points += 1;
                 c->n_points += 1;
+                c->dirty = true;
                 return false;
             }
             if (dist < c->slots.dist_at(i)) {  // strict: ties keep incumbent
                 *loser = c->slots.pt_at(i);
                 c->slots.set_dist(i, dist);
                 c->slots.pt_at(i) = pt;
+                c->dirty = true;
             } else {
-                *loser = pt;
+                *loser = pt;  // cell state untouched: stays clean
             }
             return true;
         }
@@ -564,11 +576,13 @@ class Engine {
         if (inserted) {
             c->total_points += 1;
             c->n_points += 1;
+            c->dirty = true;
             return false;
         }
         if (hr.dist < it->second.first) {
             *loser = it->second.second;
             it->second = {hr.dist, pt};
+            c->dirty = true;
         } else {
             *loser = pt;
         }
@@ -1027,6 +1041,7 @@ class Engine {
                      std::vector<FlushGroup>* flushed) {
         auto it = c->overflow.find(nidx);
         if (it == c->overflow.end()) {
+            c->dirty = true;  // both branches add an overflow entry
             if (static_cast<int64_t>(pts.size()) <= limit_) {
                 c->total_points += pts.size();
                 c->n_overflow += pts.size();
@@ -1043,9 +1058,11 @@ class Engine {
         }
         OverflowGroup& g = it->second;
         if (g.tombstone) {
+            // pass-through: the cell's serialized state is unchanged
             flushed->push_back({c->idx, nidx, std::move(pts)});
             return;
         }
+        c->dirty = true;  // append or flush+tombstone below
         const int64_t old_len = static_cast<int64_t>(g.pts.size());
         if (old_len + static_cast<int64_t>(pts.size()) < limit_) {
             c->total_points += pts.size();
@@ -1180,22 +1197,46 @@ class Engine {
         c->n_points = n_pts;
         c->n_overflow = n_overflow;
 
-        for (uint32_t i = 0; i < n_pts; ++i) {
-            Point pt;
-            if (!get(&pt, 16)) return nullptr;
-            // re-derive slot + distance from the position (cell.rs:189-195)
-            const pchex::HexResult hr = pchex::hex_quantize(
-                pt.p[0], pt.p[1], pt.p[2], c->radius);
-            const Key3 s{hr.sub[0], hr.sub[1], hr.sub[2]};
+        // bulk-read the point block, then re-derive slot + distance from
+        // the positions (cell.rs:189-195). The quantization runs in SIMD
+        // blocks — lazy cell loads during an incremental merge used to
+        // spend most of their time in the scalar per-point path here.
+        std::vector<Point> pts(n_pts);
+        if (n_pts > 0 && !get(pts.data(), 16ull * n_pts)) return nullptr;
+        uint32_t i = 0;
+        auto claim_point = [c](const Point& pt, const Key3& s, float d) {
             int64_t key;
             if (pack_slot_key(s, &key)) {
                 const size_t slot = c->slots.find_or_vacant(key);
                 if (c->slots.key_at(slot) == kEmptyKey) {
-                    c->slots.claim(slot, key, hr.dist, pt);
+                    c->slots.claim(slot, key, d, pt);
                 }
             } else {
-                c->slots_oor.try_emplace(s, hr.dist, pt);
+                c->slots_oor.try_emplace(s, d, pt);
             }
+        };
+#ifdef PC_HEX_SIMD
+        alignas(16) float xs[4], ys[4], zs[4];
+        for (; i + 4 <= n_pts; i += 4) {
+            for (int j = 0; j < 4; ++j) {
+                xs[j] = pts[i + j].p[0];
+                ys[j] = pts[i + j].p[1];
+                zs[j] = pts[i + j].p[2];
+            }
+            pchex::HexResultX4 hx;
+            pchex::hex_quantize_x4(xs, ys, zs, c->radius, &hx);
+            for (int j = 0; j < 4; ++j) {
+                claim_point(pts[i + j],
+                            Key3{hx.sub0[j], hx.sub1[j], hx.sub2[j]},
+                            hx.dist[j]);
+            }
+        }
+#endif
+        for (; i < n_pts; ++i) {
+            const pchex::HexResult hr = pchex::hex_quantize(
+                pts[i].p[0], pts[i].p[1], pts[i].p[2], c->radius);
+            claim_point(pts[i], Key3{hr.sub[0], hr.sub[1], hr.sub[2]},
+                        hr.dist);
         }
         uint8_t n_entries;
         if (!get(&n_entries, 1)) return nullptr;
@@ -1212,14 +1253,18 @@ class Engine {
             }
             c->overflow.emplace(k, std::move(g));
         }
+        c->dirty = false;  // serializes back to exactly these bytes
         return cell;
     }
 
     // C-ABI initial load (single-threaded callers): keyed by the file's
-    // own header; replaces any resident cell with that key
+    // own header; replaces any resident cell with that key. Marked dirty:
+    // the bytes came from the caller, not necessarily from this store's
+    // cell file, so save_all must not skip the write.
     bool load_cell(const uint8_t* data, int64_t len) {
         auto cell = parse_cell(data, len, nullptr);
         if (!cell) return false;
+        cell->dirty = true;
         const CellKey key{cell->h, cell->idx};
         shards_[owner(key.h, key.idx)][key] = std::move(cell);
         return true;
@@ -1232,7 +1277,7 @@ class Engine {
             return -1;  // never overwrite a store we failed to read
         }
         const double t0 = Profile::now();
-        std::vector<const CellState*> cells;
+        std::vector<CellState*> cells;
         int32_t max_h = -1;
         for (const auto& shard : shards_) {
             for (const auto& [key, cell] : shard) {
@@ -1251,7 +1296,8 @@ class Engine {
             for (;;) {
                 const size_t i = next.fetch_add(1);
                 if (i >= cells.size()) return;
-                const CellState& c = *cells[i];
+                CellState& c = *cells[i];
+                if (!c.dirty) continue;  // file already holds these bytes
                 if (!serialize_cell(c, &buf)) {
                     errors.fetch_add(1);
                     continue;
@@ -1264,6 +1310,8 @@ class Engine {
                 if (!pcio::atomic_write_file(path, buf.data(),
                                              buf.size())) {
                     errors.fetch_add(1);
+                } else {
+                    c.dirty = false;
                 }
             }
         };
