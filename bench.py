@@ -109,8 +109,9 @@ def synth_indoor(n: int, seed: int = 2) -> np.ndarray:
 def bench_hierarchy_build() -> float:
     """BASELINE config 2: wall-time (seconds) for the full hierarchy
     build — batch AABB fits + hex quantization + dedup cascade + store
-    write — over a 10M-pt indoor scan, C++ engine, single run. Host
-    metric: needs no accelerator."""
+    write — over a 10M-pt indoor scan, C++ engine, median of 3 (the
+    shared vCPU swings single runs 2x; PERF.md). Host metric: needs no
+    accelerator."""
     n = 10_000_000
     positions = synth_indoor(n)
     rng = np.random.default_rng(5)
@@ -119,7 +120,10 @@ def bench_hierarchy_build() -> float:
 
     from point_cloud_tpu.convert.native import NativeConverter
 
-    return _convert_once(NativeConverter, positions, colors, n)
+    return statistics.median(
+        _convert_once(NativeConverter, positions, colors, n)
+        for _ in range(3)
+    )
 
 
 def bench_incremental_merge() -> float:
