@@ -142,6 +142,41 @@ class TestEngineParity:
         assert conv.metadata.number_of_points == 0
 
 
+class TestEngineLoadCellAbi:
+    """pc_engine_load_cell (C-ABI preload from caller bytes): the loaded
+    cell must round-trip through save_all even though cells parsed from
+    the store's own files are write-skipped when unmodified — the ABI's
+    bytes are of unknown provenance, so they are always written."""
+
+    def test_preloaded_cell_is_saved(self, tmp_path):
+        import ctypes
+
+        from point_cloud_tpu.native import load_native
+
+        with native_converter(Metadata(), tmp_path / "src") as conv:
+            conv.add_points_batch(random_batch(3_000, seed=7))
+        src_files = store_files(tmp_path / "src")
+        cell_files = {k: v for k, v in src_files.items()
+                      if k.endswith(".bin")}
+        assert cell_files
+
+        lib = load_native()
+        engine = lib.pc_engine_create(5000, ctypes.c_float(1000.0), 96, 1)
+        try:
+            for data in cell_files.values():
+                assert lib.pc_engine_load_cell(engine, data, len(data)) == 0
+            out = tmp_path / "out"
+            out.mkdir()
+            assert lib.pc_engine_save_all(
+                engine, str(out).encode(), 1
+            ) == 0
+        finally:
+            lib.pc_engine_destroy(engine)
+        out_files = {k: v for k, v in store_files(out).items()
+                     if k.endswith(".bin")}
+        assert out_files == cell_files
+
+
 class TestEngineSpilling:
     """Cell spilling: with a tiny in-RAM budget, cold cells evict to the
     store between batches and reload lazily — stores stay byte-identical
