@@ -463,11 +463,21 @@ def bench_tunnel_pipeline(positions, colors) -> float:
     return n / statistics.median(times) / 1e6
 
 
+def bench_render_fps_fused(positions, colors) -> float:
+    """The same orbit with RenderSettings.frame_fusion ON (one XLA
+    program + one readback per frame) — the A/B that decides whether
+    fusion becomes the default (ROADMAP #10); reported alongside
+    render_fps_640x480 so every bench run on real hardware records the
+    comparison even when interactive tunnel time is unavailable."""
+    return bench_render_fps(positions, colors, {"frame_fusion": True})
+
+
 _EXTRAS = {
     "device_dedup_sort_mpts": (bench_device_sort, False),
     "render_cull_lod_mpts": (bench_render_kernel, False),
     "render_cull_steady_mpts": (bench_render_kernel_steady, False),
     "render_fps_640x480": (bench_render_fps, True),
+    "render_fps_fused_640x480": (bench_render_fps_fused, True),
     "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
 }
 
