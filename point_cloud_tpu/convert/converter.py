@@ -320,6 +320,72 @@ def load_metadata(output: Path) -> Metadata:
         return Metadata()
 
 
+class _ReadAhead:
+    """One producer thread parses batches ahead of the conversion loop.
+
+    SURVEY §7: file parsing must not bottleneck the converters — the
+    reference reads and converts strictly serially (lib.rs:31-52); here
+    batch k+1's LAS/LAZ/PLY decode overlaps batch k's conversion on real
+    multi-core hosts (this container's single shared core serializes
+    them, so the win shows elsewhere). Bounded to ``depth`` in-flight
+    batches so memory stays batch-scale. One producer + a FIFO queue
+    preserve batch order exactly, so stores stay byte-identical; reader
+    exceptions surface on the consuming side where the serial loop would
+    have hit them."""
+
+    def __init__(self, reader, batch_size: int, depth: int = 2):
+        import queue
+        import threading
+
+        self._reader = reader
+        self._batch_size = batch_size
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._queue_mod = queue
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._run, name="pct-read-ahead", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            while not self._stop and self._reader.remaining_points() > 0:
+                batch = self._reader.get_batch(self._batch_size)
+                if len(batch) == 0:
+                    # a truncated/corrupt source can under-deliver while
+                    # still reporting remaining points
+                    self._put(
+                        ("underdelivery", self._reader.remaining_points())
+                    )
+                    return
+                self._put(("batch", batch))
+        except BaseException as err:  # re-raised on the consumer side
+            self._put(("error", err))
+            return
+        self._put(("eof", None))
+
+    def _put(self, item) -> None:
+        while not self._stop:
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except self._queue_mod.Full:
+                continue
+
+    def next(self):
+        """(kind, payload): 'batch', 'underdelivery', 'error', or 'eof'."""
+        return self._q.get()
+
+    def close(self) -> None:
+        self._stop = True
+        try:  # unblock a producer waiting on a full queue
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+        self._thread.join()
+
+
 def convert_from_paths(
     paths,
     output,
@@ -353,38 +419,41 @@ def convert_from_paths(
             t_log = time.monotonic()
             can_prefetch = hasattr(converter, "prefetch")
             pending = None  # read-ahead batch (device work already dispatched)
-            source_dry = False
-            while (
-                reader.remaining_points() > 0 and not source_dry
-            ) or pending is not None:
-                try:
-                    batch = None
-                    if reader.remaining_points() > 0 and not source_dry:
-                        batch = reader.get_batch(batch_size)
-                        if len(batch) == 0:
-                            # a truncated/corrupt source can under-deliver
-                            # while still reporting remaining points
-                            log.error(
-                                "reader returned no points with %d reported "
-                                "remaining; stopping this file",
-                                reader.remaining_points(),
-                            )
-                            batch = None
-                            source_dry = True
-                    if batch is not None and can_prefetch:
-                        converter.prefetch(batch)
-                    if can_prefetch:
-                        if pending is not None:
-                            converter.add_points_batch(pending)
-                        pending = batch
-                    elif batch is not None:
-                        converter.add_points_batch(batch)
-                except OSError as err:
-                    log.error("%s", err)
-                    break
-                if time.monotonic() - t_log > 5.0:  # lib.rs:44-47
-                    log.info("Remaining points: %d", reader.remaining_points())
-                    t_log = time.monotonic()
+            read_ahead = _ReadAhead(reader, batch_size)
+            try:
+                while True:
+                    kind, payload = read_ahead.next()
+                    if kind == "batch":
+                        if can_prefetch:
+                            converter.prefetch(payload)
+                            if pending is not None:
+                                converter.add_points_batch(pending)
+                            pending = payload
+                        else:
+                            converter.add_points_batch(payload)
+                    elif kind == "underdelivery":
+                        log.error(
+                            "reader returned no points with %d reported "
+                            "remaining; stopping this file",
+                            payload,
+                        )
+                        break
+                    elif kind == "error":
+                        raise payload
+                    else:  # eof
+                        break
+                    if time.monotonic() - t_log > 5.0:  # lib.rs:44-47
+                        log.info(
+                            "Remaining points: %d",
+                            reader.remaining_points(),
+                        )
+                        t_log = time.monotonic()
+                if pending is not None:
+                    converter.add_points_batch(pending)
+            except OSError as err:
+                log.error("%s", err)
+            finally:
+                read_ahead.close()
 
     log.info(
         "Finished converting after %d ms",
