@@ -197,6 +197,64 @@ class TestIncrementalMerge:
         )
 
 
+class TestReadAhead:
+    """_ReadAhead: the driver's parse-ahead thread must preserve batch
+    order exactly (byte parity depends on it) and surface reader
+    failures where the serial loop would have."""
+
+    class _FakeReader:
+        def __init__(self, batches, raise_at=None):
+            self._batches = list(batches)
+            self._raise_at = raise_at
+            self._served = 0
+
+        def remaining_points(self):
+            return sum(len(b) for b in self._batches)
+
+        def get_batch(self, size):
+            if self._raise_at is not None and self._served == self._raise_at:
+                raise OSError("bad sector")
+            self._served += 1
+            return self._batches.pop(0)
+
+    def test_order_preserved(self):
+        from point_cloud_tpu.convert.converter import _ReadAhead
+
+        batches = [[i] * (i + 1) for i in range(20)]
+        ra = _ReadAhead(self._FakeReader(batches), batch_size=1)
+        got = []
+        while True:
+            kind, payload = ra.next()
+            if kind != "batch":
+                assert kind == "eof"
+                break
+            got.append(payload)
+        ra.close()
+        assert got == [[i] * (i + 1) for i in range(20)]
+
+    def test_error_surfaces_in_order(self):
+        from point_cloud_tpu.convert.converter import _ReadAhead
+
+        ra = _ReadAhead(
+            self._FakeReader([[1], [2], [3]], raise_at=2), batch_size=1
+        )
+        kinds = [ra.next(), ra.next(), ra.next()]
+        ra.close()
+        assert [k for k, _ in kinds[:2]] == ["batch", "batch"]
+        assert kinds[2][0] == "error"
+        assert isinstance(kinds[2][1], OSError)
+
+    def test_close_unblocks_full_queue(self):
+        from point_cloud_tpu.convert.converter import _ReadAhead
+
+        # 10 batches vs depth 2: the producer blocks on a full queue;
+        # close() must still join promptly without consuming anything
+        ra = _ReadAhead(self._FakeReader([[i] for i in range(10)]),
+                        batch_size=1)
+        ra.close()
+        assert not ra._thread.is_alive()
+
+
 class TestConvertFromPaths:
     def test_ply_to_store_and_reconvert(self, tmp_path):
         batch = random_batch(4_000)
