@@ -142,6 +142,43 @@ class TestEngineParity:
         assert conv.metadata.number_of_points == 0
 
 
+class TestEngineThreadedParity:
+    """The engine's cell-sharded parallelism must be byte-deterministic:
+    deterministic cell ownership + the stable owner partition preserve
+    per-cell arrival order (the dedup tie-break), so an n_threads=4 run
+    produces the exact bytes of the single-threaded run (this container
+    exposes one core, so the default never exercises the threaded
+    paths — pin n_threads explicitly)."""
+
+    @pytest.mark.parametrize("n_threads", [2, 4, 8])
+    def test_threads_byte_identical(self, tmp_path, n_threads):
+        # batches must beat the 2^13-row thread-spawn break-even
+        # (pc_engine.cpp run_parallel/run_sharded) or the threaded code
+        # never runs; 30k dense rows keep level 1+ above it too
+        n = 60_000
+        batch = random_batch(n, seed=13, lo=-120, hi=120)
+        with native_converter(Metadata(), tmp_path / "t1",
+                              n_threads=1) as conv:
+            for i in range(0, n, 30_000):
+                conv.add_points_batch(batch[i : i + 30_000])
+        with native_converter(Metadata(), tmp_path / "tn",
+                              n_threads=n_threads) as conv:
+            for i in range(0, n, 30_000):
+                conv.add_points_batch(batch[i : i + 30_000])
+        assert_stores_equal(tmp_path / "t1", tmp_path / "tn")
+
+    def test_threads_incremental_merge_parity(self, tmp_path):
+        a = random_batch(20_000, seed=21)
+        b = random_batch(20_000, seed=22, lo=-150, hi=150)
+        for d, kw in (("t1", {"n_threads": 1}), ("tn", {"n_threads": 4})):
+            out = tmp_path / d
+            with native_converter(load_metadata(out), out, **kw) as conv:
+                conv.add_points_batch(a)
+            with native_converter(load_metadata(out), out, **kw) as conv:
+                conv.add_points_batch(b)
+        assert_stores_equal(tmp_path / "t1", tmp_path / "tn")
+
+
 class TestEngineLoadCellAbi:
     """pc_engine_load_cell (C-ABI preload from caller bytes): the loaded
     cell must round-trip through save_all even though cells parsed from
