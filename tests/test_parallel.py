@@ -98,6 +98,23 @@ class TestMeshConverter:
             conv.add_points_batch(batch)
         assert_stores_identical(tmp_path / "host", tmp_path / "mesh")
 
+    @pytest.mark.parametrize("n_devices", [3, 5])
+    def test_non_pow2_mesh_byte_identical(self, tmp_path, n_devices):
+        """Non-power-of-two device counts: per-shard sizes and stage-B
+        lengths are non-pow2, exercising the pad_to_bucket / stage_b_pad
+        paths the pow2-only sort backends depend on (the round-2 advisor
+        flagged this corner untested). Bytes must match the host oracle
+        with the owner-sharded pass forced for every level."""
+        batch = random_batch(30_000, seed=44, lo=-60, hi=60)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            conv.add_points_batch(batch)
+        with MeshConverter(
+            Metadata(), tmp_path / "mesh", n_devices=n_devices,
+            min_mesh_rows=0,
+        ) as conv:
+            conv.add_points_batch(batch)
+        assert_stores_identical(tmp_path / "host", tmp_path / "mesh")
+
     def test_sharded_every_level(self, tmp_path):
         """min_mesh_rows=0 forces the owner-sharded pass for every cascade
         level (no single-device fallback anywhere): bytes must still match
