@@ -196,10 +196,11 @@ class TestMeshFrameEquality:
         axis is free to follow the hardware)."""
         metadata, cam, streamer, frustums = _build_scene(tmp_path, n=6_000)
         imgs = []
-        for n_dev in (2, 8):
+        for n_dev in (2, 3, 8):  # incl. a non-pow2 width (padding path)
             r = MeshPointRenderer(
                 metadata, make_mesh(n_dev), settings=_plain_settings()
             )
             imgs.append(r.render(streamer, cam, frustums))
-        np.testing.assert_array_equal(imgs[0][0], imgs[1][0])
-        np.testing.assert_array_equal(imgs[0][1], imgs[1][1])
+        for rgb, depth, _ in imgs[1:]:
+            np.testing.assert_array_equal(imgs[0][0], rgb)
+            np.testing.assert_array_equal(imgs[0][1], depth)
