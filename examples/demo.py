@@ -23,9 +23,20 @@ def main() -> int:
 
     from point_cloud_tpu.convert.converter import Converter, load_metadata
     from point_cloud_tpu.core.point import PointBatch
+    from point_cloud_tpu.ops.runtime import (
+        pin_cpu_if_unreachable,
+        setup_jax_cache,
+    )
     from point_cloud_tpu.render.renderer import RenderSettings
     from point_cloud_tpu.viewer import Viewer
     from point_cloud_tpu.viewer.offscreen import render_orbit
+
+    # entry-point JAX hygiene: persistent compile cache + degrade to the
+    # CPU platform when the accelerator is unreachable (a bare first
+    # dispatch would hang forever in PJRT client creation on a wedged
+    # tunnel — see ops/runtime.py)
+    setup_jax_cache()
+    pin_cpu_if_unreachable()
 
     # 1. synthesize a scene: a wavy ground sheet + a few colored towers
     rng = np.random.default_rng(0)

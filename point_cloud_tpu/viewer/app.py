@@ -103,6 +103,18 @@ class Viewer:
 
     def __init__(self, settings: RenderSettings | None = None,
                  pool: ThreadPool | None = None, mesh_devices: int = 0):
+        # every Viewer is a JAX entry point: enable the persistent XLA
+        # compile cache and honor a JAX_PLATFORMS env pin before the
+        # first backend touch — without this, a library caller (e.g.
+        # examples/demo.py) rendering with JAX_PLATFORMS=cpu still had
+        # its backend init hijacked by the accelerator plugin and hung
+        # forever on a wedged tunnel (found by running the demo while
+        # the tunnel endpoint was down). Idempotent and config-only; the
+        # bounded reachability probe (pin_cpu_if_unreachable) stays an
+        # explicit entry-point decision because it costs a probe budget.
+        from ..ops.runtime import setup_jax_cache
+
+        setup_jax_cache()
         # mesh_devices > 0 renders frames data-parallel over a device
         # mesh (render/parallel.py) — images identical to the
         # single-device renderer; meant for co-located multi-chip hosts
