@@ -386,8 +386,18 @@ def main(argv=None) -> int:
     # a wedged tunnel would hang the first frame forever inside PJRT
     # client creation; an interactive window degrades to CPU instead
     pin_cpu_if_unreachable(logging.getLogger("point_cloud_tpu.window"))
-    run_window(args.store, width=args.width, height=args.height,
-               max_frames=args.frames, mesh_devices=args.mesh)
+    try:
+        run_window(args.store, width=args.width, height=args.height,
+                   max_frames=args.frames, mesh_devices=args.mesh)
+    except Exception as err:  # headless host: say so instead of a Tk dump
+        if "DISPLAY" in str(err) or "display" in str(err):
+            p.error(
+                "no display available for the Tk window "
+                f"({err}); render headless instead: "
+                "python -m point_cloud_tpu.serve <store> (browser viewer) "
+                "or viewer.offscreen.render_orbit (PNG frames)"
+            )
+        raise
     return 0
 
 
