@@ -74,7 +74,10 @@ def _distance_sq_to_center(
     """
     centers = hexgrid.offset_to_world(sub_indices, sub_cell_radius)
     d = positions - centers
-    return (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
+    # extreme coordinates overflow to inf — IEEE-defined, identical on
+    # the jnp and C++ paths (lockstep-tested); silence only the warning
+    with np.errstate(over="ignore"):
+        return (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
 
 
 _KEY_BIAS = 1 << 20  # packed slot keys cover indices in [-2^20, 2^20)

@@ -102,6 +102,63 @@ class TestReaderFaults:
 
 
 class TestViewerFaults:
+    def test_cell_parser_fuzz_agreement(self, tmp_path):
+        """Truncations and random byte flips of a cell file must never
+        crash either parser, and the Python codec (Cell.from_bytes) and
+        the C++ engine (parse_cell via pc_engine_load_cell) must agree
+        on accept/reject — divergence here would let one backend read a
+        store another refuses (or worse, read it differently)."""
+        import ctypes
+
+        from point_cloud_tpu.core.cell import Cell, CellId
+        from point_cloud_tpu.core.metadata import MetadataConfig
+        from point_cloud_tpu.native import load_native
+
+        lib = load_native()
+        if lib is None:
+            pytest.skip("no C++ toolchain")
+
+        config = MetadataConfig()
+        rng = np.random.default_rng(3)
+        cell_size = np.float32(config.cell_size(0))
+        sub = np.float32(config.sub_cell_size(cell_size))
+        pos0 = config.cell_pos(np.zeros((1, 3), np.int32), cell_size)[0]
+        cell = Cell(CellId(0, (0, 0, 0)), sub, cell_size, pos0)
+        cell.add_points(PointBatch(
+            rng.uniform(0, 400, (2000, 3)).astype(np.float32),
+            rng.integers(0, 256, (2000, 4)).astype(np.uint8),
+        ))
+        data = bytearray(cell.to_bytes())
+
+        def py_parses(buf):
+            try:
+                Cell.from_bytes(bytes(buf))
+                return True
+            except Exception:
+                return False
+
+        def native_parses(buf):
+            eng = lib.pc_engine_create(5000, ctypes.c_float(1000.0), 96, 1)
+            try:
+                return lib.pc_engine_load_cell(
+                    eng, bytes(buf), len(buf)
+                ) == 0
+            finally:
+                lib.pc_engine_destroy(eng)
+
+        assert py_parses(data) and native_parses(data)
+        cases = [data[:cut] for cut in
+                 list(range(0, 120, 7)) + [len(data) // 2, len(data) - 1]]
+        for _ in range(120):
+            buf = bytearray(data)
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, len(buf)))] ^= (
+                    1 << int(rng.integers(0, 8))
+                )
+            cases.append(buf)
+        for buf in cases:
+            assert py_parses(buf) == native_parses(buf)
+
     def test_corrupt_cell_load_does_not_crash_streaming(self, tmp_path):
         from point_cloud_tpu.render.renderer import RenderSettings
         from point_cloud_tpu.viewer import Viewer
