@@ -93,9 +93,20 @@ reference src/plugins/render/ui.rs:122-146, as key toggles):
   c        freeze/clear frustum wireframe  n  frustum plane normals
   [ / ]    streaming-frustums scale -/+ (1..5)
   0-9      toggle hierarchy N point visibility
+  m        open a store (metadata.json file dialog)
+  f        choose files to convert (las/laz/ply/json)
+  t        start/stop the in-app converter
+  u        save-at: pick the store directory (enables auto-save)
+  k        new point cloud (reset the in-app converter)
   h        print this help
 fly cam: WASD move, Space/Shift ascend/descend, hold RMB to look,
 wheel (while looking) adjusts speed."""
+
+# native file-dialog filters (the reference's rfd pickers:
+# metadata.json only for stores, src/plugins/metadata.rs:395-442;
+# las/laz/ply/json for conversion input, src/plugins/converter.rs:764-794)
+STORE_FILETYPES = [("point cloud store", "metadata.json")]
+CONVERT_FILETYPES = [("point clouds", "*.las *.laz *.ply *.json")]
 
 
 class WindowLoop:
@@ -119,6 +130,23 @@ class WindowLoop:
         self.running = True
         self.frames = 0
         self._last = None  # previous frame timestamp for real dt
+        self.converter = None  # in-app converter, created on first use
+
+    # --- dialogs + in-app converter ------------------------------------------
+
+    def _dialog(self, name: str, *args):
+        """Ask the backend for a native dialog; None when the backend has
+        none (headless stubs simply skip the action, like the reference's
+        rfd picker returning None on cancel)."""
+        fn = getattr(self.backend, name, None)
+        return fn(*args) if fn is not None else None
+
+    def _get_converter(self):
+        if self.converter is None:
+            from .interactive import InteractiveConverter
+
+            self.converter = InteractiveConverter(self.viewer)
+        return self.converter
 
     # --- hotkeys -------------------------------------------------------------
 
@@ -155,6 +183,37 @@ class WindowLoop:
             h = int(key)
             hidden = s.hidden_hierarchies
             (hidden.discard if h in hidden else hidden.add)(h)
+        elif key == "m":
+            # open-store picker (metadata.rs:395-442 native rfd dialog)
+            path = self._dialog(
+                "ask_open_file", "Open point cloud store", STORE_FILETYPES
+            )
+            if path:
+                v.load_metadata(path)
+        elif key == "f":
+            # choose-files (converter.rs:764-794 filter)
+            paths = self._dialog(
+                "ask_open_files", "Choose files to convert",
+                CONVERT_FILETYPES,
+            )
+            if paths:
+                self._get_converter().choose_files(paths)
+        elif key == "t":
+            # start/stop (converter.rs:740-757)
+            from .interactive import ConversionState
+
+            conv = self._get_converter()
+            if conv.state == ConversionState.CONVERTING:
+                conv.stop()
+            else:
+                conv.start()
+        elif key == "u":
+            # save-at: store directory + auto-save (converter.rs:641-721)
+            directory = self._dialog("ask_directory", "Save store at")
+            if directory:
+                self._get_converter().save_at(directory)
+        elif key == "k":
+            self._get_converter().new_cloud()
         elif key == "h":
             print(HOTKEY_HELP)
 
@@ -202,6 +261,11 @@ class WindowLoop:
         self._last = now
 
         self.viewer.update(dt=min(dt, 0.25), inputs=self.input.sample())
+        if self.converter is not None:
+            # one frame-slice of conversion work (the chained systems,
+            # reference src/plugins/converter.rs:50-62) — cells publish
+            # live into the renderer as they form
+            self.converter.update()
         # double-buffered: this step dispatches frame k and blits frame
         # k-1 (Viewer.render_pipelined) — device chain overlaps the
         # previous frame's readback, one frame of display latency like
@@ -212,8 +276,26 @@ class WindowLoop:
         self.frames += 1
         fps = self.viewer.diagnostics.fps
         if fps:
-            self.backend.set_title(f"{self.title} — {fps:.1f} fps")
+            title = f"{self.title} — {fps:.1f} fps"
+            progress = self._conversion_title()
+            if progress:
+                title += f" — {progress}"
+            self.backend.set_title(title)
         return True
+
+    def _conversion_title(self) -> str | None:
+        """Per-file progress for the title bar (the egui progress list,
+        converter.rs:796-848, folded into the one line of chrome Tk has)."""
+        from .interactive import ConversionState
+
+        conv = self.converter
+        if conv is None or conv.state != ConversionState.CONVERTING:
+            return None
+        for status in conv.files:
+            if status.state == "converting":
+                done = status.total - status.remaining
+                return f"converting {status.path.name} {done}/{status.total}"
+        return "converting"
 
     def run(self, max_frames: int | None = None) -> int:
         """Pump frames until close (or ``max_frames``); returns the
@@ -224,6 +306,10 @@ class WindowLoop:
         out = self.viewer.render_flush()  # drain the in-flight frame
         if out is not None and self.backend.alive:
             self.backend.blit(np.asarray(out[0]))
+        if self.converter is not None:
+            # exit flush: write every in-RAM cell + metadata, the asset
+            # manager's save-on-exit (asset.rs:667-676)
+            self.converter.flush()
         return self.frames
 
 
@@ -305,6 +391,27 @@ class TkBackend:
             self._events.append(
                 WindowEvent("resize", x=e.width, y=e.height)
             )
+
+    # --- native file dialogs (the reference's rfd pickers) -------------------
+
+    def ask_open_file(self, title: str, filetypes) -> str | None:
+        from tkinter import filedialog
+
+        return filedialog.askopenfilename(
+            parent=self.root, title=title, filetypes=filetypes
+        ) or None
+
+    def ask_open_files(self, title: str, filetypes) -> list[str]:
+        from tkinter import filedialog
+
+        return list(filedialog.askopenfilenames(
+            parent=self.root, title=title, filetypes=filetypes
+        ))
+
+    def ask_directory(self, title: str) -> str | None:
+        from tkinter import filedialog
+
+        return filedialog.askdirectory(parent=self.root, title=title) or None
 
     # --- WindowBackend surface ---------------------------------------------
 

@@ -248,3 +248,119 @@ def test_hotkey_autorepeat_does_not_flicker(viewer):
     loop.apply_event(WindowEvent("key_up", key="p"))
     loop.apply_event(WindowEvent("key_down", key="p"))
     assert viewer.stream_enabled
+
+
+class DialogBackend(FakeBackend):
+    """FakeBackend plus scripted native-dialog answers (the rfd pickers:
+    metadata.rs:395-442, converter.rs:764-794)."""
+
+    def __init__(self, batches=None, open_file=None, open_files=None,
+                 directory=None):
+        super().__init__(batches)
+        self._open_file = open_file
+        self._open_files = open_files or []
+        self._directory = directory
+        self.dialog_calls = []
+
+    def ask_open_file(self, title, filetypes):
+        self.dialog_calls.append(("open_file", title, tuple(filetypes)))
+        return self._open_file
+
+    def ask_open_files(self, title, filetypes):
+        self.dialog_calls.append(("open_files", title, tuple(filetypes)))
+        return list(self._open_files)
+
+    def ask_directory(self, title):
+        self.dialog_calls.append(("directory", title))
+        return self._directory
+
+
+def _write_ply(path, n=512, seed=7):
+    from point_cloud_tpu.core.point import PointBatch
+    from point_cloud_tpu.io.ply import write_ply
+
+    rng = np.random.default_rng(seed)
+    positions = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    colors = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    colors[:, 3] = 255
+    write_ply(path, PointBatch(positions, colors))
+    return positions
+
+
+def test_window_converter_flow(tmp_path, viewer):
+    """The full in-window conversion story — choose files (f), save-at
+    (u), start (t) — converts to a real store and publishes cells live
+    into the renderer (the reference's native converter panel,
+    converter.rs:740-848, driven by hotkeys + native dialogs here)."""
+    from point_cloud_tpu.core.metadata import Metadata
+    from point_cloud_tpu.viewer.interactive import ConversionState
+
+    ply = tmp_path / "cloud.ply"
+    _write_ply(ply)
+    store = tmp_path / "store"
+
+    backend = DialogBackend(open_files=[str(ply)], directory=str(store))
+    loop = WindowLoop(viewer, backend)
+
+    def press(key):
+        loop.apply_event(WindowEvent("key_down", key=key))
+        loop.apply_event(WindowEvent("key_up", key=key))
+
+    press("f")  # choose files
+    assert loop.converter is not None
+    assert [f.path for f in loop.converter.progress()] == [ply]
+    press("u")  # save at
+    assert loop.converter.auto_save
+    press("t")  # start
+    assert loop.converter.state == ConversionState.CONVERTING
+
+    for _ in range(200):
+        if not loop.step():
+            break
+        if loop.converter.state == ConversionState.FINISHED:
+            break
+    assert loop.converter.state == ConversionState.FINISHED
+    # stopping the loop flushes the store (asset save-on-exit)
+    loop.running = False
+    loop.run()
+
+    meta = Metadata.loads((store / "metadata.json").read_text())
+    assert meta.number_of_points == 512
+    cells = list(store.glob("h_*/c_*.bin"))
+    assert cells
+    # cells published live into the streaming table
+    assert viewer.streamer.loaded
+
+    # start/stop toggles back off mid-run
+    press("t")
+    assert loop.converter.state != ConversionState.CONVERTING
+
+
+def test_window_open_store_dialog(tmp_path, viewer):
+    """'m' opens a store picked from the native dialog
+    (metadata.rs:395-442)."""
+    from point_cloud_tpu.convert.converter import Converter
+    from point_cloud_tpu.core.metadata import Metadata
+    from point_cloud_tpu.core.point import PointBatch
+
+    rng = np.random.default_rng(3)
+    positions = rng.uniform(-20, 20, (256, 3)).astype(np.float32)
+    colors = rng.integers(0, 256, (256, 4), dtype=np.uint8)
+    with Converter(Metadata(), tmp_path) as conv:
+        conv.add_points_batch(PointBatch(positions, colors))
+
+    backend = DialogBackend(open_file=str(tmp_path / "metadata.json"))
+    loop = WindowLoop(viewer, backend)
+    loop.apply_event(WindowEvent("key_down", key="m"))
+    assert viewer.metadata.number_of_points == 256
+    assert backend.dialog_calls[0][0] == "open_file"
+
+
+def test_window_dialog_hotkeys_safe_without_dialogs(viewer):
+    """A backend without dialog support (headless stub) makes the
+    file-dialog hotkeys no-ops instead of crashes."""
+    loop = WindowLoop(viewer, FakeBackend())
+    for key in ("m", "f", "u", "t", "k"):
+        loop.apply_event(WindowEvent("key_down", key=key))
+        loop.apply_event(WindowEvent("key_up", key=key))
+    assert loop.viewer.metadata.number_of_points == 0
