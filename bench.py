@@ -422,12 +422,18 @@ def bench_render_fps(positions, colors, settings_overrides=None) -> float:
         # shift frame to frame. Steady state runs the double-buffered
         # pipeline (one frame of latency, like the reference's AutoVsync
         # swapchain): frame k+1's device chain overlaps frame k's image
-        # readback; fps counts completed frames over the whole pass
+        # readback; fps counts completed frames over the whole pass.
+        # The warm orbit MUST also run pipelined: survivor counts land
+        # one frame later than in the sync path, so the pipelined orbit
+        # walks a different buffer-budget sequence — warming with sync
+        # frames left the timed pass minting new shapes mid-measurement
+        # (measured 1.7 vs 4.1 fps, a pure harness artifact)
         reps = 6
         yaws = [0.5 + i * 0.35 for i in range(reps)]
         frame(0.0)  # first streaming + resolve compile
         for yaw in yaws:
-            frame(yaw)
+            frame_pipelined(yaw)
+        renderer.render_flush()
         t0 = time.perf_counter()
         done = 0
         for yaw in yaws:
