@@ -34,6 +34,7 @@ our stores deterministic.
 
 from __future__ import annotations
 
+import itertools
 import struct
 from dataclasses import dataclass
 
@@ -82,6 +83,11 @@ def _distance_sq_to_center(
 
 _KEY_BIAS = 1 << 20  # packed slot keys cover indices in [-2^20, 2^20)
 _MAX_SEGMENTS = 8
+
+# Process-global content-generation counter (see Cell.__init__). CPython's
+# itertools.count.__next__ is a single C call, so concurrent bumps from the
+# loader/converter threads can't hand out duplicates.
+_generation_counter = itertools.count(1)
 
 
 def _pack_slot_keys(sub_indices: np.ndarray) -> np.ndarray:
@@ -170,12 +176,18 @@ class Cell:
         self.total_number_of_points = 0
         self.number_of_points = 0
         self.number_of_overflow_points = 0
-        # content generation: bumped by every mutating insert so cached
+        # content generation: advanced by every mutating insert so cached
         # derivations of this cell's points (the renderer's device-array/
         # LOD/color caches) invalidate when the in-app converter updates
         # a loaded cell in place (converter.rs:553-592 feeds cells the
-        # renderer is already drawing)
-        self.generation = 0
+        # renderer is already drawing). Drawn from a process-global
+        # monotonic counter — NOT persisted and NOT starting at 0 — so a
+        # cell that is mutated, saved, unloaded, and later re-read from
+        # disk can never reproduce a generation an earlier incarnation
+        # already handed to a cache (the store format has no generation
+        # field, so a reload restarting at 0 would alias pre-mutation
+        # cache entries)
+        self.generation = next(_generation_counter)
         # LSM points grid: one valid row per hex slot across all segments
         self._segments: list[_Segment] = []
         self._out_of_range = False  # packed-key fallback latch
@@ -286,7 +298,7 @@ class Cell:
         n = len(positions)
         if n == 0:
             return PointBatch.empty()
-        self.generation += 1
+        self.generation = next(_generation_counter)
         if self._out_of_range:
             return self._merge_winners_exact_fallback(
                 positions, colors, sub_indices, dist
@@ -450,7 +462,7 @@ class Cell:
         limit = int(config.cell_point_overflow_limit)
         remaining: dict[tuple[int, int, int], PointBatch] = {}
         if grouped:
-            self.generation += 1
+            self.generation = next(_generation_counter)
 
         for cell_index, points in grouped.items():
             if not presorted:

@@ -193,3 +193,25 @@ class TestCellCodec:
         c1.add_points(batch)
         c2.add_points(batch)
         assert c1.to_bytes() == c2.to_bytes()
+
+
+class TestGenerationCounter:
+    def test_reload_never_reuses_an_earlier_generation(self):
+        """The renderer's device caches key on (cell_id, generation); a
+        cell that is mutated, saved, and later re-read from disk must not
+        reproduce a generation an earlier incarnation already exposed —
+        the store format has no generation field, so a reload restarting
+        at a fixed value would alias the pre-mutation cache entries."""
+        cell = make_cell()
+        seen = {cell.generation}
+        cell.add_points(random_batch(100, extent=5.0, seed=11))
+        assert cell.generation not in seen  # mutation advances
+        seen.add(cell.generation)
+        data = cell.to_bytes()
+
+        reloaded = Cell.from_bytes(data)
+        assert reloaded.generation not in seen
+        seen.add(reloaded.generation)
+        # a second reload of the SAME bytes is also a fresh incarnation
+        reloaded2 = Cell.from_bytes(data)
+        assert reloaded2.generation not in seen
