@@ -275,16 +275,23 @@ class StoreServer:
                 conv.set_batch_size(payload.get("value", 0))
             elif action == "start":
                 conv.start()
+                # spawn the pump while still holding _render_lock:
+                # concurrent start POSTs (the HTTP server is threaded)
+                # would otherwise both observe a dead pump and spawn two,
+                # double-running conv.update()/flush()
+                if (
+                    self._pump_thread is None
+                    or not self._pump_thread.is_alive()
+                ):
+                    self._pump_thread = threading.Thread(
+                        target=self._pump, daemon=True,
+                        name="pct-convert-pump",
+                    )
+                    self._pump_thread.start()
             elif action == "stop":
                 conv.stop()
             else:
                 raise ValueError(f"unknown converter action {action!r}")
-        if action == "start":
-            if self._pump_thread is None or not self._pump_thread.is_alive():
-                self._pump_thread = threading.Thread(
-                    target=self._pump, daemon=True
-                )
-                self._pump_thread.start()
         return self.convert_status()
 
     def convert_status(self) -> dict:

@@ -454,3 +454,24 @@ class TestConvertEndpoint:
         with pytest.raises(urllib.error.HTTPError) as err:
             get(f"{url}/convert/files?dir=../")
         assert err.value.code == 403
+
+    def test_concurrent_starts_spawn_one_pump(self, conv_server):
+        """ThreadingHTTPServer handles requests in parallel: racing
+        start POSTs must not spawn two pump threads (each would run
+        conv.update()/flush(), double-driving the conversion)."""
+        import concurrent.futures
+
+        url, _, _ = conv_server
+        post_json(f"{url}/convert",
+                  {"action": "choose", "files": ["cloud.ply"]})
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            results = list(pool.map(
+                lambda _: post_json(f"{url}/convert", {"action": "start"}),
+                range(8),
+            ))
+        assert all(status == 200 for status, _ in results)
+        pumps = [
+            t for t in threading.enumerate()
+            if t.name == "pct-convert-pump" and t.is_alive()
+        ]
+        assert len(pumps) <= 1, pumps
