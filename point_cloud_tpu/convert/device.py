@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.cell import CellId
 from ..core.point import PointBatch
-from ..ops.dedup import collect_dedup, dispatch_dedup, dispatch_dedup_resident
+from ..ops.dedup import collect_dedup, dispatch_dedup, dispatch_dedup_auto
 from ..utils.tracing import stage
 from .converter import Converter
 
@@ -191,40 +191,11 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
         l_src_chunks: list[np.ndarray] = []
 
         if len(positions):
-            # resident dispatch pays off when most rows still live in the
-            # device buffer; heavily-foreign levels re-base with a full
-            # upload (which also refreshes the resident buffer)
-            resident = ctx.get("resident")
-            use_resident = (
-                RESIDENT_ENABLED
-                and prefetch_handle is None
-                and resident is not None
-                and src is not None
-                and (src >= 0).sum() * 2 >= len(src)
-            )
-            if use_resident:
-                foreign = src < 0
-                extras = np.ascontiguousarray(positions[foreign])
-                src_packed = src.astype(np.int32)
-                src_packed[foreign] = ~np.arange(
-                    int(foreign.sum()), dtype=np.int32
-                )
-                handle = dispatch_dedup_resident(
-                    resident, src_packed, extras, cell_size, sub_cell_size
-                )
-            else:
-                handle = prefetch_handle or dispatch_dedup(
-                    positions, cell_size, sub_cell_size
-                )
-                ctx["resident"] = handle.get("pos_dev")
-                src = None  # rows now index the fresh upload
-            # output src semantics: rows of this level map into the
-            # CURRENT resident buffer — identity for a fresh upload,
-            # pass-through of ``src`` otherwise
-            src_arr = (
-                src
-                if src is not None
-                else np.arange(len(positions), dtype=np.int32)
+            handle, ctx["resident"], src, src_arr = dispatch_dedup_auto(
+                ctx.get("resident"), src, positions,
+                cell_size, sub_cell_size,
+                prefetch_handle=prefetch_handle,
+                enabled=RESIDENT_ENABLED,
             )
             with stage("device_dedup+rebuild"):
                 perm, winner, cell_idx_s, sub_idx_s, dist_s, next_idx_s = (

@@ -85,11 +85,7 @@ class NativeDeviceConverter(DevicePrefetchMixin, NativeConverter):
 
     def _run_cascade(self, positions, colors, prefetch_handle,
                      seq: int) -> None:
-        from ..ops.dedup import (
-            collect_dedup,
-            dispatch_dedup,
-            dispatch_dedup_resident,
-        )
+        from ..ops.dedup import collect_dedup, dispatch_dedup_auto
         from .device import RESIDENT_ENABLED
 
         config = self.metadata.config
@@ -119,40 +115,17 @@ class NativeDeviceConverter(DevicePrefetchMixin, NativeConverter):
                 break
             cell_size = config.cell_size(hierarchy)
             sub_cell_size = config.sub_cell_size(cell_size)
-            use_resident = (
-                RESIDENT_ENABLED
-                and prefetch_handle is None
-                and resident is not None
-                and src is not None
-                and (src >= 0).sum() * 2 >= len(src)
+            handle, resident, src, src_arr = dispatch_dedup_auto(
+                resident, src, positions, cell_size, sub_cell_size,
+                prefetch_handle=prefetch_handle,
+                enabled=RESIDENT_ENABLED,
             )
-            if use_resident:
-                foreign = src < 0
-                extras = np.ascontiguousarray(positions[foreign])
-                src_packed = src.astype(np.int32)
-                src_packed[foreign] = ~np.arange(
-                    int(foreign.sum()), dtype=np.int32
-                )
-                handle = dispatch_dedup_resident(
-                    resident, src_packed, extras, cell_size, sub_cell_size
-                )
-            else:
-                handle = prefetch_handle or dispatch_dedup(
-                    positions, cell_size, sub_cell_size
-                )
-                resident = handle.get("pos_dev")
-                src = None
             prefetch_handle = None
             with stage("device_dedup+rebuild"):
                 perm, winner, cell_idx, sub_idx, dist, next_idx = (
                     collect_dedup(handle, positions, cell_size,
                                   sub_cell_size)
                 )
-            src_arr = (
-                src
-                if src is not None
-                else np.arange(len(positions), dtype=np.int32)
-            )
             pos_s = np.ascontiguousarray(positions[perm])
             col_s = np.ascontiguousarray(colors[perm])
             src_s = np.ascontiguousarray(src_arr[perm], dtype=np.int32)

@@ -493,6 +493,57 @@ def dispatch_dedup_resident(resident, src: np.ndarray, extras: np.ndarray,
     return {"n": n, "packed": packed}
 
 
+def dispatch_dedup_auto(resident, src, positions, cell_size, sub_cell_size,
+                        prefetch_handle=None, enabled=True):
+    """Choose resident-buffer dispatch vs a fresh full upload for a level.
+
+    Shared by DeviceConverter and NativeDeviceConverter so the
+    resident-majority gate and the ``~index`` extras packing can never
+    diverge between them (their stores must stay byte-identical,
+    CLAUDE.md invariant #1).
+
+    The resident path pays off only when most rows still live in the
+    device buffer; heavily-foreign levels re-base with a full upload,
+    which also refreshes the resident buffer.
+
+    Returns ``(handle, resident, src, src_arr)``:
+      handle: for :func:`collect_dedup`.
+      resident, src: the cascade state to carry to the next level
+        (replaced on a fresh upload).
+      src_arr: (n,) int32 mapping this level's rows into the CURRENT
+        resident buffer — identity after a fresh upload, pass-through
+        of ``src`` otherwise.
+    """
+    use_resident = (
+        enabled
+        and prefetch_handle is None
+        and resident is not None
+        and src is not None
+        and (src >= 0).sum() * 2 >= len(src)
+    )
+    if use_resident:
+        foreign = src < 0
+        extras = np.ascontiguousarray(positions[foreign])
+        src_packed = src.astype(np.int32)
+        src_packed[foreign] = ~np.arange(
+            int(foreign.sum()), dtype=np.int32
+        )
+        handle = dispatch_dedup_resident(
+            resident, src_packed, extras, cell_size, sub_cell_size
+        )
+    else:
+        handle = prefetch_handle or dispatch_dedup(
+            positions, cell_size, sub_cell_size
+        )
+        resident = handle.get("pos_dev")
+        src = None
+    src_arr = (
+        src if src is not None
+        else np.arange(len(positions), dtype=np.int32)
+    )
+    return handle, resident, src, src_arr
+
+
 def mark_pallas_broken() -> None:
     """Degrade the sort backend to the bitonic for the whole process.
 
