@@ -108,6 +108,27 @@ class DevicePrefetchMixin:
 class DeviceConverter(DevicePrefetchMixin, Converter):
     """Drop-in converter whose dedup math runs on the JAX default device."""
 
+    _merge_pool = None  # lazy; shared by MeshConverter, closed in close()
+
+    def _merge_parallel(self, merge_one, items) -> list:
+        """Run per-cell LSM merges concurrently once there are enough
+        groups to amortize pool dispatch (cells are disjoint, so
+        merge_one calls never share mutable state)."""
+        items = list(items)
+        if len(items) >= 4:
+            if self._merge_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._merge_pool = ThreadPoolExecutor(8)
+            return list(self._merge_pool.map(merge_one, items))
+        return [merge_one(item) for item in items]
+
+    def close(self) -> None:
+        super().close()
+        if self._merge_pool is not None:
+            self._merge_pool.shutdown()
+            self._merge_pool = None
+
     def add_points_batch(self, batch: PointBatch) -> None:
         self._update_bounding_box(batch)
         self.metadata.number_of_points += len(batch)
@@ -257,16 +278,7 @@ class DeviceConverter(DevicePrefetchMixin, Converter):
                 return key, lose, displaced
 
             with stage("lsm_merge"):
-                if len(seen) >= 4:
-                    from concurrent.futures import ThreadPoolExecutor
-
-                    if not hasattr(self, "_merge_pool"):
-                        self._merge_pool = ThreadPoolExecutor(8)
-                    results = list(
-                        self._merge_pool.map(merge_one, seen.items())
-                    )
-                else:
-                    results = [merge_one(item) for item in seen.items()]
+                results = self._merge_parallel(merge_one, seen.items())
 
                 for key, lose, displaced in results:
                     if len(lose):

@@ -273,15 +273,9 @@ class MeshConverter(DeviceConverter):
                 return key, displaced
 
             with stage("lsm_merge"):
-                items = list(zip(keys, starts.tolist(), ends.tolist()))
-                if len(items) >= 4:
-                    from concurrent.futures import ThreadPoolExecutor
-
-                    if not hasattr(self, "_merge_pool"):
-                        self._merge_pool = ThreadPoolExecutor(8)
-                    results = list(self._merge_pool.map(merge_one, items))
-                else:
-                    results = [merge_one(item) for item in items]
+                results = self._merge_parallel(
+                    merge_one, zip(keys, starts.tolist(), ends.tolist())
+                )
 
             for key, displaced in results:
                 if len(displaced):

@@ -399,3 +399,19 @@ class TestSmallCacheParity:
         assert set(host_files) == set(pipe_files)
         for name, data in host_files.items():
             assert pipe_files[name] == data, f"mismatch in {name}"
+
+
+def test_merge_pool_shut_down_on_close(tmp_path):
+    """The lazy per-cell merge pool must not leak its 8 worker threads
+    past close() (tests and the multihost path build many converters
+    per process)."""
+    conv = DeviceConverter(Metadata(), tmp_path)
+    results = conv._merge_parallel(lambda x: x * 2, [1, 2, 3, 4, 5])
+    assert results == [2, 4, 6, 8, 10]
+    pool = conv._merge_pool
+    assert pool is not None
+    conv.close()
+    assert conv._merge_pool is None
+    # a shut-down executor refuses new work
+    with pytest.raises(RuntimeError):
+        pool.submit(lambda: None)
