@@ -404,6 +404,15 @@ def sorted_raster_merge(framebuffer: Framebuffer, pix, depth, ids):
     the smaller id.
     """
     n_pix = framebuffer.depth.shape[0]
+    # canonicalize -0.0 -> +0.0 before keying on the bit pattern: -0.0
+    # passes the depth >= 0 validity mask but bitcasts to 0x80000000,
+    # which would sort BEFORE +0.0 and crown the -0.0 fragment's id
+    # regardless of the min-id tie rule the scatter path applies to
+    # equal depths. An explicit select, not `depth + 0.0` — XLA's
+    # simplifier folds the add away and -0.0 survives (measured)
+    depth = jnp.where(
+        depth == jnp.float32(0.0), jnp.float32(0.0), depth
+    )
     depth_bits = jax.lax.bitcast_convert_type(depth, jnp.int32)
     depth_bits = jnp.where(pix == _NO_ID, _NO_ID, depth_bits)
 

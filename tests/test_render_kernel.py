@@ -1510,3 +1510,26 @@ class TestCompactClasses:
         np.testing.assert_array_equal(
             np.asarray(perm)[:n], np.arange(n)
         )
+
+
+class TestSortedRasterNegativeZero:
+    def test_negative_zero_depth_ties_by_min_id(self):
+        """-0.0 passes the depth >= 0 validity mask but bitcasts to
+        0x80000000; uncanonicalized it would sort before +0.0 and win the
+        pixel regardless of id, diverging from the scatter path's
+        equal-depth min-id tie rule (LessEqual semantics)."""
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.splat import (
+            _NO_ID,
+            make_framebuffer,
+            sorted_raster_merge,
+        )
+
+        fb = make_framebuffer(1, 2)
+        pix = jnp.array([0, 0, _NO_ID, _NO_ID], jnp.int32)
+        depth = jnp.array([-0.0, 0.0, 0.0, 0.0], jnp.float32)
+        ids = jnp.array([7, 3, _NO_ID, _NO_ID], jnp.int32)
+        out = sorted_raster_merge(fb, pix, depth, ids)
+        assert int(out.point_id[0]) == 3  # min id wins the +-0.0 tie
+        assert float(out.depth[0]) == 0.0
