@@ -491,7 +491,7 @@ class PointRenderer:
                     (bucket, s.footprint if mega_subs else "a"), n
                 )
 
-                def rung_budget(k, ladder=(64, 1024, 16384)):
+                def rung_budget(k, ladder=(64, 1024, 16384, 65536)):
                     # per-rung sticky budget snapped to a COARSE ladder:
                     # fine steps would re-key the megakernel compile on
                     # a drifting tuple (PERF.md trap #1 of the

@@ -495,7 +495,7 @@ def _render_bucket_body(
     device compute. This pass brings a frame to ~(buckets + 1) calls.
 
     ``overflow_rows`` is a tuple of per-rung row budgets, snapped to a
-    COARSE ladder (64/1024/16384/N — fine steps re-keyed the compile on
+    COARSE ladder (64/1024/16384/65536/N — fine steps re-keyed the compile on
     a drifting tuple, the trap PERF.md documents; a shared budget
     instead priced every rung at the largest rung's occupancy, e.g. 70
     splats rastering an 8192-row window). A rung's rows beyond its
