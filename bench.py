@@ -599,10 +599,16 @@ def main() -> None:
                 f"unknown RenderSettings knob {knob!r}; "
                 f"choose from {sorted(valid)}"
             )
+        # the variant flips the knob RELATIVE TO ITS DEFAULT (a knob
+        # that defaults on, e.g. chunked_raster, A/Bs against off) so
+        # the run always measures two distinct configurations
+        default = RenderSettings().__getattribute__(knob)
+        flipped = not default
         base = bench_render_fps(positions, colors)
-        variant = bench_render_fps(positions, colors, {knob: True})
+        variant = bench_render_fps(positions, colors, {knob: flipped})
+        tag = "on" if flipped else "off"
         print(json.dumps({"baseline_fps": round(base, 3),
-                          f"{knob}_fps": round(variant, 3)}))
+                          f"{knob}_{tag}_fps": round(variant, 3)}))
         return
 
     # headline first: the host C++ engine needs no accelerator, so a

@@ -145,6 +145,15 @@ class RenderSettings:
     # "even raster windows"); cond-gated rungs in one program keep the
     # savings without the dispatches
     sub_rungs: bool = True
+    # megakernel-only: raster each window rung's survivors in fixed-size
+    # chunks under a lax.while_loop (splat.rung_chunk_rows) instead of a
+    # static per-rung row budget. Rows processed track the ACTUAL rung
+    # occupancy (waste < one chunk vs the budget ladder's 1.3-2.6x pow2 /
+    # coarse-ladder overshoot — scatter cost is per row processed,
+    # PERF.md), and the compile key carries no budget tuple, so survivor
+    # drift across an orbit never re-mints the megakernel executable.
+    # Image-identical to the budget path (tests/test_render_kernel.py)
+    chunked_raster: bool = True
     # fuse the WHOLE frame (every bucket's megakernel chain + the packed
     # resolve) into ONE XLA program: one dispatch + one readback per
     # frame (splat.render_frame_pass). Image-identical to the per-bucket
@@ -483,6 +492,40 @@ class PointRenderer:
                     tuple(k for k in SMALL_WINDOWS if k < s.footprint)
                     if s.sub_rungs else ()
                 )
+                if s.chunked_raster:
+                    # chunked rungs size themselves (fixed chunks,
+                    # dynamic trip counts): no budget tuple, no sticky
+                    # buffer bookkeeping, one executable per bucket shape
+                    static_cfg = (0, (), mega_rungs, (), mega_subs)
+                    if s.frame_fusion:
+                        fused_args.append(
+                            (pos_dev, hier_base, valid_dev, ids_dev)
+                        )
+                        fused_static.append(static_cfg)
+                        counts_vec = None
+                    else:
+                        framebuffer, counts_vec = render_bucket_pass(
+                            framebuffer, pos_dev, hier_base, valid_dev,
+                            ids_dev, view_dev, proj_dev, cam_dev,
+                            spacings_dev, fars_dev, sbd_dev, maxh_dev,
+                            depth=depth_now,
+                            height=s.height, width=s.width,
+                            footprint=s.footprint, voronoi=s.voronoi,
+                            use_occlusion=use_occ,
+                            out_size=0, overflow_rows=(),
+                            overflow_ks=mega_rungs,
+                            sub_rows=(), sub_ks=mega_subs,
+                            chunked=True,
+                        )
+                    frame_vecs.append(
+                        (bucket, mega_subs + (s.footprint,) + mega_rungs,
+                         counts_vec, "excl")
+                    )
+                    all_colors.append(colors)
+                    frame_bucket_keys.append(bucket_key)
+                    id_base += n_real
+                    continue
+
                 # with sub rungs active the footprint raster carries
                 # only its exclusive band (+ transient spill), so it
                 # sizes from its own landed count; without them it
@@ -847,6 +890,7 @@ class PointRenderer:
                     use_occlusion=use_occ, out_size=cfg[0],
                     overflow_rows=cfg[1], overflow_ks=cfg[2],
                     sub_rows=cfg[3], sub_ks=cfg[4],
+                    chunked=s.chunked_raster,
                 )
                 b, ks, _, kind = frame_vecs[bi]
                 frame_vecs[bi] = (b, ks, counts_vec, kind)
@@ -863,6 +907,7 @@ class PointRenderer:
                     use_occlusion=use_occ,
                     bucket_static=tuple(fused_static),
                     with_depth=s.transfer_depth,
+                    chunked=s.chunked_raster,
                 )
             else:
                 packed = pack_frame(

@@ -459,6 +459,82 @@ def _sort4_frags(pix, depth_bits, ids):
     return bitonic_sort4(pix, depth_bits, ids, arrival)
 
 
+# --- chunked rung rasterization ------------------------------------------
+#
+# The budget-ladder raster prices each rung at a STATIC row buffer
+# (pow2 / coarse-ladder snapped) because XLA shapes must be static —
+# and pays for every padded row in both scatter-mins (scatter cost is
+# per row processed, not landed, PERF.md). Rung occupancies swing 2-3x
+# across an orbit, so the ladder either overshoots (up to 2.6x wasted
+# fragments on the dominant rungs) or re-mints the megakernel compile.
+# The chunked formulation rasters each rung's compact_classes region in
+# fixed-size chunks under a lax.while_loop: rows processed =
+# ceil(count / chunk) * chunk (waste < one chunk), the trip count is
+# dynamic (data-dependent, never in the compile key), and an empty rung
+# costs one predicate. Chunk sizes target a constant fragment count so
+# every iteration's scatter work is uniform across window sizes.
+
+RUNG_CHUNK_FRAGS = 1 << 16
+# fragment cap per OVERFLOW rung (k > footprint): caps a pathological
+# frame (camera inside the cloud, thousands of huge splats) at
+# RUNG_CAP_CHUNKS * RUNG_CHUNK_FRAGS ~ 4M fragments per rung; rows
+# beyond the cap render clipped through the footprint window for that
+# frame — the same self-limiting contract as the budget path's spill
+RUNG_CAP_CHUNKS = 64
+
+
+def rung_chunk_rows(k: int, n: int) -> int:
+    """Rows per chunk for a k x k rung: the pow2 that keeps a chunk near
+    RUNG_CHUNK_FRAGS fragments, clamped to [8, 8192] and the bucket
+    size (the dynamic_slice start stays <= 2N - chunk, the perm pad
+    contract in :func:`compact_classes`)."""
+    ch = max(RUNG_CHUNK_FRAGS // (k * k), 8)
+    ch = 1 << (ch.bit_length() - 1)
+    return max(min(ch, 8192, n), 1)
+
+
+def _raster_rung_chunked(
+    framebuffer: Framebuffer,
+    view_pos, ndc, radius, point_id,  # ORIGINAL bucket payloads (N rows)
+    perm,  # (2N,) i32 class-ranked row indices (compact_classes)
+    start,  # i32 device scalar: the rung's region offset into perm
+    count,  # i32 device scalar: rows of the region to raster
+    projection, height: int, width: int, k: int, voronoi: bool,
+    chunk_rows: int,
+) -> Framebuffer:
+    """Raster ``count`` perm rows at ``start`` through a k x k window in
+    ``chunk_rows``-row chunks (dynamic trip count, static shapes)."""
+    count = jnp.asarray(count, jnp.int32)
+    start = jnp.asarray(start, jnp.int32)
+
+    def cond(carry):
+        _, c = carry
+        return c * chunk_rows < count
+
+    def body(carry):
+        fb, c = carry
+        s = start + c * chunk_rows
+        p = jax.lax.dynamic_slice_in_dim(perm, s, chunk_rows)
+        valid = (
+            jnp.arange(chunk_rows, dtype=jnp.int32) + c * chunk_rows
+        ) < count
+        # materialize the gathered rows once (rasterize_class_slice
+        # rationale: unfused gathers re-execute per fragment)
+        vp, nd, rd, pid = jax.lax.optimization_barrier(
+            (view_pos[p], ndc[p], radius[p], point_id[p])
+        )
+        fb = _rasterize_body(
+            fb, vp, nd, rd, pid, valid, projection,
+            height, width, k, voronoi,
+        )
+        return fb, c + 1
+
+    framebuffer, _ = jax.lax.while_loop(
+        cond, body, (framebuffer, jnp.int32(0))
+    )
+    return framebuffer
+
+
 def _render_bucket_body(
     framebuffer: Framebuffer,
     positions,  # (N, 3) f32
@@ -478,6 +554,7 @@ def _render_bucket_body(
     overflow_ks: tuple = (),
     sub_rows: tuple = (),
     sub_ks: tuple = (),
+    chunked: bool = False,
 ):
     """One bucket's ENTIRE frame chain in a single XLA program.
 
@@ -533,8 +610,9 @@ def _render_bucket_body(
     rx, ry = splat_pixel_radii(view_pos, radius, projection, width, height)
     rmax = jnp.maximum(rx, ry)
 
-    assert len(overflow_rows) == len(overflow_ks)
-    assert len(sub_rows) == len(sub_ks)
+    if not chunked:
+        assert len(overflow_rows) == len(overflow_ks)
+        assert len(sub_rows) == len(sub_ks)
     rungs = tuple(sub_ks) + (footprint,) + tuple(overflow_ks)
     fp_i = len(sub_ks)  # the footprint rung's index in ``rungs``
     # exclusive fit bands, ascending k; the last rung is the catch-all
@@ -551,6 +629,46 @@ def _render_bucket_body(
             covered = f if covered is None else covered | f
         masks.append(m)
     counts = [jnp.sum(m.astype(jnp.int32)) for m in masks]
+
+    if chunked:
+        # chunked rung raster (see rung_chunk_rows): one index scatter
+        # packs every rung's survivors into perm regions, then each rung
+        # rasters its region in fixed-size chunks — rows processed track
+        # the actual occupancy (waste < one chunk) and the compile key
+        # carries NO budget tuple, so survivor drift never recompiles
+        n = keep.shape[0]
+        perm, counts_d, offsets = compact_classes(jnp.stack(masks))
+        fb = framebuffer
+        order = [fp_i] + [j for j in range(len(rungs)) if j != fp_i]
+        for j in order:
+            k = rungs[j]
+            ch = rung_chunk_rows(k, n)
+            eff = counts_d[j]
+            if k > footprint:
+                eff = jnp.minimum(eff, jnp.int32(ch * RUNG_CAP_CHUNKS))
+            fb = _raster_rung_chunked(
+                fb, view_pos, ndc, radius, point_id, perm,
+                offsets[j], eff, projection, height, width, k,
+                voronoi, ch,
+            )
+        # capped overflow tails render clipped through the footprint
+        # window (the budget path's spill contract)
+        ch_fp = rung_chunk_rows(footprint, n)
+        for j, k in enumerate(rungs):
+            if k <= footprint:
+                continue
+            cap = rung_chunk_rows(k, n) * RUNG_CAP_CHUNKS
+            tail = jnp.maximum(counts_d[j] - cap, 0)
+            fb = _raster_rung_chunked(
+                fb, view_pos, ndc, radius, point_id, perm,
+                offsets[j] + cap, tail, projection, height, width,
+                footprint, voronoi, ch_fp,
+            )
+        counts_vec = jnp.concatenate(
+            [jnp.sum(keep.astype(jnp.int32))[None], counts_d]
+        )
+        return fb, counts_vec
+
     budgets = tuple(sub_rows) + (None,) + tuple(overflow_rows)
 
     # rows beyond any non-footprint rung's budget spill into the
@@ -602,6 +720,7 @@ render_bucket_pass = partial(
     static_argnames=(
         "height", "width", "footprint", "voronoi", "use_occlusion",
         "out_size", "overflow_rows", "overflow_ks", "sub_rows", "sub_ks",
+        "chunked",
     ),
 )(_render_bucket_body)
 
@@ -610,7 +729,7 @@ render_bucket_pass = partial(
     jax.jit,
     static_argnames=(
         "height", "width", "footprint", "voronoi", "use_occlusion",
-        "bucket_static", "with_depth",
+        "bucket_static", "with_depth", "chunked",
     ),
 )
 def render_frame_pass(
@@ -623,6 +742,7 @@ def render_frame_pass(
     # per-bucket (out_size, overflow_rows, overflow_ks, sub_rows, sub_ks)
     bucket_static: tuple,
     with_depth: bool,
+    chunked: bool = False,
 ):
     """The WHOLE frame — every bucket's megakernel chain plus the packed
     resolve — as ONE XLA program: one dispatch + one readback per frame.
@@ -658,7 +778,7 @@ def render_frame_pass(
             depth=depth, height=height, width=width, footprint=footprint,
             voronoi=voronoi, use_occlusion=use_occlusion,
             out_size=out_size, overflow_rows=orows, overflow_ks=oks,
-            sub_rows=srows, sub_ks=sks,
+            sub_rows=srows, sub_ks=sks, chunked=chunked,
         )
         vecs.append(counts_vec)
     counts = (

@@ -1533,3 +1533,119 @@ class TestSortedRasterNegativeZero:
         out = sorted_raster_merge(fb, pix, depth, ids)
         assert int(out.point_id[0]) == 3  # min id wins the +-0.0 tie
         assert float(out.depth[0]) == 0.0
+
+
+class TestChunkedRaster:
+    """splat._raster_rung_chunked: fixed-size chunk loops must partition
+    rung survivors exactly like the static budget path, including the
+    capped-tail spill through the footprint window."""
+
+    def _bucket_inputs(self, n=1024, w=52, h=60):
+        """A synthetic bucket whose splats all land in the k=9 overflow
+        rung (projected half-extent ~2.6-4.4 px at footprint 5)."""
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.kernel import MAX_HIERARCHIES
+
+        cam = Camera()
+        view = cam.view_matrix().astype(np.float32)
+        proj = cam.projection_matrix().astype(np.float32)
+        rng = np.random.default_rng(77)
+        pos = np.stack(
+            [
+                rng.uniform(-4, 4, n),
+                rng.uniform(28, 33, n),  # distance band -> rx in rung 9
+                rng.uniform(-4, 4, n),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        spacings = np.zeros(MAX_HIERARCHIES, np.float32)
+        spacings[0] = 1.45  # rx ~ 1.45 * 2.414 * (w/2) / ~30
+        return dict(
+            positions=jnp.asarray(pos),
+            hier_base=jnp.zeros(n, jnp.int32),
+            valid=jnp.ones(n, bool),
+            point_id=jnp.arange(1, n + 1, dtype=jnp.int32),
+            view=jnp.asarray(view),
+            projection=jnp.asarray(proj),
+            cam_pos=jnp.asarray(cam.transform.translation),
+            spacings=jnp.asarray(spacings),
+            far_distances=jnp.zeros(MAX_HIERARCHIES, jnp.float32),
+            size_by_distance=jnp.bool_(False),
+            max_hierarchy=jnp.int32(0),
+        ), (h, w)
+
+    def test_chunked_matches_budget_bucket_pass(self):
+        """Same bucket through chunked and budget megakernels -> same
+        framebuffer (ample budgets: no spill on either side)."""
+        from point_cloud_tpu.render.splat import (
+            make_framebuffer,
+            render_bucket_pass,
+        )
+
+        args, (h, w) = self._bucket_inputs()
+        common = dict(
+            depth=None, height=h, width=w, footprint=5, voronoi=True,
+            use_occlusion=False,
+        )
+        fb_c, vec_c = render_bucket_pass(
+            make_framebuffer(h, w), **args, **common,
+            out_size=0, overflow_rows=(), overflow_ks=(9, 17, 33, 65),
+            sub_rows=(), sub_ks=(1, 3), chunked=True,
+        )
+        fb_b, vec_b = render_bucket_pass(
+            make_framebuffer(h, w), **args, **common,
+            out_size=1024, overflow_rows=(1024, 64, 64, 64),
+            overflow_ks=(9, 17, 33, 65),
+            sub_rows=(64, 64), sub_ks=(1, 3), chunked=False,
+        )
+        counts = np.asarray(vec_c)
+        assert counts[4] > 0  # the k=9 rung really is occupied
+        np.testing.assert_array_equal(np.asarray(vec_c), np.asarray(vec_b))
+        np.testing.assert_array_equal(
+            np.asarray(fb_c.point_id), np.asarray(fb_b.point_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb_c.depth), np.asarray(fb_b.depth)
+        )
+
+    def test_cap_tail_spills_through_footprint(self, monkeypatch):
+        """Rows beyond an overflow rung's fragment cap must render
+        clipped through the footprint window — exactly the budget path's
+        spill partitioning at the same row budget."""
+        from point_cloud_tpu.render import splat
+        from point_cloud_tpu.render.splat import (
+            make_framebuffer,
+            render_bucket_pass,
+            rung_chunk_rows,
+        )
+
+        monkeypatch.setattr(splat, "RUNG_CAP_CHUNKS", 1)
+        n = 1024
+        h, w = 44, 68  # fresh shapes: the cap is not in the jit key
+        args, _ = self._bucket_inputs(n=n, w=w, h=h)
+        cap = rung_chunk_rows(9, n)  # one chunk of the k=9 rung
+        assert cap < n  # the tail path really runs
+        common = dict(
+            depth=None, height=h, width=w, footprint=5, voronoi=True,
+            use_occlusion=False,
+        )
+        fb_c, vec_c = render_bucket_pass(
+            make_framebuffer(h, w), **args, **common,
+            out_size=0, overflow_rows=(), overflow_ks=(9, 17, 33, 65),
+            sub_rows=(), sub_ks=(), chunked=True,
+        )
+        fb_b, _ = render_bucket_pass(
+            make_framebuffer(h, w), **args, **common,
+            out_size=n, overflow_rows=(cap, 64, 64, 64),
+            overflow_ks=(9, 17, 33, 65),
+            sub_rows=(), sub_ks=(), chunked=False,
+        )
+        # counts_vec = [kept, k5, k9, ...] with sub_ks=()
+        assert int(np.asarray(vec_c)[2]) > cap  # more rows than the cap
+        np.testing.assert_array_equal(
+            np.asarray(fb_c.point_id), np.asarray(fb_b.point_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb_c.depth), np.asarray(fb_b.depth)
+        )
