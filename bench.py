@@ -491,24 +491,39 @@ def bench_render_fps_fused(positions, colors) -> float:
     return bench_render_fps(positions, colors, {"frame_fusion": True})
 
 
+# insertion order = run priority: when the global wall budget runs
+# short (flapping tunnel burning per-extra timeouts), the metrics that
+# matter most for round-over-round tracking are measured first
 _EXTRAS = {
     "device_dedup_sort_mpts": (bench_device_sort, False),
+    "render_fps_640x480": (bench_render_fps, True),
+    "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
     "render_cull_lod_mpts": (bench_render_kernel, False),
     "render_cull_steady_mpts": (bench_render_kernel_steady, False),
-    "render_fps_640x480": (bench_render_fps, True),
     "render_fps_fused_640x480": (bench_render_fps_fused, True),
-    "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
 }
 
 # generous per-metric wall budgets (first compiles + tunnel latency);
 # a healthy run finishes far below these, a wedged device can't exceed
 # them. The device-health precheck below keeps the all-wedged worst
-# case to one timeout, not four.
+# case to one timeout, not four — and the GLOBAL budget below bounds
+# the whole run regardless of when the tunnel wedges.
 _EXTRA_TIMEOUT_S = 1500
 _HEALTH_TIMEOUT_S = 300
+# hard wall budget for the ENTIRE bench run: the driver records the
+# round artifact from this process's stdout, so bench must ALWAYS
+# print its JSON line — a tunnel that wedges MID-run (observed: probe
+# healthy at start, fps extra hung 25 min later) would otherwise sink
+# every remaining metric AND the artifact. Each device stage gets
+# min(its own budget, time left); once the budget is spent the rest
+# report budget-exhausted errors instead of running.
+_BENCH_BUDGET_S = float(os.environ.get("PCT_BENCH_BUDGET_S", "2400"))
+# minimum useful slice: below this a device extra can't even finish
+# tunnel setup (~30 s) + one compile, so don't bother starting it
+_EXTRA_FLOOR_S = 90.0
 
 
-def _run_extra(name: str):
+def _run_extra(name: str, deadline: float | None = None):
     """One extra metric in a subprocess with a hard wall timeout.
 
     The device metrics must not be able to sink the bench: through this
@@ -519,13 +534,18 @@ def _run_extra(name: str):
     --extra <name>."""
     import subprocess
 
+    budget = _EXTRA_TIMEOUT_S
+    if deadline is not None:
+        budget = min(budget, deadline - time.monotonic())
+        if budget < _EXTRA_FLOOR_S:
+            return "error: bench wall budget exhausted before this metric"
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--extra", name],
-            capture_output=True, text=True, timeout=_EXTRA_TIMEOUT_S,
+            capture_output=True, text=True, timeout=budget,
         )
     except subprocess.TimeoutExpired:
-        return f"error: timed out after {_EXTRA_TIMEOUT_S}s"
+        return f"error: timed out after {int(budget)}s"
     if proc.returncode != 0:
         tail = (proc.stderr or "").strip().splitlines()
         return "error: " + (tail[-1] if tail else f"rc={proc.returncode}")
@@ -535,33 +555,47 @@ def _run_extra(name: str):
         return f"error: unparseable output {proc.stdout[-80:]!r}"
 
 
-def _device_healthy() -> bool:
-    """Can this process family reach the accelerator at all? A bounded
-    subprocess probe — jax.devices() through a wedged tunnel blocks
-    forever, so never probe in-process.
+def _probe_device_once(timeout_s: float) -> bool:
+    """One bounded subprocess probe of the accelerator (jax.devices()
+    through a wedged tunnel blocks forever, so never probe in-process)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _device_healthy(deadline: float | None = None) -> bool:
+    """Can this process family reach the accelerator at all?
 
     The tunnel endpoint FLAPS (observed down for stretches of an hour+,
     PERF.md): one failed probe at bench time would silently cost the
     run every device metric, so the gate retries a few times with a
-    pause between probes (PCT_BENCH_HEALTH_RETRIES / _RETRY_S to tune;
-    worst case adds retries * (timeout + pause) before the host-only
-    fallback)."""
-    import subprocess
-
+    pause between probes (PCT_BENCH_HEALTH_RETRIES / _RETRY_S to tune).
+    Retries never run the run past `deadline` — the host metrics and
+    the artifact always come out within the global budget."""
     retries = int(os.environ.get("PCT_BENCH_HEALTH_RETRIES", "3"))
     pause_s = float(os.environ.get("PCT_BENCH_HEALTH_RETRY_S", "120"))
     for attempt in range(max(retries, 1)):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('ok')"],
-                capture_output=True, text=True, timeout=_HEALTH_TIMEOUT_S,
-            )
-            if proc.returncode == 0 and "ok" in proc.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
+        timeout_s = _HEALTH_TIMEOUT_S
+        if deadline is not None:
+            timeout_s = min(timeout_s, deadline - time.monotonic())
+            if timeout_s < 10:
+                return False
+        if _probe_device_once(timeout_s):
+            return True
         if attempt + 1 < max(retries, 1):
+            if (
+                deadline is not None
+                and time.monotonic() + pause_s > deadline
+            ):
+                return False
             time.sleep(pause_s)
     return False
 
@@ -570,6 +604,7 @@ def main() -> None:
     from point_cloud_tpu.ops.runtime import setup_jax_cache
 
     setup_jax_cache()
+    deadline = time.monotonic() + _BENCH_BUDGET_S
 
     positions = synth_cloud(N_POINTS)
     rng = np.random.default_rng(1)
@@ -637,16 +672,32 @@ def main() -> None:
         )
     except Exception as err:
         extra["incremental_merge_mpts"] = f"error: {err}"
-    healthy = _device_healthy()
+    healthy = _device_healthy(deadline)
+    lost_mid_run = False
     for name in _EXTRAS:
-        extra[name] = (
-            _run_extra(name) if healthy
-            else (
-                "error: device unreachable (health gate: "
-                f"{os.environ.get('PCT_BENCH_HEALTH_RETRIES', '3')} "
-                f"probes x {_HEALTH_TIMEOUT_S}s)"
+        if not healthy:
+            extra[name] = (
+                "error: device went unreachable mid-run (re-probe failed)"
+                if lost_mid_run
+                else (
+                    "error: device unreachable (health gate: "
+                    f"{os.environ.get('PCT_BENCH_HEALTH_RETRIES', '3')} "
+                    f"probes x {_HEALTH_TIMEOUT_S}s)"
+                )
             )
-        )
+            continue
+        result = _run_extra(name, deadline)
+        extra[name] = result
+        if isinstance(result, str) and result.startswith(
+            "error: timed out"
+        ):
+            # the tunnel wedged mid-run: one quick re-probe decides
+            # whether the remaining extras get their shot (the endpoint
+            # flaps back sometimes) or are skipped without burning a
+            # full per-extra timeout each
+            probe_s = min(60.0, max(deadline - time.monotonic(), 0.0))
+            healthy = probe_s >= 10 and _probe_device_once(probe_s)
+            lost_mid_run = not healthy
 
     print(
         json.dumps(
