@@ -145,6 +145,16 @@ class RenderSettings:
     # "even raster windows"); cond-gated rungs in one program keep the
     # savings without the dispatches
     sub_rungs: bool = True
+    # sub_rungs-only: extend the sub-footprint ladder with the EVEN
+    # windows too (1,2,3,4 for footprint 5 instead of 1,3) — a splat
+    # with half-extent < k/2 rasters image-exactly through the even
+    # k x k window at roughly half the next odd rung's fragments (4 vs
+    # 9, 16 vs 25; splat._make_fragments floor placement). As separate
+    # dispatches this measured SLOWER (SMALL_WINDOWS note above), but
+    # under the chunked megakernel an extra rung is one more cond-gated
+    # while_loop in the SAME program — fragment savings at zero
+    # dispatch cost. A/B knob (bench.py --fps-ab even_sub_rungs)
+    even_sub_rungs: bool = False
     # megakernel-only: raster each window rung's survivors in fixed-size
     # chunks under a lax.while_loop (splat.rung_chunk_rows) instead of a
     # static per-rung row budget. Rows processed track the ACTUAL rung
@@ -299,6 +309,15 @@ class PointRenderer:
         sizes[key] = held
         return held
 
+    def _small_ladder(self) -> tuple:
+        """Sub-footprint window rungs per settings: the odd
+        SMALL_WINDOWS by default, every integer window below the
+        footprint when ``even_sub_rungs`` is on."""
+        s = self.settings
+        if s.even_sub_rungs:
+            return tuple(range(1, s.footprint))
+        return tuple(k for k in SMALL_WINDOWS if k < s.footprint)
+
     def _ladder_thresholds(self):
         """(rung list, device (W,) f32 half-extent thresholds) for the
         full window ladder — cached (one tiny upload per settings, not
@@ -308,7 +327,7 @@ class PointRenderer:
         import jax.numpy as jnp
 
         s = self.settings
-        ks = [k for k in SMALL_WINDOWS if k < s.footprint]
+        ks = list(self._small_ladder())
         ks.append(s.footprint)
         ks += [k for k in LARGE_WINDOWS if k > s.footprint]
         cached = getattr(self, "_thresholds_cache", None)
@@ -488,10 +507,7 @@ class PointRenderer:
                 mega_rungs = tuple(
                     k for k in LARGE_WINDOWS if k > s.footprint
                 )
-                mega_subs = (
-                    tuple(k for k in SMALL_WINDOWS if k < s.footprint)
-                    if s.sub_rungs else ()
-                )
+                mega_subs = self._small_ladder() if s.sub_rungs else ()
                 if s.chunked_raster:
                     # chunked rungs size themselves (fixed chunks,
                     # dynamic trip counts): no budget tuple, no sticky
@@ -663,9 +679,7 @@ class PointRenderer:
                 if auto_mode:
                     windows = [s.footprint]
                 else:
-                    windows = [
-                        k for k in SMALL_WINDOWS if k < s.footprint
-                    ]
+                    windows = list(self._small_ladder())
                     windows.append(s.footprint)
                 # large-splat overflow ladder: near-camera splats whose
                 # half-extent exceeds footprint/2 route to wider windows

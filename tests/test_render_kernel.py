@@ -664,6 +664,67 @@ class TestFullFrame:
             if isinstance(k[1], int)
         )
 
+    def test_even_sub_rungs_image_identical(self, tmp_path):
+        """even_sub_rungs (ladder 1,2,3,4 below footprint 5) must be
+        byte-identical to the default odd ladder: every window k is
+        image-exact for half-extents under k/2, so rung ASSIGNMENT can
+        never change the image — only the fragment count. A mid-range
+        camera puts splats in the 0.5-1 px and 1.5-2 px bands so the
+        even rungs actually take rows from the odd ones."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(29)
+        pos = rng.uniform(-120, 120, (30_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (30_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        def run(even):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata,
+                RenderSettings(
+                    width=128, height=96, even_sub_rungs=even
+                ),
+            )
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            cam.look_at_aabb(metadata.bounding_box)
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(200):
+                if not streamer.fill_load_slots():
+                    break
+            out = None
+            counts = None
+            for _ in range(4):  # budgets converge after counts land
+                out = renderer.render(streamer, cam, frustums)
+                counts = dict(renderer._survivor_counts)
+            return out, counts
+
+        (rgb_e, d_e, stats_e), counts_e = run(True)
+        (rgb_o, d_o, stats_o), _ = run(False)
+        np.testing.assert_array_equal(rgb_e, rgb_o)
+        np.testing.assert_array_equal(d_e, d_o)
+        assert stats_e["points_visible"] == stats_o["points_visible"] > 0
+        # an even rung must actually land survivors, or this proves
+        # nothing
+        assert any(
+            k[1] in (2, 4) and v > 0 for k, v in counts_e.items()
+            if isinstance(k[1], int)
+        )
+
     def test_frame_fusion_matches_per_bucket(self, tmp_path):
         """The whole-frame fused program (frame_fusion) must be
         byte-identical to the per-bucket megakernel on a steady frame,
