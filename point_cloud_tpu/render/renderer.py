@@ -155,6 +155,15 @@ class RenderSettings:
     # while_loop in the SAME program — fragment savings at zero
     # dispatch cost. A/B knob (bench.py --fps-ab even_sub_rungs)
     even_sub_rungs: bool = False
+    # densify the OVERFLOW ladder with every integer window between the
+    # footprint and the first large window (6/7/8 for footprint 5): a
+    # splat with half-extent in the 2.5-4.5 px band rasters through
+    # 36/49/64 fragments instead of 81 — the frame profile shows that
+    # band carrying ~55% of all fragment rows in the bench orbit, so
+    # the savings target the single largest scatter cost. Same
+    # cond-gated-rung economics as even_sub_rungs. A/B knob
+    # (bench.py --fps-ab even_overflow_rungs)
+    even_overflow_rungs: bool = False
     # megakernel-only: raster each window rung's survivors in fixed-size
     # chunks under a lax.while_loop (splat.rung_chunk_rows) instead of a
     # static per-rung row budget. Rows processed track the ACTUAL rung
@@ -318,6 +327,21 @@ class PointRenderer:
             return tuple(range(1, s.footprint))
         return tuple(k for k in SMALL_WINDOWS if k < s.footprint)
 
+    def _overflow_ladder(self) -> tuple:
+        """Overflow window rungs per settings: the doubling
+        LARGE_WINDOWS by default; ``even_overflow_rungs`` fills in
+        every integer window between the footprint and the first large
+        window so the dominant 2.5-4.5 px half-extent band pays 36-64
+        fragments instead of 81."""
+        s = self.settings
+        ks = []
+        if s.even_overflow_rungs:
+            ks += [
+                k for k in range(s.footprint + 1, LARGE_WINDOWS[0])
+            ]
+        ks += [k for k in LARGE_WINDOWS if k > s.footprint]
+        return tuple(k for k in ks if k > s.footprint)
+
     def _ladder_thresholds(self):
         """(rung list, device (W,) f32 half-extent thresholds) for the
         full window ladder — cached (one tiny upload per settings, not
@@ -329,7 +353,7 @@ class PointRenderer:
         s = self.settings
         ks = list(self._small_ladder())
         ks.append(s.footprint)
-        ks += [k for k in LARGE_WINDOWS if k > s.footprint]
+        ks += list(self._overflow_ladder())
         cached = getattr(self, "_thresholds_cache", None)
         if cached is not None and cached[0] == ks:
             return cached[1], cached[2]
@@ -504,9 +528,7 @@ class PointRenderer:
             if use_mega:
                 from .splat import render_bucket_pass
 
-                mega_rungs = tuple(
-                    k for k in LARGE_WINDOWS if k > s.footprint
-                )
+                mega_rungs = self._overflow_ladder()
                 mega_subs = self._small_ladder() if s.sub_rungs else ()
                 if s.chunked_raster:
                     # chunked rungs size themselves (fixed chunks,
@@ -662,7 +684,7 @@ class PointRenderer:
             # only) switches on per bucket the frame after an oversized
             # splat appears in the cull pass's fit counts.
             landed = getattr(self, "_survivor_counts", None) or {}
-            overflow_ks = [k for k in LARGE_WINDOWS if k > s.footprint]
+            overflow_ks = list(self._overflow_ladder())
             auto_mode = s.classing == "auto"
             if auto_mode:
                 ladder_on = any(
@@ -687,7 +709,7 @@ class PointRenderer:
                 # divergence from render.wgsl:70-95 billboard semantics).
                 # The last window takes every remaining splat, so only
                 # half-extents beyond LARGE_WINDOWS[-1]/2 px still clip.
-                windows += [k for k in LARGE_WINDOWS if k > s.footprint]
+                windows += list(self._overflow_ladder())
                 masks = []
                 covered = None
                 for k in windows:
@@ -719,7 +741,7 @@ class PointRenderer:
                         # wide windows are rare (a handful of splats fill
                         # the screen): tiny buffers keep their fragment
                         # cost bounded at 4 * k^2
-                        minimum=4 if k in LARGE_WINDOWS else 1 << 10,
+                        minimum=4 if k > s.footprint else 1 << 10,
                     )
                     for k, _ in masks
                 ]

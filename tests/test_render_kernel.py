@@ -725,6 +725,76 @@ class TestFullFrame:
             if isinstance(k[1], int)
         )
 
+    def test_even_overflow_rungs_image_identical(self, tmp_path):
+        """even_overflow_rungs (ladder 6,7,8 between footprint 5 and
+        the first large window 9) must be byte-identical to the default
+        doubling ladder: window assignment is image-exact for
+        half-extents under k/2 (same invariant as the sub rungs), so
+        the dense ladder only changes fragment counts. A close-in
+        camera puts splats in the 2.5-4.5 px band so the new rungs
+        actually take rows from the 9x9 window."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import PointRenderer, RenderSettings
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(31)
+        pos = rng.uniform(-40, 40, (20_000, 3)).astype(np.float32)
+        col = rng.integers(0, 256, (20_000, 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        def run(dense):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata,
+                RenderSettings(
+                    width=128, height=96, even_overflow_rungs=dense
+                ),
+            )
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            cam.look_at_aabb(metadata.bounding_box)
+            # step AWAY from the cloud so projected half-extents
+            # shrink into the 2.5-4 px band that rungs 6-8 cover
+            t = cam.transform
+            t.translation = t.translation + -1.0 * (
+                np.asarray(metadata.bounding_box.center(), np.float32)
+                - t.translation
+            )
+            cam.transform = t
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(200):
+                if not streamer.fill_load_slots():
+                    break
+            out = None
+            counts = None
+            for _ in range(4):  # budgets converge after counts land
+                out = renderer.render(streamer, cam, frustums)
+                counts = dict(renderer._survivor_counts)
+            return out, counts
+
+        (rgb_e, d_e, stats_e), counts_e = run(True)
+        (rgb_o, d_o, stats_o), _ = run(False)
+        np.testing.assert_array_equal(rgb_e, rgb_o)
+        np.testing.assert_array_equal(d_e, d_o)
+        assert stats_e["points_visible"] == stats_o["points_visible"] > 0
+        # a dense overflow rung must actually land survivors, or this
+        # proves nothing
+        assert any(
+            k[1] in (6, 7, 8) and v > 0 for k, v in counts_e.items()
+            if isinstance(k[1], int)
+        )
+
     def test_frame_fusion_matches_per_bucket(self, tmp_path):
         """The whole-frame fused program (frame_fusion) must be
         byte-identical to the per-bucket megakernel on a steady frame,
