@@ -153,17 +153,21 @@ class RenderSettings:
     # dispatches this measured SLOWER (SMALL_WINDOWS note above), but
     # under the chunked megakernel an extra rung is one more cond-gated
     # while_loop in the SAME program — fragment savings at zero
-    # dispatch cost. A/B knob (bench.py --fps-ab even_sub_rungs)
-    even_sub_rungs: bool = False
+    # dispatch cost. MEASURED ON (v5e orbit A/B, PERF.md "dense window
+    # ladders"): 7.17 vs 7.02 alone, +8.6% stacked with
+    # even_overflow_rungs. A/B knob (bench.py --fps-ab even_sub_rungs)
+    even_sub_rungs: bool = True
     # densify the OVERFLOW ladder with every integer window between the
     # footprint and the first large window (6/7/8 for footprint 5): a
     # splat with half-extent in the 2.5-4.5 px band rasters through
     # 36/49/64 fragments instead of 81 — the frame profile shows that
     # band carrying ~55% of all fragment rows in the bench orbit, so
     # the savings target the single largest scatter cost. Same
-    # cond-gated-rung economics as even_sub_rungs. A/B knob
+    # cond-gated-rung economics as even_sub_rungs. MEASURED ON (v5e
+    # orbit A/B, PERF.md "dense window ladders"): 7.10 vs 6.86 alone,
+    # +8.6% stacked with even_sub_rungs. A/B knob
     # (bench.py --fps-ab even_overflow_rungs)
-    even_overflow_rungs: bool = False
+    even_overflow_rungs: bool = True
     # megakernel-only: raster each window rung's survivors in fixed-size
     # chunks under a lax.while_loop (splat.rung_chunk_rows) instead of a
     # static per-rung row budget. Rows processed track the ACTUAL rung
