@@ -158,27 +158,18 @@ class LasPointReader(BatchedPointReader):
 _WRITE_RECORD_LEN = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
 
 
-def write_las(path, batch: PointBatch, point_format: int = 2,
-              scale=(0.001, 0.001, 0.001), gps_time=None) -> None:
-    """Minimal LAS writer (test fixtures + export tool).
+def las_header_bytes(point_format: int, n: int, scale, offset) -> bytes:
+    """Public LAS header for :func:`write_las` / the store exporter.
 
-    Point formats 0-3 write LAS 1.2 (227-byte header); formats 6-8 write
-    LAS 1.4 (375-byte header, u64 point count, legacy count zero per
-    spec). Colors are widened u8->u16 by byte duplication (v * 257), the
-    standard 8->16 bit upscale, so our truncating read path round-trips
-    them exactly. ``gps_time`` (f64 per point) fills formats 1/3/6-8;
-    default is a plausible increasing GPS clock.
+    Point formats 0-3 produce LAS 1.2 (227-byte header); formats 6-8
+    produce LAS 1.4 (375-byte header, u64 point count, legacy count zero
+    per spec).
     """
     if point_format not in _WRITE_RECORD_LEN:
         raise ValueError("write_las supports formats 0-3 and 6-8")
     las14 = point_format >= 6
-    n = len(batch)
     scale = np.asarray(scale, np.float64)
-    offset = (
-        batch.positions.astype(np.float64).min(axis=0)
-        if n
-        else np.zeros(3, np.float64)
-    )
+    offset = np.asarray(offset, np.float64)
     record_len = _WRITE_RECORD_LEN[point_format]
     header_size = 375 if las14 else 227
     header = bytearray(header_size)
@@ -196,6 +187,27 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
     struct.pack_into("<3d", header, 155, *offset)
     if las14:
         struct.pack_into("<Q", header, 247, n)
+    return bytes(header)
+
+
+def las_record_bytes(batch: PointBatch, point_format: int, scale, offset,
+                     gps_time=None, gps_base: int = 0) -> bytes:
+    """Point records for one batch (the streaming half of the writer).
+
+    Colors are widened u8->u16 by byte duplication (v * 257), the
+    standard 8->16 bit upscale, so the truncating read path round-trips
+    them exactly. ``gps_time`` (f64 per point) fills formats 1/3/6-8;
+    default is a plausible increasing GPS clock starting at global point
+    index ``gps_base`` (so streamed batches continue the same clock the
+    whole-batch writer emits).
+    """
+    if point_format not in _WRITE_RECORD_LEN:
+        raise ValueError("write_las supports formats 0-3 and 6-8")
+    las14 = point_format >= 6
+    n = len(batch)
+    scale = np.asarray(scale, np.float64)
+    offset = np.asarray(offset, np.float64)
+    record_len = _WRITE_RECORD_LEN[point_format]
 
     raw = np.round(
         (batch.positions.astype(np.float64) - offset) / scale
@@ -225,7 +237,9 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
     rec["x"], rec["y"], rec["z"] = raw[:, 0], raw[:, 1], raw[:, 2]
     if point_format in gps_formats:
         if gps_time is None:
-            gps_time = 300_000.0 + np.arange(n, dtype=np.float64) * 1e-4
+            gps_time = 300_000.0 + (
+                gps_base + np.arange(n, dtype=np.float64)
+            ) * 1e-4
         rec["gps_time"] = np.asarray(gps_time, np.float64)
     if point_format in color_offsets:
         rec["red"] = batch.colors[:, 0].astype(np.uint16) * 257
@@ -233,6 +247,21 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
         rec["blue"] = batch.colors[:, 2].astype(np.uint16) * 257
     if las14:
         rec["returns"] = 0x11  # return 1 of 1
+    return rec.tobytes()
+
+
+def write_las(path, batch: PointBatch, point_format: int = 2,
+              scale=(0.001, 0.001, 0.001), gps_time=None) -> None:
+    """Minimal LAS writer (test fixtures + export tool): one header +
+    one record block (:func:`las_header_bytes` / :func:`las_record_bytes`
+    are the streaming halves the store exporter composes per batch)."""
+    n = len(batch)
+    offset = (
+        batch.positions.astype(np.float64).min(axis=0)
+        if n
+        else np.zeros(3, np.float64)
+    )
     with open(path, "wb") as f:
-        f.write(bytes(header))
-        f.write(rec.tobytes())
+        f.write(las_header_bytes(point_format, n, scale, offset))
+        f.write(las_record_bytes(batch, point_format, scale, offset,
+                                 gps_time=gps_time))

@@ -248,10 +248,9 @@ class _DictRecord(dict):
         return self._n
 
 
-def write_ply(path, batch: PointBatch, encoding: str = "binary_little_endian",
-              color: bool = True, double_pos: bool = False) -> None:
-    """Minimal PLY writer (test fixtures + export tool)."""
-    n = len(batch)
+def ply_header_bytes(n: int, encoding: str = "binary_little_endian",
+                     color: bool = True, double_pos: bool = False) -> bytes:
+    """PLY header for ``n`` vertices (the streaming half of the writer)."""
     pos_t = "double" if double_pos else "float"
     lines = [
         "ply",
@@ -269,30 +268,45 @@ def write_ply(path, batch: PointBatch, encoding: str = "binary_little_endian",
             "property uchar alpha",
         ]
     lines.append("end_header")
-    header = ("\n".join(lines) + "\n").encode("ascii")
+    return ("\n".join(lines) + "\n").encode("ascii")
 
+
+def ply_record_bytes(batch: PointBatch,
+                     encoding: str = "binary_little_endian",
+                     color: bool = True, double_pos: bool = False) -> bytes:
+    """Vertex records for one batch (the streaming half of the writer)."""
+    n = len(batch)
     pos = batch.positions.astype(np.float64 if double_pos else np.float32)
+    if encoding == "ascii":
+        rows = []
+        for i in range(n):
+            row = " ".join(repr(float(v)) for v in pos[i])
+            if color:
+                row += " " + " ".join(str(int(v)) for v in batch.colors[i])
+            rows.append(row + "\n")
+        return "".join(rows).encode("ascii")
+    order = ">" if encoding == "binary_big_endian" else "<"
+    fields = [("x", order + ("f8" if double_pos else "f4")),
+              ("y", order + ("f8" if double_pos else "f4")),
+              ("z", order + ("f8" if double_pos else "f4"))]
+    if color:
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1"),
+                   ("alpha", "u1")]
+    rec = np.empty(n, dtype=np.dtype(fields))
+    rec["x"], rec["y"], rec["z"] = pos[:, 0], pos[:, 1], pos[:, 2]
+    if color:
+        rec["red"] = batch.colors[:, 0]
+        rec["green"] = batch.colors[:, 1]
+        rec["blue"] = batch.colors[:, 2]
+        rec["alpha"] = batch.colors[:, 3]
+    return rec.tobytes()
+
+
+def write_ply(path, batch: PointBatch, encoding: str = "binary_little_endian",
+              color: bool = True, double_pos: bool = False) -> None:
+    """Minimal PLY writer (test fixtures + export tool): one header + one
+    record block (:func:`ply_header_bytes` / :func:`ply_record_bytes` are
+    the streaming halves the store exporter composes per batch)."""
     with open(path, "wb") as f:
-        f.write(header)
-        if encoding == "ascii":
-            for i in range(n):
-                row = " ".join(repr(float(v)) for v in pos[i])
-                if color:
-                    row += " " + " ".join(str(int(v)) for v in batch.colors[i])
-                f.write((row + "\n").encode("ascii"))
-        else:
-            order = ">" if encoding == "binary_big_endian" else "<"
-            fields = [("x", order + ("f8" if double_pos else "f4")),
-                      ("y", order + ("f8" if double_pos else "f4")),
-                      ("z", order + ("f8" if double_pos else "f4"))]
-            if color:
-                fields += [("red", "u1"), ("green", "u1"), ("blue", "u1"),
-                           ("alpha", "u1")]
-            rec = np.empty(n, dtype=np.dtype(fields))
-            rec["x"], rec["y"], rec["z"] = pos[:, 0], pos[:, 1], pos[:, 2]
-            if color:
-                rec["red"] = batch.colors[:, 0]
-                rec["green"] = batch.colors[:, 1]
-                rec["blue"] = batch.colors[:, 2]
-                rec["alpha"] = batch.colors[:, 3]
-            f.write(rec.tobytes())
+        f.write(ply_header_bytes(len(batch), encoding, color, double_pos))
+        f.write(ply_record_bytes(batch, encoding, color, double_pos))
