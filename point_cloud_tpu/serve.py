@@ -318,6 +318,31 @@ class StoreServer:
             ],
         }
 
+    def export_file(self, fmt: str, point_format: int = 2,
+                    scale: float = 0.001):
+        """Export this store to a temp file (LAS/LAZ/PLY); returns its
+        Path. The HTTP handler streams and unlinks it — the browser's
+        "take the cloud with you" path (no reference equivalent: the
+        reference viewer can only read stores, never emit interchange
+        files)."""
+        import tempfile
+
+        from .export import export_store
+
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=f".{fmt}", delete=False
+        )
+        tmp.close()
+        try:
+            export_store(
+                self.store_dir, tmp.name, fmt=fmt,
+                point_format=point_format, scale=(scale,) * 3,
+            )
+        except Exception:
+            Path(tmp.name).unlink(missing_ok=True)
+            raise
+        return Path(tmp.name)
+
 
 class StoreRegistry:
     """One or many stores under a root directory.
@@ -498,9 +523,50 @@ def make_handler(registry: StoreRegistry):
                         for v in server.metadata.bounding_box.center()
                     ],
                     "endpoints": ["/metadata.json", "/h_<n>/c_x_y_z.bin",
-                                   "/render?yaw=&pitch=&dist=", "/stats"],
+                                   "/render?yaw=&pitch=&dist=", "/stats",
+                                   "/export?format=ply|las|laz"],
                 }
                 self._send(200, json.dumps(stats).encode(), "application/json")
+                return
+            if path == "export":
+                q = parse_qs(url.query)
+                fmt = q.get("format", ["ply"])[0].lower()
+                try:
+                    point_format = int(q.get("point_format", ["2"])[0])
+                    scale = float(q.get("scale", ["0.001"])[0])
+                except ValueError as err:
+                    self._send(400, f"bad export parameter: {err}".encode(),
+                               "text/plain")
+                    return
+                try:
+                    tmp = server.export_file(
+                        fmt, point_format=point_format, scale=scale
+                    )
+                except (ValueError, RuntimeError) as err:
+                    self._send(400, str(err).encode(), "text/plain")
+                    return
+                try:
+                    size = tmp.stat().st_size
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "application/octet-stream"
+                    )
+                    self.send_header("Content-Length", str(size))
+                    name = f"{server.metadata.name or 'cloud'}.{fmt}"
+                    self.send_header(
+                        "Content-Disposition",
+                        f'attachment; filename="{name}"',
+                    )
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.end_headers()
+                    with open(tmp, "rb") as f:
+                        while True:
+                            chunk = f.read(1 << 20)
+                            if not chunk:
+                                break
+                            self.wfile.write(chunk)
+                finally:
+                    tmp.unlink(missing_ok=True)
                 return
             if path == "render":
                 q = parse_qs(url.query)

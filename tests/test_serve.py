@@ -475,3 +475,55 @@ class TestConvertEndpoint:
             if t.name == "pct-convert-pump" and t.is_alive()
         ]
         assert len(pumps) <= 1, pumps
+
+
+class TestExportEndpoint:
+    def test_ply_download_round_trips(self, server, store, tmp_path):
+        from point_cloud_tpu.core.cell import Cell
+        from point_cloud_tpu.io.ply import PlyPointReader
+
+        status, body = get(f"{server}/export?format=ply")
+        assert status == 200
+        out = tmp_path / "dl.ply"
+        out.write_bytes(body)
+        reader = PlyPointReader(out)
+        total = reader.total_points()
+        meta = Metadata.from_path(store / "metadata.json")
+        assert total == meta.number_of_points
+        batch = reader.get_batch(total)
+        chunks = []
+        for path in sorted(store.rglob("*.bin")):
+            chunks.append(Cell.from_path(path).all_points())
+        stored = PointBatch.concat(chunks)
+
+        def rows(b):
+            r = np.concatenate(
+                [b.positions.view(np.uint32),
+                 b.colors.astype(np.uint32)], axis=1,
+            )
+            return r[np.lexsort(r.T[::-1])]
+
+        np.testing.assert_array_equal(rows(batch), rows(stored))
+
+    def test_las_download_parses(self, server, tmp_path):
+        from point_cloud_tpu.io.las import LasPointReader
+
+        status, body = get(f"{server}/export?format=las&point_format=3")
+        assert status == 200
+        out = tmp_path / "dl.las"
+        out.write_bytes(body)
+        reader = LasPointReader(out)
+        assert reader.total_points() > 0
+        assert len(reader.get_batch(1024)) == 1024
+
+    def test_bad_format_400(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{server}/export?format=xyz")
+        assert err.value.code == 400
+
+    def test_page_has_export_wiring(self, server):
+        status, body = get(f"{server}/")
+        page = body.decode()
+        assert "export_btn" in page and "export?format=" in page
