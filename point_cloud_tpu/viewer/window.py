@@ -26,12 +26,16 @@ Run it::
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 
 import numpy as np
 
 from .input import InputState
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -98,6 +102,7 @@ reference src/plugins/render/ui.rs:122-146, as key toggles):
   t        start/stop the in-app converter
   u        save-at: pick the store directory (enables auto-save)
   k        new point cloud (reset the in-app converter)
+  e        export the open store to .las/.laz/.ply (save dialog)
   h        print this help
 fly cam: WASD move, Space/Shift ascend/descend, hold RMB to look,
 wheel (while looking) adjusts speed."""
@@ -107,6 +112,7 @@ wheel (while looking) adjusts speed."""
 # las/laz/ply/json for conversion input, src/plugins/converter.rs:764-794)
 STORE_FILETYPES = [("point cloud store", "metadata.json")]
 CONVERT_FILETYPES = [("point clouds", "*.las *.laz *.ply *.json")]
+EXPORT_FILETYPES = [("PLY", "*.ply"), ("LAS", "*.las"), ("LAZ", "*.laz")]
 
 
 class WindowLoop:
@@ -214,6 +220,25 @@ class WindowLoop:
                 self._get_converter().save_at(directory)
         elif key == "k":
             self._get_converter().new_cloud()
+        elif key == "e":
+            # export the open store (no reference equivalent: its viewer
+            # only reads stores; here the loop closes back to interchange)
+            wd = v.working_directory
+            root = getattr(wd, "root", None)
+            if root is None or (isinstance(root, str) and "://" in root):
+                log.warning("export: no local store open")
+                return
+            out = self._dialog(
+                "ask_save_file", "Export point cloud as", EXPORT_FILETYPES
+            )
+            if out:
+                from ..export import export_store
+
+                try:
+                    n = export_store(Path(root), out)
+                    log.info("Exported %d points to %s", n, out)
+                except Exception as err:
+                    log.error("Export failed: %s", err)
         elif key == "h":
             print(HOTKEY_HELP)
 
@@ -412,6 +437,14 @@ class TkBackend:
         from tkinter import filedialog
 
         return filedialog.askdirectory(parent=self.root, title=title) or None
+
+    def ask_save_file(self, title: str, filetypes) -> str | None:
+        from tkinter import filedialog
+
+        return filedialog.asksaveasfilename(
+            parent=self.root, title=title, filetypes=filetypes,
+            defaultextension=filetypes[0][1].lstrip("*"),
+        ) or None
 
     # --- WindowBackend surface ---------------------------------------------
 

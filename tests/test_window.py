@@ -255,11 +255,12 @@ class DialogBackend(FakeBackend):
     metadata.rs:395-442, converter.rs:764-794)."""
 
     def __init__(self, batches=None, open_file=None, open_files=None,
-                 directory=None):
+                 directory=None, save_file=None):
         super().__init__(batches)
         self._open_file = open_file
         self._open_files = open_files or []
         self._directory = directory
+        self._save_file = save_file
         self.dialog_calls = []
 
     def ask_open_file(self, title, filetypes):
@@ -273,6 +274,10 @@ class DialogBackend(FakeBackend):
     def ask_directory(self, title):
         self.dialog_calls.append(("directory", title))
         return self._directory
+
+    def ask_save_file(self, title, filetypes):
+        self.dialog_calls.append(("save_file", title, tuple(filetypes)))
+        return self._save_file
 
 
 def _write_ply(path, n=512, seed=7):
@@ -356,11 +361,62 @@ def test_window_open_store_dialog(tmp_path, viewer):
     assert backend.dialog_calls[0][0] == "open_file"
 
 
+def test_window_export_hotkey(tmp_path, viewer):
+    """'e' exports the open store through the save dialog; the .ply
+    round-trips bit-exact against the store cells."""
+    from point_cloud_tpu.convert.converter import Converter
+    from point_cloud_tpu.core.cell import Cell
+    from point_cloud_tpu.core.metadata import Metadata
+    from point_cloud_tpu.core.point import PointBatch
+    from point_cloud_tpu.io.ply import PlyPointReader
+
+    rng = np.random.default_rng(5)
+    positions = rng.uniform(-20, 20, (300, 3)).astype(np.float32)
+    colors = rng.integers(0, 256, (300, 4), dtype=np.uint8)
+    store = tmp_path / "store"
+    with Converter(Metadata(), store) as conv:
+        conv.add_points_batch(PointBatch(positions, colors))
+
+    out = tmp_path / "exported.ply"
+    backend = DialogBackend(
+        open_file=str(store / "metadata.json"), save_file=str(out)
+    )
+    loop = WindowLoop(viewer, backend)
+    loop.apply_event(WindowEvent("key_down", key="m"))  # open the store
+    loop.apply_event(WindowEvent("key_up", key="m"))
+    loop.apply_event(WindowEvent("key_down", key="e"))  # export it
+    assert out.exists()
+    reader = PlyPointReader(out)
+    back = reader.get_batch(reader.total_points())
+    chunks = [
+        Cell.from_path(p).all_points() for p in sorted(store.rglob("*.bin"))
+    ]
+    stored = PointBatch.concat(chunks)
+
+    def rows(b):
+        r = np.concatenate(
+            [b.positions.view(np.uint32), b.colors.astype(np.uint32)],
+            axis=1,
+        )
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_array_equal(rows(back), rows(stored))
+
+
+def test_window_export_without_store_is_noop(tmp_path, viewer):
+    """'e' with no store open logs and returns (no dialog, no crash)."""
+    backend = DialogBackend(save_file=str(tmp_path / "x.ply"))
+    loop = WindowLoop(viewer, backend)
+    loop.apply_event(WindowEvent("key_down", key="e"))
+    assert not (tmp_path / "x.ply").exists()
+    assert ("save_file",) not in [c[:1] for c in backend.dialog_calls]
+
+
 def test_window_dialog_hotkeys_safe_without_dialogs(viewer):
     """A backend without dialog support (headless stub) makes the
     file-dialog hotkeys no-ops instead of crashes."""
     loop = WindowLoop(viewer, FakeBackend())
-    for key in ("m", "f", "u", "t", "k"):
+    for key in ("m", "f", "u", "t", "k", "e"):
         loop.apply_event(WindowEvent("key_down", key=key))
         loop.apply_event(WindowEvent("key_up", key=key))
     assert loop.viewer.metadata.number_of_points == 0
