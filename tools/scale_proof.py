@@ -84,6 +84,11 @@ def main() -> int:
     ap.add_argument("--keep", action="store_true",
                     help="keep the store directory")
     ap.add_argument("--skip-fsck", action="store_true")
+    ap.add_argument("--export", default=None, choices=("las", "laz", "ply"),
+                    help="after the fsck, stream-export the store to this "
+                         "format and record wall/throughput/RSS growth "
+                         "(proves the exporter's constant-RAM claim at "
+                         "scale)")
     args = ap.parse_args()
 
     from point_cloud_tpu.convert.native import NativeConverter
@@ -154,6 +159,31 @@ def main() -> int:
                 # surface the validator's reconciliation line
                 for line in proc.stdout.splitlines():
                     print(f"[fsck] {line}", file=sys.stderr)
+
+        if args.export:
+            from point_cloud_tpu.export import export_store
+
+            dst = out / f"exported.{args.export}"
+            rss_before = _peak_rss_gb()
+            t2 = time.perf_counter()
+            n_exp = export_store(out, dst, fmt=args.export)
+            export_wall = time.perf_counter() - t2
+            result["export_fmt"] = args.export
+            result["export_points"] = n_exp
+            result["export_wall_s"] = round(export_wall, 1)
+            result["export_mpts_per_s"] = round(
+                n_exp / export_wall / 1e6, 3
+            )
+            result["export_file_gb"] = round(
+                dst.stat().st_size / 1024**3, 2
+            )
+            # VmHWM growth during export = the exporter's real working
+            # set beyond the conversion's (streamed batches => ~0)
+            result["export_rss_growth_gb"] = round(
+                _peak_rss_gb() - rss_before, 2
+            )
+            if not args.keep:
+                dst.unlink()
 
         print(json.dumps(result))
         return 0 if result.get("fsck_ok", True) else 1
