@@ -68,7 +68,11 @@ def _stream_las(reader, metadata: Metadata, out, point_format: int,
     offset = np.asarray(
         metadata.bounding_box.min, np.float64
     )
-    out.write(las_header_bytes(point_format, n, scale, offset))
+    out.write(las_header_bytes(
+        point_format, n, scale, offset,
+        bbox_min=metadata.bounding_box.min,
+        bbox_max=metadata.bounding_box.max,
+    ))
     written = 0
     while True:
         batch = reader.get_batch(batch_size)
@@ -123,44 +127,85 @@ def export_store(store, out_path, fmt: str | None = None,
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
 
     metadata = Metadata.from_path(metadata_path)
-    reader = PointCloudPointReader(metadata_path)
     n = int(metadata.number_of_points)
 
-    if fmt == "ply":
-        with open(out_path, "wb") as f:
-            written = _stream_ply(
-                reader, metadata, f, encoding, batch_size, progress
-            )
-    elif fmt == "las":
-        with open(out_path, "wb") as f:
-            written = _stream_las(
-                reader, metadata, f, point_format, scale, batch_size,
-                progress,
-            )
-    else:  # laz: stream the .las form, then re-frame through the codec
-        from .io.laz import convert_las_to_laz
+    # validate EVERYTHING before the output file is opened: a bad
+    # parameter must never truncate an existing file at out_path
+    if fmt in ("las", "laz"):
+        from .io.las import _WRITE_RECORD_LEN
 
-        tmp = tempfile.NamedTemporaryFile(
-            suffix=".las", delete=False, dir=out_path.parent
+        if point_format not in _WRITE_RECORD_LEN:
+            raise ValueError(
+                f"LAS point_format must be one of "
+                f"{sorted(_WRITE_RECORD_LEN)}, got {point_format}"
+            )
+        sc = np.asarray(scale, np.float64)
+        if sc.shape != (3,) or not np.all(np.isfinite(sc)) or np.any(
+            sc <= 0.0
+        ):
+            raise ValueError(f"scale must be 3 finite positives, got {scale}")
+        # i32 quantization range: offset = bbox min, so the largest raw
+        # value is (max - min) / scale per axis
+        extent = (
+            np.asarray(metadata.bounding_box.max, np.float64)
+            - np.asarray(metadata.bounding_box.min, np.float64)
         )
-        try:
-            with tmp:
-                written = _stream_las(
-                    reader, metadata, tmp, point_format, scale,
-                    batch_size, progress,
-                )
-            if written == n:
-                convert_las_to_laz(tmp.name, out_path)
-        finally:
-            os.unlink(tmp.name)
+        raw_max = np.round(extent / sc)
+        if np.any(raw_max >= 2**31):
+            raise ValueError(
+                f"scale {scale} cannot represent the store extent "
+                f"{extent} in i32 coordinates — raise --scale"
+            )
 
-    if written != n:
-        # the header already promised n points: remove the short file
-        # instead of leaving a corrupt artifact
+    reader = PointCloudPointReader(metadata_path)
+
+    try:
+        if fmt == "ply":
+            with open(out_path, "wb") as f:
+                written = _stream_ply(
+                    reader, metadata, f, encoding, batch_size, progress
+                )
+        elif fmt == "las":
+            with open(out_path, "wb") as f:
+                written = _stream_las(
+                    reader, metadata, f, point_format, scale, batch_size,
+                    progress,
+                )
+        else:  # laz: stream the .las form, then re-frame through the codec
+            from .io.laz import convert_las_to_laz
+
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".las", delete=False, dir=out_path.parent
+            )
+            try:
+                with tmp:
+                    written = _stream_las(
+                        reader, metadata, tmp, point_format, scale,
+                        batch_size, progress,
+                    )
+                if written == n and reader.exhausted():
+                    convert_las_to_laz(tmp.name, out_path)
+            finally:
+                os.unlink(tmp.name)
+    except BaseException:
+        # mid-stream failure: never leave a partial artifact whose
+        # header promises n points
         out_path.unlink(missing_ok=True)
+        raise
+
+    if written != n or not reader.exhausted():
+        # the header already promised n points: remove the bad file
+        # instead of leaving a silently short (cells < metadata) or
+        # silently truncated (cells > metadata) artifact
+        out_path.unlink(missing_ok=True)
+        detail = (
+            f"store yielded {written} points"
+            if written != n
+            else "store cells hold more points than the metadata total"
+        )
         raise RuntimeError(
-            f"store yielded {written} points but metadata.json says {n} "
-            f"— run `python -m point_cloud_tpu.validate {metadata_path.parent}`"
+            f"{detail} but metadata.json says {n} — run "
+            f"`python -m point_cloud_tpu.validate {metadata_path.parent}`"
         )
     return written
 

@@ -158,12 +158,16 @@ class LasPointReader(BatchedPointReader):
 _WRITE_RECORD_LEN = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
 
 
-def las_header_bytes(point_format: int, n: int, scale, offset) -> bytes:
+def las_header_bytes(point_format: int, n: int, scale, offset,
+                     bbox_min=None, bbox_max=None) -> bytes:
     """Public LAS header for :func:`write_las` / the store exporter.
 
     Point formats 0-3 produce LAS 1.2 (227-byte header); formats 6-8
     produce LAS 1.4 (375-byte header, u64 point count, legacy count zero
-    per spec).
+    per spec). ``bbox_min``/``bbox_max`` fill the spec's Max/Min X Y Z
+    extent fields (offsets 179-226) — external consumers (spatial
+    filters, initial camera fits) trust them, so the exporter passes the
+    store bounding box and :func:`write_las` the batch extents.
     """
     if point_format not in _WRITE_RECORD_LEN:
         raise ValueError("write_las supports formats 0-3 and 6-8")
@@ -185,6 +189,13 @@ def las_header_bytes(point_format: int, n: int, scale, offset) -> bytes:
     struct.pack_into("<I", header, 107, 0 if las14 else n)
     struct.pack_into("<3d", header, 131, *scale)
     struct.pack_into("<3d", header, 155, *offset)
+    if bbox_min is not None and bbox_max is not None:
+        lo = np.asarray(bbox_min, np.float64)
+        hi = np.asarray(bbox_max, np.float64)
+        # interleaved per spec: Max X, Min X, Max Y, Min Y, Max Z, Min Z
+        for axis in range(3):
+            struct.pack_into("<d", header, 179 + axis * 16, hi[axis])
+            struct.pack_into("<d", header, 187 + axis * 16, lo[axis])
     if las14:
         struct.pack_into("<Q", header, 247, n)
     return bytes(header)
@@ -256,12 +267,19 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
     one record block (:func:`las_header_bytes` / :func:`las_record_bytes`
     are the streaming halves the store exporter composes per batch)."""
     n = len(batch)
-    offset = (
-        batch.positions.astype(np.float64).min(axis=0)
-        if n
-        else np.zeros(3, np.float64)
-    )
+    if n:
+        pos64 = batch.positions.astype(np.float64)
+        offset = pos64.min(axis=0)
+        bbox_min, bbox_max = offset, pos64.max(axis=0)
+    else:
+        offset = np.zeros(3, np.float64)
+        bbox_min = bbox_max = offset
+    # build both blocks BEFORE opening: a bad point_format must not
+    # truncate an existing file at `path`
+    header = las_header_bytes(point_format, n, scale, offset,
+                              bbox_min=bbox_min, bbox_max=bbox_max)
+    records = las_record_bytes(batch, point_format, scale, offset,
+                               gps_time=gps_time)
     with open(path, "wb") as f:
-        f.write(las_header_bytes(point_format, n, scale, offset))
-        f.write(las_record_bytes(batch, point_format, scale, offset,
-                                 gps_time=gps_time))
+        f.write(header)
+        f.write(records)

@@ -70,3 +70,20 @@ class PointCloudPointReader(BatchedPointReader):
 
     def remaining_points(self) -> int:
         return self.total_points() - self._read
+
+    def exhausted(self) -> bool:
+        """True once every cell file is drained. ``get_batch`` caps reads
+        at the metadata total, so a store whose cells hold MORE points
+        than metadata.json claims would otherwise truncate silently —
+        the exporter checks this to fail loudly in both directions."""
+        if len(self._pending):
+            return False
+        nxt = next(self._cell_paths, None)
+        if nxt is None:
+            return True
+        # put the peeked path back; a valid store has no empty cell
+        # files, so any remaining path means undrained points
+        import itertools
+
+        self._cell_paths = itertools.chain([nxt], self._cell_paths)
+        return False

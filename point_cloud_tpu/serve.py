@@ -531,6 +531,13 @@ def make_handler(registry: StoreRegistry):
             if path == "export":
                 q = parse_qs(url.query)
                 fmt = q.get("format", ["ply"])[0].lower()
+                if fmt not in ("ply", "las", "laz"):
+                    # validate BEFORE the format string reaches a
+                    # tempfile suffix: "a/b" would raise OSError there
+                    # (no response) and "../x" would land outside tmp
+                    self._send(400, f"bad format {fmt!r}".encode(),
+                               "text/plain")
+                    return
                 try:
                     point_format = int(q.get("point_format", ["2"])[0])
                     scale = float(q.get("scale", ["0.001"])[0])
@@ -542,7 +549,7 @@ def make_handler(registry: StoreRegistry):
                     tmp = server.export_file(
                         fmt, point_format=point_format, scale=scale
                     )
-                except (ValueError, RuntimeError) as err:
+                except (ValueError, RuntimeError, OSError) as err:
                     self._send(400, str(err).encode(), "text/plain")
                     return
                 try:

@@ -94,6 +94,11 @@ class InteractiveConverter:
         self.metadata = Metadata()
         if self.viewer is not None:
             self.viewer.set_metadata(self.metadata)
+            # the previously opened store no longer backs the displayed
+            # cloud: clearing it keeps store-path consumers (the window
+            # viewer's export hotkey) from reading stale data; save_at
+            # re-points it at the new store
+            self.viewer.working_directory = None
         self._cells.clear()
         self.files.clear()
         self.state = ConversionState.NOT_STARTED

@@ -232,13 +232,23 @@ class WindowLoop:
                 "ask_save_file", "Export point cloud as", EXPORT_FILETYPES
             )
             if out:
+                import threading
+
                 from ..export import export_store
 
-                try:
-                    n = export_store(Path(root), out)
-                    log.info("Exported %d points to %s", n, out)
-                except Exception as err:
-                    log.error("Export failed: %s", err)
+                def run(store=Path(root), dst=out):
+                    # off the event loop: a 100M-pt export takes ~30 s
+                    # (PERF.md) and must not freeze the window; reads
+                    # are store-file-only, safe next to streaming loads
+                    try:
+                        n = export_store(store, dst)
+                        log.info("Exported %d points to %s", n, dst)
+                    except Exception as err:
+                        log.error("Export failed: %s", err)
+
+                threading.Thread(
+                    target=run, name="pct-export", daemon=True
+                ).start()
         elif key == "h":
             print(HOTKEY_HELP)
 

@@ -185,6 +185,63 @@ class TestExportErrors:
         with pytest.raises(ValueError, match="fmt"):
             export_store(store, tmp_path / "cloud.xyz")
 
+    def test_overcount_metadata_fails_loudly(self, tmp_path):
+        """Cells holding MORE points than metadata claims must also
+        raise (the reader caps reads at the metadata total, which would
+        otherwise truncate silently)."""
+        store = _build_store(tmp_path, n=2_000)
+        metadata = Metadata.from_path(store / "metadata.json")
+        metadata.number_of_points -= 17
+        metadata.write_to_path(store / "metadata.json")
+        out = tmp_path / "cloud.ply"
+        with pytest.raises(RuntimeError, match="more points"):
+            export_store(store, out)
+        assert not out.exists()
+
+    def test_bad_params_leave_no_artifact(self, tmp_path):
+        """Parameter validation runs before the output opens: a bad
+        point_format or scale must neither create nor truncate out_path."""
+        store = _build_store(tmp_path, n=100)
+        out = tmp_path / "cloud.las"
+        out.write_bytes(b"precious")
+        with pytest.raises(ValueError, match="point_format"):
+            export_store(store, out, point_format=5)
+        with pytest.raises(ValueError, match="scale"):
+            export_store(store, out, scale=(0.0, 0.0, 0.0))
+        with pytest.raises(ValueError, match="i32"):
+            export_store(store, out, scale=(1e-9, 1e-9, 1e-9))
+        assert out.read_bytes() == b"precious"
+
+    def test_write_las_bad_format_keeps_existing_file(self, tmp_path):
+        from point_cloud_tpu.io.las import write_las
+
+        out = tmp_path / "x.las"
+        out.write_bytes(b"precious")
+        with pytest.raises(ValueError):
+            write_las(out, PointBatch.empty(), point_format=5)
+        assert out.read_bytes() == b"precious"
+
+    def test_las_header_extents_match_store_bbox(self, tmp_path):
+        """External consumers trust the header Max/Min fields: they must
+        carry the store bounding box, not zeros."""
+        import struct
+
+        store = _build_store(tmp_path, n=1_000)
+        out = tmp_path / "cloud.las"
+        export_store(store, out)
+        metadata = Metadata.from_path(store / "metadata.json")
+        head = out.read_bytes()[:227]
+        for axis in range(3):
+            hi = struct.unpack_from("<d", head, 179 + axis * 16)[0]
+            lo = struct.unpack_from("<d", head, 187 + axis * 16)[0]
+            assert lo == pytest.approx(
+                float(metadata.bounding_box.min[axis]), abs=1e-6
+            )
+            assert hi == pytest.approx(
+                float(metadata.bounding_box.max[axis]), abs=1e-6
+            )
+            assert hi > lo
+
 
 class TestExportCli:
     def test_cli_end_to_end(self, tmp_path):

@@ -523,6 +523,23 @@ class TestExportEndpoint:
             get(f"{server}/export?format=xyz")
         assert err.value.code == 400
 
+    def test_hostile_format_400(self, server):
+        """Slash/traversal format values must 400 before they reach a
+        tempfile suffix (no hung connection, no file outside tmp)."""
+        import urllib.error
+
+        for hostile in ("a%2Fb", "..%2F..%2Ftmp%2Fx", "." , "%2e%2e"):
+            with pytest.raises(urllib.error.HTTPError) as err:
+                get(f"{server}/export?format={hostile}")
+            assert err.value.code == 400
+
+    def test_bad_scale_400(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get(f"{server}/export?format=las&scale=0")
+        assert err.value.code == 400
+
     def test_page_has_export_wiring(self, server):
         status, body = get(f"{server}/")
         page = body.decode()

@@ -385,6 +385,19 @@ def test_window_export_hotkey(tmp_path, viewer):
     loop.apply_event(WindowEvent("key_down", key="m"))  # open the store
     loop.apply_event(WindowEvent("key_up", key="m"))
     loop.apply_event(WindowEvent("key_down", key="e"))  # export it
+    # the export runs off the event loop (a big store must not freeze
+    # the window): join its worker thread
+    import threading
+    import time
+
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        workers = [
+            t for t in threading.enumerate() if t.name == "pct-export"
+        ]
+        if not workers:
+            break
+        workers[0].join(0.05)
     assert out.exists()
     reader = PlyPointReader(out)
     back = reader.get_batch(reader.total_points())
@@ -409,6 +422,35 @@ def test_window_export_without_store_is_noop(tmp_path, viewer):
     loop = WindowLoop(viewer, backend)
     loop.apply_event(WindowEvent("key_down", key="e"))
     assert not (tmp_path / "x.ply").exists()
+    assert ("save_file",) not in [c[:1] for c in backend.dialog_calls]
+
+
+def test_window_export_refuses_stale_store_after_new_cloud(tmp_path, viewer):
+    """'k' (new cloud) clears the working directory: 'e' afterwards must
+    NOT export the previously opened store (it no longer backs the
+    displayed cloud)."""
+    from point_cloud_tpu.convert.converter import Converter
+    from point_cloud_tpu.core.metadata import Metadata
+    from point_cloud_tpu.core.point import PointBatch
+
+    rng = np.random.default_rng(6)
+    store = tmp_path / "store"
+    with Converter(Metadata(), store) as conv:
+        conv.add_points_batch(PointBatch(
+            rng.uniform(-10, 10, (64, 3)).astype(np.float32),
+            rng.integers(0, 256, (64, 4), dtype=np.uint8),
+        ))
+    out = tmp_path / "stale.ply"
+    backend = DialogBackend(
+        open_file=str(store / "metadata.json"), save_file=str(out)
+    )
+    loop = WindowLoop(viewer, backend)
+    loop.apply_event(WindowEvent("key_down", key="m"))  # open store
+    loop.apply_event(WindowEvent("key_up", key="m"))
+    loop.apply_event(WindowEvent("key_down", key="k"))  # new cloud
+    loop.apply_event(WindowEvent("key_up", key="k"))
+    loop.apply_event(WindowEvent("key_down", key="e"))  # export: refuse
+    assert not out.exists()
     assert ("save_file",) not in [c[:1] for c in backend.dialog_calls]
 
 
