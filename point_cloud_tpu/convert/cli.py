@@ -42,8 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
         "-f", "--files", metavar="FILES", type=Path, nargs="*",
         default=[], help="Input files with the points to convert.",
     )
+    def positive_int(text: str) -> int:
+        value = int(text)
+        if value < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return value
+
     parser.add_argument(
-        "--batch-size", type=int, default=None,
+        "--batch-size", type=positive_int, default=None,
         help="Points per conversion batch (defaults: 10000 host — the "
         "reference's lib.rs:32 — 2^18 device/native, 2^20 mesh). Store "
         "BYTES depend on the batch schedule (overflow groups stage "
@@ -73,12 +79,6 @@ def build_parser() -> argparse.ArgumentParser:
              "the per-level host half running natively (fastest device-"
              "backed mode; see convert/native_device.py).",
     )
-    def positive_int(text: str) -> int:
-        value = int(text)
-        if value < 1:
-            raise argparse.ArgumentTypeError("must be >= 1")
-        return value
-
     parser.add_argument(
         "--cache-size", type=positive_int, default=None, metavar="N",
         help="Cells kept in RAM before evicting to disk (default 65536; "

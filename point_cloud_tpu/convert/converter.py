@@ -294,6 +294,11 @@ class Converter:
         )
 
     def close(self) -> None:
+        # idempotent: a second close (explicit close inside a `with`
+        # block) must not resubmit writes through the closed writer
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         self.save_cache()
         self.save_metadata()
         if self._writer is not None:
@@ -450,8 +455,25 @@ def convert_from_paths(
                         t_log = time.monotonic()
                 if pending is not None:
                     converter.add_points_batch(pending)
-            except OSError as err:
-                log.error("%s", err)
+                    pending = None
+            except Exception as err:
+                # per-file failure: record and move to the next file,
+                # like the reference records FileConversionStatus::Failed
+                # and continues (src/plugins/converter.rs:288-312) and
+                # like the open-error path above. Every successfully READ
+                # batch is kept: the prefetch path's in-flight batch
+                # (device work already dispatched) is flushed before the
+                # file is abandoned, so the store never silently drops
+                # points that parsed cleanly.
+                log.error("Failed converting %s: %s", path, err)
+                if pending is not None:
+                    try:
+                        converter.add_points_batch(pending)
+                    except Exception as flush_err:
+                        log.error(
+                            "Dropped the in-flight batch of %s: %s",
+                            path, flush_err,
+                        )
             finally:
                 read_ahead.close()
 

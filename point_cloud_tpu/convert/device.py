@@ -93,7 +93,14 @@ class DevicePrefetchMixin:
         )
         handles[id(batch.positions)] = (batch.positions, handle)
         while len(handles) > 4:  # bound stale entries
-            handles.pop(next(iter(handles)))
+            # a pipelined worker thread pops from this dict concurrently
+            # (_take_prefetch): tolerate the key vanishing between
+            # next(iter()) and pop, and the resize RuntimeError, the same
+            # dict-race the pickup path below guards against
+            try:
+                handles.pop(next(iter(handles)), None)
+            except (RuntimeError, StopIteration):
+                break
 
     def _take_prefetch(self, positions):
         handles = getattr(self, "_prefetch_handles", None)

@@ -142,6 +142,13 @@ class PipelinedConverter(DeviceConverter):
             raise self._pipe_error
 
     def close(self) -> None:
-        self.drain()
-        self._executor.shutdown()
-        super().close()
+        # drain() re-raises a pipeline error; cleanup must still run or
+        # the executor leaks and metadata.json is never written — a
+        # later resume would restart from zero over a directory that
+        # already holds point-bearing cells (same fix as
+        # NativeDevicePipelined.close)
+        try:
+            self.drain()
+        finally:
+            self._executor.shutdown()
+            super().close()

@@ -107,6 +107,28 @@ def _pack_slot_keys(sub_indices: np.ndarray) -> np.ndarray:
     )
 
 
+def _owned(batch: PointBatch) -> PointBatch:
+    """Copy slice-view payloads so a staged chunk never pins its source.
+
+    The device cascade stages per-group SLICES of each level's full
+    sorted loser arrays (convert/device.py); a buffer holding such a
+    view keeps the whole level array alive for as long as the cell sits
+    in the 65,536-entry cache — RSS grew by the cumulative loser-array
+    footprint over a long conversion. One 16 B/row copy at staging time
+    (the rows would be copied at concat time anyway) caps the buffer's
+    footprint at its own rows. Values are unchanged: byte parity holds.
+    """
+    pos, col = batch.positions, batch.colors
+    if pos.base is None and col.base is None:
+        return batch
+    # .copy(), not ascontiguousarray: a slice view IS contiguous, so
+    # ascontiguousarray would hand the same pinning view back
+    return PointBatch._wrap(
+        pos.copy() if pos.base is not None else pos,
+        col.copy() if col.base is not None else col,
+    )
+
+
 class _OverflowBuffer:
     """Staged overflow chunks: O(1) append, concat deferred to first read
     (the hot path appends one group per batch; eager concatenation made
@@ -115,11 +137,11 @@ class _OverflowBuffer:
     __slots__ = ("chunks", "n")
 
     def __init__(self, first: PointBatch):
-        self.chunks: list[PointBatch] = [first]
+        self.chunks: list[PointBatch] = [_owned(first)]
         self.n = len(first)
 
     def append(self, batch: PointBatch) -> None:
-        self.chunks.append(batch)
+        self.chunks.append(_owned(batch))
         self.n += len(batch)
 
     def __len__(self) -> int:

@@ -146,6 +146,34 @@ class TestOverflowCascade:
         assert rem == {}
         assert cell.number_of_overflow_points == 10
 
+    def test_staged_chunks_never_pin_source_views(self):
+        """The device cascade stages per-group SLICES of a level's full
+        loser arrays: the overflow buffer must copy them (or RSS grows
+        by the cumulative loser footprint — buffers would keep whole
+        level arrays alive for as long as the cell sits in the cache)."""
+        from point_cloud_tpu.core.point import PointBatch
+
+        cell = make_cell()
+        config = MetadataConfig(cell_point_overflow_limit=100)
+        big = random_batch(1_000)
+        view = PointBatch._wrap(
+            big.positions[10:14], big.colors[10:14]
+        )
+        # presorted=True is the device cascade's staging call: the group
+        # is staged as-is (no canonical reorder), so pre-fix the buffer
+        # held the raw pinning slice
+        cell.add_points_in_overflow(
+            {(0, 0, 0): view}, config, presorted=True
+        )
+        buf = cell.overflow[(0, 0, 0)]
+        for chunk in buf.chunks:
+            assert chunk.positions.base is None
+            assert chunk.colors.base is None
+        # and the values are untouched
+        np.testing.assert_array_equal(
+            buf.chunks[0].positions, big.positions[10:14]
+        )
+
 
 class TestCellCodec:
     def test_header_layout(self):

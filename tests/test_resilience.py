@@ -210,6 +210,76 @@ class TestUnderDeliveringSource:
         assert out_meta.number_of_points == 2_000
 
 
+class TestMidFileReaderFault:
+    def test_read_batches_survive_a_midfile_reader_error(self, tmp_path):
+        """A reader raising mid-file must cost only the unread tail:
+        every successfully parsed batch — including the prefetch path's
+        in-flight one — lands in the store, and the NEXT file still
+        converts (per-file failure handling, converter.rs:288-312)."""
+        from point_cloud_tpu.convert.converter import convert_from_paths
+        from point_cloud_tpu.core.metadata import Metadata as Md
+        from point_cloud_tpu.io.ply import write_ply
+
+        good = random_batch(1_500, seed=91)
+        write_ply(tmp_path / "good.ply", good)
+        flaky = random_batch(3_000, seed=92)
+        write_ply(tmp_path / "flaky.ply", flaky)
+
+        from point_cloud_tpu import io as io_mod
+
+        orig = io_mod.get_batched_point_reader
+
+        class FlakyReader:
+            def __init__(self, inner):
+                self.inner = inner
+                self.calls = 0
+
+            def get_batch(self, size):
+                self.calls += 1
+                if self.calls > 2:  # two good batches, then die
+                    raise ValueError("decoder exploded mid-file")
+                return self.inner.get_batch(size)
+
+            def total_points(self):
+                return self.inner.total_points()
+
+            def remaining_points(self):
+                return self.inner.remaining_points()
+
+        def patched(path):
+            reader = orig(path)
+            if Path(path).name == "flaky.ply":
+                return FlakyReader(reader)
+            return reader
+
+        io_mod.get_batched_point_reader = patched
+        try:
+            convert_from_paths(
+                [tmp_path / "flaky.ply", tmp_path / "good.ply"],
+                tmp_path / "out", batch_size=1_000,
+            )
+        finally:
+            io_mod.get_batched_point_reader = orig
+
+        out_meta = Md.from_path(tmp_path / "out" / "metadata.json")
+        # 2 batches of flaky.ply (2,000 points) + all of good.ply
+        assert out_meta.number_of_points == 2_000 + 1_500
+
+
+class TestConverterCloseIdempotent:
+    def test_double_close_is_safe(self, tmp_path):
+        conv = Converter(Metadata(), tmp_path)
+        conv.add_points_batch(random_batch(500, seed=93))
+        conv.close()
+        conv.close()  # second close: no writer resubmission
+        with conv:  # context-manager exit after explicit close
+            pass
+        from point_cloud_tpu.core.metadata import Metadata as Md
+
+        meta = Md.from_path(tmp_path / "metadata.json")
+        assert meta.number_of_points == 500
+
+
 class TestWedgedAccelerator:
     def test_cli_device_falls_back_when_unreachable(self, tmp_path, monkeypatch):
         """--device against an unreachable accelerator must fail over to
