@@ -74,6 +74,37 @@ def _resolve_backend() -> str:
         return "pallas"
     return _SORT_BACKEND
 
+
+def dispatch_sort4(k1, k2, k3, k4, *, num_keys: int = 4,
+                   is_stable: bool = False):
+    """THE backend-dispatched 4-column lex sort (pallas on TPU, bitonic
+    elsewhere, ``PCT_SORT=xla`` for lax.sort).
+
+    The single owner of the eligibility policy — every sorting call site
+    (the dedup pass, the owner-sharded mesh merge, the sorted-raster
+    fragment stream) resolves through this module's attributes so a
+    runtime pallas degrade (``_PALLAS_BROKEN``) reaches all of them.
+    The pallas kernel needs power-of-two lengths >= 1024 (its sub-tile
+    padding contract); ineligible shapes fall back to the bitonic
+    network. pallas/bitonic always sort all four columns (a total
+    order); ``num_keys``/``is_stable`` shape only the lax.sort branch —
+    callers must pass a unique 4th column (e.g. an arrival iota)
+    whenever trailing-column order matters.
+    """
+    n = k1.shape[0]
+    backend = _resolve_backend()
+    if backend == "pallas" and n >= 1024 and (n & (n - 1)) == 0:
+        from .sort_pallas import pallas_sort4
+
+        return pallas_sort4(k1, k2, k3, k4)
+    if backend == "xla":
+        return jax.lax.sort(
+            (k1, k2, k3, k4), num_keys=num_keys, is_stable=is_stable
+        )
+    from .bitonic import bitonic_sort4
+
+    return bitonic_sort4(k1, k2, k3, k4)
+
 def _i32(v: int) -> np.int32:
     """Python int (as u32 bit pattern) -> i32 constant."""
     return np.int32(v - 2**32 if v >= 2**31 else v)
@@ -165,32 +196,12 @@ def _hash_sort(positions, valid, cell_size, sub_cell_radius):
     # types; mixing an unvarying iota with varying keys trips the check, so
     # tie arrival to a varying operand (no-op arithmetic)
     arrival = arrival + (cell_hash & jnp.int32(0))
-    backend = _resolve_backend()
-    if backend == "xla":
-        ch_s, sh_s, _, perm = jax.lax.sort(
-            (cell_hash, slot_hash, dist_bits, arrival),
-            num_keys=3,
-            is_stable=True,
-        )
-    elif backend == "pallas" and n >= 1024 and (n & (n - 1)) == 0:
-        # pallas requires power-of-two lengths (sub-tile padding contract);
-        # non-pow2 shapes (e.g. non-pow2 device counts under shard_map)
-        # fall through to the bitonic branch below
-        # tiled VMEM kernel (ops/sort_pallas.py); the arrival column is
-        # < 2^30 here, which its sub-tile padding contract requires
-        from .sort_pallas import pallas_sort4
-
-        ch_s, sh_s, _, perm = pallas_sort4(
-            cell_hash, slot_hash, dist_bits, arrival
-        )
-    else:
-        # O(1)-compile bitonic network (ops/bitonic.py); arrival as the
-        # 4th key makes the order total, which equals the stable 3-key sort
-        from .bitonic import bitonic_sort4
-
-        ch_s, sh_s, _, perm = bitonic_sort4(
-            cell_hash, slot_hash, dist_bits, arrival
-        )
+    # arrival as the 4th column makes the pallas/bitonic total order
+    # equal the stable 3-key lax.sort (the arrival values are < 2^30,
+    # which the pallas sub-tile padding contract requires)
+    ch_s, sh_s, _, perm = dispatch_sort4(
+        cell_hash, slot_hash, dist_bits, arrival, num_keys=3, is_stable=True
+    )
     return ch_s, sh_s, perm, cell_idx, sub_idx, dist
 
 

@@ -193,10 +193,12 @@ def run_multihost(
 
     Every process calls this with the same ``paths``/``output``; the file
     shard, staging store, and merge responsibility are derived from the
-    config. Returns this worker's staging store path (rank 0's merged
-    result lands in ``output``). Single-process configs degenerate to a
-    plain staged conversion plus merge — the same code path, no process
-    group.
+    config. Returns the merged ``output`` store on rank 0 and this
+    worker's staging store path on other ranks (which rank 0 deletes
+    after the merge unless ``keep_staging``, so non-zero ranks must not
+    dereference the returned path past the final barrier without it).
+    Single-process configs degenerate to a plain staged conversion plus
+    merge — the same code path, no process group.
     """
     config = config or LaunchConfig.from_env()
     initialized = initialize_distributed(config, distributed)
@@ -242,4 +244,4 @@ def run_multihost(
             shutil.rmtree(staging, ignore_errors=True)
     # workers must not exit while rank 0 still reads their staging stores
     barrier("pct:multihost:merged")
-    return store
+    return output if process_id == 0 else store

@@ -104,21 +104,29 @@ def _winner_and_suspect(ch_s, sh_s, pos_s, cell_size, sub_cell_radius):
     return winner, suspect, valid_s
 
 
+def _check_pack_limits(shard_size: int, n_pad: int) -> None:
+    """Refuse batches the packed-output bit layouts cannot carry.
+
+    out_a packs the per-shard perm in 28 bits and out_b packs
+    global_arrival + 1 (< n_pad + 1) in 29 bits; beyond these the values
+    would silently bleed into the SPILL/SUSPECT/WINNER flag bits and
+    corrupt dedup winners (a byte-parity break, CLAUDE.md invariant #1),
+    so fail loudly instead. The limits sit far above any real batch
+    (2^28 rows/shard = 3 GB of positions per device).
+    """
+    if shard_size > PERM_MASK + 1 or n_pad > ARR_MASK - 1:
+        raise ValueError(
+            f"owner-sharded pass limit: shard_size={shard_size} "
+            f"(max 2^28) / padded batch {n_pad} (max 2^29-2) — "
+            "split the batch (lower --batch-size)"
+        )
+
+
 def _sort4(k1, k2, k3, k4):
     """Backend-dispatched 4-column lex sort (resolved per trace through
-    the ops.dedup module attributes, so a runtime pallas degrade —
+    the ops.dedup module attribute, so a runtime pallas degrade —
     dedup._PALLAS_BROKEN — reaches this module too)."""
-    n = k1.shape[0]
-    backend = dedup_mod._resolve_backend()
-    if backend == "pallas" and n >= 1024 and (n & (n - 1)) == 0:
-        from ..ops.sort_pallas import pallas_sort4
-
-        return pallas_sort4(k1, k2, k3, k4)
-    if backend == "xla":
-        return jax.lax.sort((k1, k2, k3, k4), num_keys=4, is_stable=False)
-    from ..ops.bitonic import bitonic_sort4
-
-    return bitonic_sort4(k1, k2, k3, k4)
+    return dedup_mod.dispatch_sort4(k1, k2, k3, k4)
 
 
 def _hashes_for(positions, valid, cell_size, sub_cell_radius):
@@ -344,6 +352,7 @@ class OwnerShardedPass:
         if n_pad % self.n:
             n_pad += self.n - (n_pad % self.n)
         shard_size = n_pad // self.n
+        _check_pack_limits(shard_size, n_pad)
         capacity = self._capacity_for(shard_size)
 
         pos_pad = np.zeros((n_pad, 3), np.float32)

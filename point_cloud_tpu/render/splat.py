@@ -440,23 +440,15 @@ def sorted_raster_merge(framebuffer: Framebuffer, pix, depth, ids):
 
 def _sort4_frags(pix, depth_bits, ids):
     """Backend-dispatched 4-key sort for the fragment stream (pallas on
-    TPU, bitonic elsewhere — same resolution as the dedup sort)."""
+    TPU, bitonic elsewhere — the shared dedup dispatch, so a runtime
+    pallas degrade reaches this path too)."""
     from ..ops import dedup as dedup_mod
 
     n = pix.shape[0]
     arrival = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
-    backend = dedup_mod._resolve_backend()
-    if backend == "pallas" and n >= 1024 and (n & (n - 1)) == 0:
-        from ..ops.sort_pallas import pallas_sort4
-
-        return pallas_sort4(pix, depth_bits, ids, arrival)
-    if backend == "xla":
-        return jax.lax.sort(
-            (pix, depth_bits, ids, arrival), num_keys=3, is_stable=False
-        )
-    from ..ops.bitonic import bitonic_sort4
-
-    return bitonic_sort4(pix, depth_bits, ids, arrival)
+    return dedup_mod.dispatch_sort4(
+        pix, depth_bits, ids, arrival, num_keys=3
+    )
 
 
 # --- chunked rung rasterization ------------------------------------------

@@ -91,6 +91,10 @@ class StoreServer:
 
         with self._render_lock:
             v = self.viewer
+            # per-request override only — persistent changes go through
+            # POST /settings; without the restore one client's ?voronoi=0
+            # would silently restyle every later param-less request
+            prev_voronoi = v.settings.voronoi
             if voronoi is not None:
                 v.settings.voronoi = bool(voronoi)
             bbox = self.metadata.bounding_box
@@ -124,7 +128,10 @@ class StoreServer:
             v.fly_cam = FlyCam.from_transform(v.camera.transform)
             v._camera_dirty = True
             self._drain_streaming()
-            rgb, _, _ = v.render()
+            try:
+                rgb, _, _ = v.render()
+            finally:
+                v.settings.voronoi = prev_voronoi
             buf = io.BytesIO()
             write_png(buf, rgb)
             return buf.getvalue()
@@ -361,6 +368,7 @@ class StoreRegistry:
         self._mesh_devices = mesh_devices
         self._servers: dict[str, StoreServer] = {}
         self._lock = threading.Lock()
+        self._name_locks: dict[str, threading.Lock] = {}
         if (self.root / "metadata.json").exists():
             self.names = [self.root.name or "store"]
             self._dirs = {self.names[0]: self.root}
@@ -385,16 +393,26 @@ class StoreRegistry:
         if name not in self._dirs:
             return None
         # ThreadingHTTPServer handlers race the lazy construction (the
-        # client fires /stats and /render concurrently on first load)
+        # client fires /stats and /render concurrently on first load).
+        # Constructed servers return without locking, and construction
+        # locks per store: the first Viewer init can pay the ~30 s TPU
+        # tunnel setup, which must not stall requests to other stores.
+        srv = self._servers.get(name)
+        if srv is not None:
+            return srv
         with self._lock:
-            if name not in self._servers:
-                self._servers[name] = StoreServer(
+            name_lock = self._name_locks.setdefault(name, threading.Lock())
+        with name_lock:
+            srv = self._servers.get(name)
+            if srv is None:
+                srv = StoreServer(
                     self._dirs[name], width=self._width,
                     height=self._height,
                     convert_root=self._convert_root,
                     mesh_devices=self._mesh_devices,
                 )
-            return self._servers[name]
+                self._servers[name] = srv
+            return srv
 
 
 def make_handler(registry: StoreRegistry):
@@ -589,7 +607,8 @@ def make_handler(registry: StoreRegistry):
                         else None
                     )
                     voronoi = (
-                        q["voronoi"][0] not in ("0", "false")
+                        q["voronoi"][0].lower()
+                        not in ("0", "false", "no", "off")
                         if "voronoi" in q
                         else None
                     )

@@ -55,6 +55,38 @@ class WindowEvent:
     x: float = 0.0
     y: float = 0.0
     steps: float = 0.0
+    # backend event timestamp (ms) where available; key auto-repeat
+    # detection needs it (X11 repeats arrive as KeyRelease+KeyPress
+    # pairs sharing one timestamp)
+    time_ms: int | None = None
+
+
+def filter_auto_repeat(events: list[WindowEvent]) -> list[WindowEvent]:
+    """Drop X11 key auto-repeat pairs from one poll batch.
+
+    X11 (Tk has no detectable-auto-repeat mode) reports a held key as
+    KeyRelease+KeyPress pairs sharing one server timestamp; left in, a
+    held hotkey would flicker its toggle and a held movement key would
+    stutter the pressed set. A key_up whose key's next key event is a
+    key_down at the same (non-None) timestamp is such a pair — drop
+    both. Events without timestamps (synthetic backends) pass through.
+    """
+    drop: set[int] = set()
+    for i, ev in enumerate(events):
+        if (ev.kind != "key_up" or ev.key is None or ev.time_ms is None
+                or i in drop):
+            continue
+        for j in range(i + 1, len(events)):
+            nxt = events[j]
+            if nxt.key != ev.key or nxt.kind not in ("key_down", "key_up"):
+                continue  # interleaved cursor/wheel/other-key events
+            if nxt.kind == "key_down" and nxt.time_ms == ev.time_ms:
+                drop.add(i)
+                drop.add(j)
+            break
+    if not drop:
+        return events
+    return [ev for i, ev in enumerate(events) if i not in drop]
 
 
 # Tk keysym -> InputState key vocabulary (input.py KEY_*). Only keys the
@@ -257,8 +289,10 @@ class WindowLoop:
     def apply_event(self, ev: WindowEvent) -> None:
         if ev.kind == "key_down" and ev.key:
             # toggles fire on the PRESS edge only: Tk auto-repeat
-            # delivers held keys as repeated KeyPress events, which
-            # would flicker a toggle while held
+            # delivers held keys as repeated KeyPress events (Windows/
+            # macOS), which would flicker a toggle while held. X11
+            # repeats arrive as KeyRelease+KeyPress pairs instead —
+            # filter_auto_repeat drops those before they reach here.
             if ev.key not in self.input.pressed_keys:
                 self._apply_hotkey(ev.key)
             self.input.key_down(ev.key)
@@ -286,7 +320,7 @@ class WindowLoop:
 
     def step(self) -> bool:
         """One frame; returns False when the loop should stop."""
-        for ev in self.backend.poll_events():
+        for ev in filter_auto_repeat(list(self.backend.poll_events())):
             self.apply_event(ev)
         if not self.running or not self.backend.alive:
             return False
@@ -389,12 +423,14 @@ class TkBackend:
 
     def _on_key_down(self, e):
         self._events.append(
-            WindowEvent("key_down", key=translate_keysym(e.keysym))
+            WindowEvent("key_down", key=translate_keysym(e.keysym),
+                        time_ms=getattr(e, "time", None))
         )
 
     def _on_key_up(self, e):
         self._events.append(
-            WindowEvent("key_up", key=translate_keysym(e.keysym))
+            WindowEvent("key_up", key=translate_keysym(e.keysym),
+                        time_ms=getattr(e, "time", None))
         )
 
     def _on_button_down(self, e):

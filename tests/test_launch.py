@@ -165,7 +165,10 @@ class TestRunMultihost:
                 keep_staging=True,
             )
             assert (staged / "metadata.json").exists()
-            assert staged == out / "_staging" / f"worker_{pid}"
+            # rank 0 returns the merged output; other ranks their staging
+            # store (rank 0 deletes staging unless keep_staging)
+            expect = out if pid == 0 else out / "_staging" / f"worker_{pid}"
+            assert staged == expect
 
         for pid in (0, 1):
             # every worker initialized the process group and hit both

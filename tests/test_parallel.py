@@ -76,6 +76,25 @@ class TestShardedDedup:
         np.testing.assert_array_equal(merged, expected)
 
 
+class TestOwnerPackLimits:
+    """The owner-sharded pass packs perm into 28 bits and arrival+1 into
+    29; batches past that must fail loudly, not corrupt flag bits."""
+
+    def test_in_range_ok(self):
+        from point_cloud_tpu.parallel.owner_cascade import _check_pack_limits
+
+        _check_pack_limits(1 << 28, (1 << 29) - 2)  # exactly at the limits
+        _check_pack_limits(1024, 8192)
+
+    def test_overflow_rejected(self):
+        from point_cloud_tpu.parallel.owner_cascade import _check_pack_limits
+
+        with pytest.raises(ValueError, match="owner-sharded pass limit"):
+            _check_pack_limits((1 << 28) + 1, 1 << 20)
+        with pytest.raises(ValueError, match="owner-sharded pass limit"):
+            _check_pack_limits(1 << 20, (1 << 29) - 1)
+
+
 def assert_stores_identical(host_dir, mesh_dir):
     host_files = store_files(host_dir)
     mesh_files = store_files(mesh_dir)

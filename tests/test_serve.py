@@ -345,6 +345,23 @@ class TestSettingsEndpoint:
             post_json(f"{server}/settings", {"footprint": 4})
         assert err.value.code == 400
 
+    def test_render_voronoi_param_is_per_request(self, server):
+        """GET /render?voronoi=... overrides one frame only — persistent
+        changes go through POST /settings — and boolean spellings parse
+        case-insensitively ('False' must not mean true)."""
+        _, before = get_json(f"{server}/settings")
+        flipped = "0" if before["voronoi"] else "1"
+        status, _ = get(f"{server}/render?voronoi={flipped}")
+        assert status == 200
+        _, after = get_json(f"{server}/settings")
+        assert after["voronoi"] == before["voronoi"]  # not sticky
+
+        _, img_false = get(f"{server}/render?voronoi=False")
+        _, img_zero = get(f"{server}/render?voronoi=0")
+        _, img_true = get(f"{server}/render?voronoi=1")
+        assert img_false == img_zero  # 'False' parses as false
+        assert img_false != img_true  # and the override takes effect
+
     def test_freeze_frustum_renders_overlay(self, server):
         status, _ = post_json(
             f"{server}/settings", {"freeze_frustum": True}

@@ -250,6 +250,58 @@ def test_hotkey_autorepeat_does_not_flicker(viewer):
     assert viewer.stream_enabled
 
 
+def test_x11_auto_repeat_pairs_filtered():
+    """X11 reports a held key as KeyRelease+KeyPress pairs sharing one
+    timestamp; the filter must drop exactly those pairs and keep real
+    releases/presses (distinct timestamps or no timestamps)."""
+    from point_cloud_tpu.viewer.window import filter_auto_repeat
+
+    up = lambda k, t: WindowEvent("key_up", key=k, time_ms=t)
+    down = lambda k, t: WindowEvent("key_down", key=k, time_ms=t)
+    move = WindowEvent("cursor", x=1, y=2)
+
+    # repeat pairs vanish, interleaved non-key events survive
+    out = filter_auto_repeat([up("p", 10), down("p", 10), move,
+                              up("p", 40), down("p", 40)])
+    assert out == [move]
+    # a real release (later timestamp, or trailing) is kept
+    out = filter_auto_repeat([up("p", 10), down("p", 11), up("p", 50)])
+    assert [e.kind for e in out] == ["key_up", "key_down", "key_up"]
+    # events from backends without timestamps pass through untouched
+    raw = [WindowEvent("key_up", key="p"), WindowEvent("key_down", key="p")]
+    assert filter_auto_repeat(list(raw)) == raw
+    # pairs of different keys are independent
+    out = filter_auto_repeat([up("w", 10), down("s", 10), down("w", 10)])
+    assert [e.key for e in out] == ["s"]
+
+
+def test_x11_auto_repeat_does_not_flicker_toggle(viewer):
+    """A held hotkey on X11 (release+press repeat pairs) toggles once,
+    stays in the pressed set across the batch, and a real release+press
+    cycle toggles again."""
+    from point_cloud_tpu.viewer.window import WindowLoop
+
+    backend = FakeBackend([
+        [WindowEvent("key_down", key="p", time_ms=100)],
+        [WindowEvent("key_up", key="p", time_ms=500),
+         WindowEvent("key_down", key="p", time_ms=500),
+         WindowEvent("key_up", key="p", time_ms=530),
+         WindowEvent("key_down", key="p", time_ms=530)],
+        [WindowEvent("key_up", key="p", time_ms=900)],
+        [WindowEvent("key_down", key="p", time_ms=1500)],
+    ])
+    loop = WindowLoop(viewer, backend)
+    loop.step()
+    assert not viewer.stream_enabled  # press edge toggled
+    loop.step()  # the held-key repeat batch
+    assert not viewer.stream_enabled  # no flicker
+    assert "p" in loop.input.pressed_keys  # still held
+    loop.step()  # real release
+    assert "p" not in loop.input.pressed_keys
+    loop.step()  # real second press
+    assert viewer.stream_enabled
+
+
 class DialogBackend(FakeBackend):
     """FakeBackend plus scripted native-dialog answers (the rfd pickers:
     metadata.rs:395-442, converter.rs:764-794)."""
