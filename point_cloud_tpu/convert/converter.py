@@ -432,7 +432,13 @@ def convert_from_paths(
                         if can_prefetch:
                             converter.prefetch(payload)
                             if pending is not None:
-                                converter.add_points_batch(pending)
+                                # Clear ``pending`` BEFORE the add: the
+                                # converter mutates metadata/bbox before the
+                                # cascade, so a mid-add failure must not be
+                                # retried by the except-path flush below
+                                # (that would double-count the batch).
+                                flush, pending = pending, None
+                                converter.add_points_batch(flush)
                             pending = payload
                         else:
                             converter.add_points_batch(payload)
@@ -454,8 +460,8 @@ def convert_from_paths(
                         )
                         t_log = time.monotonic()
                 if pending is not None:
-                    converter.add_points_batch(pending)
-                    pending = None
+                    flush, pending = pending, None  # no-retry on failure
+                    converter.add_points_batch(flush)
             except Exception as err:
                 # per-file failure: record and move to the next file,
                 # like the reference records FileConversionStatus::Failed

@@ -95,46 +95,52 @@ class StoreServer:
             # POST /settings; without the restore one client's ?voronoi=0
             # would silently restyle every later param-less request
             prev_voronoi = v.settings.voronoi
-            if voronoi is not None:
-                v.settings.voronoi = bool(voronoi)
-            bbox = self.metadata.bounding_box
-            center = bbox.center()
-            up = np.array([0.0, 0.0, 1.0], np.float32)
-            if eye is not None:
-                pos = np.asarray(eye, np.float32)
-                forward = np.array(
-                    [
-                        np.cos(yaw) * np.cos(pitch),
-                        np.sin(yaw) * np.cos(pitch),
-                        np.sin(pitch),
-                    ],
-                    np.float32,
-                )
-                v.camera.transform.translation = pos
-                v.camera.transform.look_at(pos + forward, up)
-            else:
-                extent = float(np.linalg.norm(bbox.extends()))
-                d = dist if dist is not None else extent * 2.0
-                pos = center + np.array(
-                    [
-                        d * np.cos(yaw) * np.cos(pitch),
-                        d * np.sin(yaw) * np.cos(pitch),
-                        -d * np.sin(pitch),
-                    ],
-                    np.float32,
-                )
-                v.camera.transform.translation = pos.astype(np.float32)
-                v.camera.transform.look_at(center, up)
-            v.fly_cam = FlyCam.from_transform(v.camera.transform)
-            v._camera_dirty = True
-            self._drain_streaming()
             try:
-                rgb, _, _ = v.render()
+                if voronoi is not None:
+                    v.settings.voronoi = bool(voronoi)
+                return self._render_png_locked(v, yaw, pitch, dist, eye)
             finally:
                 v.settings.voronoi = prev_voronoi
-            buf = io.BytesIO()
-            write_png(buf, rgb)
-            return buf.getvalue()
+
+    def _render_png_locked(self, v, yaw, pitch, dist, eye) -> bytes:
+        from .render.fly_cam import FlyCam
+        from .viewer.offscreen import write_png
+
+        bbox = self.metadata.bounding_box
+        center = bbox.center()
+        up = np.array([0.0, 0.0, 1.0], np.float32)
+        if eye is not None:
+            pos = np.asarray(eye, np.float32)
+            forward = np.array(
+                [
+                    np.cos(yaw) * np.cos(pitch),
+                    np.sin(yaw) * np.cos(pitch),
+                    np.sin(pitch),
+                ],
+                np.float32,
+            )
+            v.camera.transform.translation = pos
+            v.camera.transform.look_at(pos + forward, up)
+        else:
+            extent = float(np.linalg.norm(bbox.extends()))
+            d = dist if dist is not None else extent * 2.0
+            pos = center + np.array(
+                [
+                    d * np.cos(yaw) * np.cos(pitch),
+                    d * np.sin(yaw) * np.cos(pitch),
+                    -d * np.sin(pitch),
+                ],
+                np.float32,
+            )
+            v.camera.transform.translation = pos.astype(np.float32)
+            v.camera.transform.look_at(center, up)
+        v.fly_cam = FlyCam.from_transform(v.camera.transform)
+        v._camera_dirty = True
+        self._drain_streaming()
+        rgb, _, _ = v.render()
+        buf = io.BytesIO()
+        write_png(buf, rgb)
+        return buf.getvalue()
 
     # --- settings surface (ui.rs:122-146 / debug.rs:21-36) ----------------
 
@@ -577,10 +583,18 @@ def make_handler(registry: StoreRegistry):
                         "Content-Type", "application/octet-stream"
                     )
                     self.send_header("Content-Length", str(size))
-                    name = f"{server.metadata.name or 'cloud'}.{fmt}"
+                    # metadata.name comes from the (possibly hostile)
+                    # store's metadata.json: strip quotes, backslashes
+                    # and control chars so it cannot corrupt the header
+                    # (response-header injection).
+                    raw = server.metadata.name or "cloud"
+                    safe = "".join(
+                        c for c in raw
+                        if c.isprintable() and c not in '"\\'
+                    ).strip() or "cloud"
                     self.send_header(
                         "Content-Disposition",
-                        f'attachment; filename="{name}"',
+                        f'attachment; filename="{safe}.{fmt}"',
                     )
                     self.send_header("Access-Control-Allow-Origin", "*")
                     self.end_headers()
@@ -673,6 +687,7 @@ def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480,
         mesh_devices=mesh_devices,
     )
     httpd = ThreadingHTTPServer((host, port), make_handler(registry))
+    httpd.registry = registry  # exposed for tests/ops introspection
     return httpd
 
 

@@ -169,6 +169,10 @@ class WindowLoop:
         self.frames = 0
         self._last = None  # previous frame timestamp for real dt
         self.converter = None  # in-app converter, created on first use
+        # trailing timestamped key_up held back one poll: its matching
+        # X11 auto-repeat key_down may arrive at the head of the NEXT
+        # batch (repeat pair split across two polls)
+        self._pending_key_up: WindowEvent | None = None
 
     # --- dialogs + in-app converter ------------------------------------------
 
@@ -320,7 +324,24 @@ class WindowLoop:
 
     def step(self) -> bool:
         """One frame; returns False when the loop should stop."""
-        for ev in filter_auto_repeat(list(self.backend.poll_events())):
+        events = list(self.backend.poll_events())
+        carried = self._pending_key_up
+        if carried is not None:
+            # re-enter last batch's held-back key_up so a repeat pair
+            # split across two polls still cancels out
+            events.insert(0, carried)
+            self._pending_key_up = None
+        events = filter_auto_repeat(events)
+        if (events and events[-1].kind == "key_up"
+                and events[-1] is not carried  # held at most one poll
+                and events[-1].key is not None
+                and events[-1].time_ms is not None):
+            # hold a trailing timestamped key_up one poll (~1 frame):
+            # if it was half of a split repeat pair the matching
+            # key_down leads the next batch; a genuine release just
+            # lands one frame later
+            self._pending_key_up = events.pop()
+        for ev in events:
             self.apply_event(ev)
         if not self.running or not self.backend.alive:
             return False

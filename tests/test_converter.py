@@ -276,6 +276,74 @@ class TestConvertFromPaths:
             sorted_rows(store_points(out2, m2)), sorted_rows(batch)
         )
 
+    def test_failed_add_is_not_retried(self, tmp_path):
+        """A batch whose add_points_batch raised mid-add must NOT be
+        re-added by the per-file failure handler: converters mutate
+        metadata (point count, bbox) before the cascade, so a retry
+        double-counts the batch and desyncs the store from
+        metadata.json (advisor r3, converter.py flush sites)."""
+        src = tmp_path / "pts.ply"
+        write_ply(src, random_batch(50))
+        added = []
+
+        class Exploding:
+            def __init__(self, metadata, output, cache_size=0):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+            def prefetch(self, batch):
+                pass
+
+            def add_points_batch(self, batch):
+                added.append(batch)
+                if len(added) == 2:
+                    raise RuntimeError("mid-add device failure")
+
+        convert_from_paths(
+            [src], tmp_path / "out", batch_size=10,
+            converter_factory=Exploding,
+        )
+        # exactly the two attempted batches, each attempted once — the
+        # failing batch never re-entered through the except-path flush
+        assert len(added) == 2
+        assert added[0] is not added[1]
+
+    def test_eof_flush_failure_not_retried(self, tmp_path):
+        """Same no-retry contract for the eof-flush site."""
+        src = tmp_path / "pts.ply"
+        write_ply(src, random_batch(30))
+        added = []
+
+        class ExplodeLast:
+            def __init__(self, metadata, output, cache_size=0):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+            def prefetch(self, batch):
+                pass
+
+            def add_points_batch(self, batch):
+                added.append(batch)
+                if len(added) == 3:  # 30 pts / batch 10: the eof flush
+                    raise RuntimeError("mid-add failure at eof flush")
+
+        convert_from_paths(
+            [src], tmp_path / "out", batch_size=10,
+            converter_factory=ExplodeLast,
+        )
+        assert len(added) == 3
+        assert len({id(b) for b in added}) == 3
+
     def test_metadata_json_is_pretty_and_parses(self, tmp_path):
         src = tmp_path / "c.ply"
         write_ply(src, random_batch(100))

@@ -23,6 +23,9 @@ def store(tmp_path_factory):
     return tmp
 
 
+_HTTPD = {}
+
+
 @pytest.fixture(scope="module")
 def server(store):
     from point_cloud_tpu.serve import serve
@@ -30,8 +33,16 @@ def server(store):
     httpd = serve(store, host="127.0.0.1", port=0, width=96, height=64)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
+    _HTTPD["main"] = httpd
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
     httpd.shutdown()
+
+
+@pytest.fixture()
+def store_server(server):
+    """The default StoreServer behind the module HTTP server."""
+    httpd = _HTTPD["main"]
+    return httpd.registry.get(httpd.registry.default)
 
 
 def get(url):
@@ -561,3 +572,47 @@ class TestExportEndpoint:
         status, body = get(f"{server}/")
         page = body.decode()
         assert "export_btn" in page and "export?format=" in page
+
+    def test_hostile_store_name_cannot_inject_headers(
+        self, server, store_server
+    ):
+        """metadata.name comes from the (possibly hostile) store's
+        metadata.json; quotes/CRLF must not corrupt Content-Disposition
+        (response-header injection, advisor r3)."""
+        prev = store_server.metadata.name
+        store_server.metadata.name = 'ev"il\r\nSet-Cookie: pwned=1\x7f'
+        try:
+            with urllib.request.urlopen(
+                f"{server}/export?format=ply", timeout=180
+            ) as resp:
+                cd = resp.headers["Content-Disposition"]
+                assert resp.headers.get("Set-Cookie") is None
+                assert "\r" not in cd and "\n" not in cd
+                # the injection attempt is neutralized into a plain
+                # in-quotes filename (quotes/CR/LF/control chars gone)
+                assert cd == (
+                    'attachment; filename="evilSet-Cookie: pwned=1.ply"'
+                )
+        finally:
+            store_server.metadata.name = prev
+
+
+class TestRenderOverrideHygiene:
+    def test_voronoi_override_restored_on_early_exception(
+        self, store_server
+    ):
+        """A per-request ?voronoi override must be restored even when the
+        handler fails before v.render() (advisor r3: the old try/finally
+        started too late and leaked the override into settings)."""
+        v = store_server.viewer
+        prev = v.settings.voronoi
+        orig = store_server._drain_streaming
+        store_server._drain_streaming = lambda: (_ for _ in ()).throw(
+            RuntimeError("streaming blew up")
+        )
+        try:
+            with pytest.raises(RuntimeError):
+                store_server.render_png(voronoi=not prev)
+            assert v.settings.voronoi == prev
+        finally:
+            store_server._drain_streaming = orig

@@ -288,6 +288,7 @@ def test_x11_auto_repeat_does_not_flicker_toggle(viewer):
          WindowEvent("key_up", key="p", time_ms=530),
          WindowEvent("key_down", key="p", time_ms=530)],
         [WindowEvent("key_up", key="p", time_ms=900)],
+        [],
         [WindowEvent("key_down", key="p", time_ms=1500)],
     ])
     loop = WindowLoop(viewer, backend)
@@ -296,10 +297,34 @@ def test_x11_auto_repeat_does_not_flicker_toggle(viewer):
     loop.step()  # the held-key repeat batch
     assert not viewer.stream_enabled  # no flicker
     assert "p" in loop.input.pressed_keys  # still held
-    loop.step()  # real release
+    loop.step()  # real release: held back one poll (split-pair guard)
+    assert "p" in loop.input.pressed_keys
+    loop.step()  # deferred release lands on the next (empty) poll
     assert "p" not in loop.input.pressed_keys
-    loop.step()  # real second press
+    loop.step()  # a fresh press toggles again
     assert viewer.stream_enabled
+
+
+def test_x11_auto_repeat_pair_split_across_polls(viewer):
+    """A repeat pair whose key_up lands at one batch's tail and whose
+    matching key_down leads the next batch must still cancel out — the
+    loop carries the unmatched trailing key_up across polls."""
+    backend = FakeBackend([
+        [WindowEvent("key_down", key="p", time_ms=100)],
+        [WindowEvent("key_up", key="p", time_ms=500)],
+        [WindowEvent("key_down", key="p", time_ms=500)],
+        [],
+    ])
+    loop = WindowLoop(viewer, backend)
+    loop.step()
+    assert not viewer.stream_enabled  # press edge toggled once
+    loop.step()  # tail key_up — held back, key stays pressed
+    assert "p" in loop.input.pressed_keys
+    loop.step()  # matching key_down at the next batch head: pair drops
+    assert not viewer.stream_enabled  # no re-toggle
+    assert "p" in loop.input.pressed_keys  # movement never stuttered
+    loop.step()
+    assert "p" in loop.input.pressed_keys
 
 
 class DialogBackend(FakeBackend):
