@@ -21,6 +21,46 @@ def random_batch(n, seed):
     return PointBatch(pos, col)
 
 
+def region_batch(n, seed, lo, hi):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    col = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    col[:, 3] = 255
+    return PointBatch(pos, col)
+
+
+def build_store(tmp, name, batch):
+    from point_cloud_tpu.convert.converter import Converter
+
+    out = tmp / name
+    with Converter(Metadata(), out) as conv:
+        conv.add_points_batch(batch)
+    return out
+
+
+def cell_files(store):
+    return sorted(store.rglob("c_*.bin"))
+
+
+def point_multiset_rows(store):
+    metadata = Metadata.from_path(store / "metadata.json")
+    recs = []
+    for h in range(metadata.hierarchies):
+        hdir = store / f"h_{h}"
+        if not hdir.exists():
+            continue
+        for p in sorted(hdir.iterdir()):
+            pts = Cell.from_path(p).all_points()
+            if len(pts):
+                recs.append(np.concatenate(
+                    [pts.positions.view(np.uint8).reshape(len(pts), 12),
+                     pts.colors], axis=1
+                ))
+    allr = np.concatenate(recs)
+    order = np.lexsort(tuple(allr[:, i] for i in range(15, -1, -1)))
+    return allr[order]
+
+
 def store_point_count(store):
     metadata = Metadata.from_path(store / "metadata.json")
     total = 0
@@ -144,3 +184,109 @@ class TestMultiHost:
         np.testing.assert_array_equal(
             ma.bounding_box.max, mb.bounding_box.max
         )
+
+
+class TestCellLevelMerge:
+    """The cone-disjoint fast path (VERDICT r3 #5): cells in cones touched
+    by one input copy verbatim; only overlapping cones re-dedup."""
+
+    def test_disjoint_stores_copy_verbatim(self, tmp_path):
+        a = region_batch(3_000, 90, 0, 400)
+        b = region_batch(3_000, 91, 2_000, 2_400)
+        sa = build_store(tmp_path, "sa", a)
+        sb = build_store(tmp_path, "sb", b)
+        dest = tmp_path / "merged"
+        merge_stores([sa, sb], dest)
+
+        # every cell file is a verbatim copy of its source twin
+        src_bytes = {
+            p.relative_to(s): p.read_bytes()
+            for s in (sa, sb) for p in cell_files(s)
+        }
+        dst = {p.relative_to(dest): p.read_bytes() for p in cell_files(dest)}
+        assert dst == src_bytes
+
+        metadata = Metadata.from_path(dest / "metadata.json")
+        assert metadata.number_of_points == 6_000
+        all_pos = np.concatenate([a.positions, b.positions])
+        np.testing.assert_array_equal(
+            metadata.bounding_box.min, all_pos.min(axis=0))
+        np.testing.assert_array_equal(
+            metadata.bounding_box.max, all_pos.max(axis=0))
+
+        from point_cloud_tpu.validate import validate_store
+        report = validate_store(dest)
+        assert report.ok, report.issues
+
+    def test_partial_overlap_multiset_and_fsck(self, tmp_path):
+        # dense: force multi-hierarchy cascades inside the overlap
+        a = region_batch(6_000, 92, 0, 90)       # cones around origin
+        b = region_batch(6_000, 93, 60, 1_060)   # overlaps a, extends out
+        sa = build_store(tmp_path, "sa", a)
+        sb = build_store(tmp_path, "sb", b)
+        dest = tmp_path / "merged"
+        merge_stores([sa, sb], dest)
+
+        metadata = Metadata.from_path(dest / "metadata.json")
+        assert metadata.number_of_points == 12_000
+
+        # exact union multiset
+        inputs = np.concatenate([
+            np.concatenate(
+                [x.positions.view(np.uint8).reshape(len(x), 12),
+                 x.colors], axis=1)
+            for x in (a, b)
+        ])
+        order = np.lexsort(tuple(inputs[:, i] for i in range(15, -1, -1)))
+        np.testing.assert_array_equal(
+            point_multiset_rows(dest), inputs[order])
+
+        # cells of sb-only cones copied verbatim
+        from point_cloud_tpu.parallel.multihost import _cone_of, _scan_store
+        _, cells_a = _scan_store(sa)
+        _, cells_b = _scan_store(sb)
+        cones_a = {_cone_of(h, i) for h, i, _ in cells_a}
+        solo = [(h, i, p) for h, i, p in cells_b
+                if _cone_of(h, i) not in cones_a]
+        assert solo, "fixture regression: no disjoint cone in sb"
+        for h, i, p in solo:
+            twin = dest / p.relative_to(sb)
+            assert twin.read_bytes() == p.read_bytes()
+
+        from point_cloud_tpu.validate import validate_store
+        report = validate_store(dest)
+        assert report.ok, report.issues
+
+    def test_merge_into_existing_dest_keeps_base_cells(self, tmp_path):
+        a = region_batch(2_000, 94, 0, 300)
+        b = region_batch(2_000, 95, 5_000, 5_300)
+        dest = build_store(tmp_path, "dest", a)
+        before = {p.relative_to(dest): p.read_bytes()
+                  for p in cell_files(dest)}
+        sb = build_store(tmp_path, "sb", b)
+        merge_stores([sb], dest)
+
+        after = {p.relative_to(dest): p.read_bytes()
+                 for p in cell_files(dest)}
+        for rel, data in before.items():  # base cells untouched
+            assert after[rel] == data
+        metadata = Metadata.from_path(dest / "metadata.json")
+        assert metadata.number_of_points == 4_000
+
+        from point_cloud_tpu.validate import validate_store
+        report = validate_store(dest)
+        assert report.ok, report.issues
+
+    def test_config_mismatch_rejected(self, tmp_path):
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.core.metadata import MetadataConfig
+
+        sa = build_store(tmp_path, "sa", region_batch(500, 96, 0, 100))
+        out = tmp_path / "sb"
+        meta = Metadata()
+        meta.config = MetadataConfig(max_cell_size=500.0)
+        with Converter(meta, out) as conv:
+            conv.add_points_batch(region_batch(500, 97, 0, 100))
+        import pytest
+        with pytest.raises(ValueError, match="different configs"):
+            merge_stores([sa, out], tmp_path / "merged")
