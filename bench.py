@@ -531,12 +531,17 @@ def bench_render_fps_fused(positions, colors) -> float:
 # short (flapping tunnel burning per-extra timeouts), the metrics that
 # matter most for round-over-round tracking are measured first
 _EXTRAS = {
+    # fast kernels first (~1-2 min each incl. tunnel setup): a slow or
+    # wedged fps orbit must not starve them of the global budget
+    # (observed: fps ran 2nd, burned 750 s, five extras recorded
+    # nothing)
     "device_dedup_sort_mpts": (bench_device_sort, False),
-    "render_fps_640x480": (bench_render_fps, True),
-    "mesh_dedup_mpts": (bench_mesh_dedup, False),
-    "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
     "render_cull_lod_mpts": (bench_render_kernel, False),
     "render_cull_steady_mpts": (bench_render_kernel_steady, False),
+    "mesh_dedup_mpts": (bench_mesh_dedup, False),
+    # the long ones: end-to-end fps orbit, tunnel pipeline, fused A/B
+    "render_fps_640x480": (bench_render_fps, True),
+    "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
     "render_fps_fused_640x480": (bench_render_fps_fused, True),
 }
 

@@ -23,6 +23,8 @@ import argparse
 import io
 import json
 import logging
+import os
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -32,6 +34,15 @@ import numpy as np
 
 
 CONVERTIBLE_SUFFIXES = {".las", ".laz", ".ply"}  # + metadata.json (own)
+
+# raw-body /upload size cap (browser bring-your-own-cloud path)
+UPLOAD_LIMIT_BYTES = int(
+    os.environ.get("PCT_UPLOAD_LIMIT_BYTES", str(1 << 28))  # 256 MiB
+)
+
+
+class UploadTooLarge(ValueError):
+    """Upload exceeds UPLOAD_LIMIT_BYTES (HTTP 413)."""
 
 
 class StoreServer:
@@ -331,6 +342,60 @@ class StoreServer:
             ],
         }
 
+    def save_upload(self, filename: str, stream, length: int) -> dict:
+        """Receive one raw-body point-cloud upload into
+        ``convert_root/uploads/`` and return its convert-root-relative
+        path, ready for a ``/convert action=choose`` — the
+        bring-your-own-cloud path the reference serves with the browser
+        File System Access API (src/web.rs:5-53, metadata.rs:444-491);
+        a pure-server viewer restores it as upload -> convert -> view."""
+        if self.convert_root is None:
+            raise PermissionError(
+                "server started without --convert-root; uploads are "
+                "disabled"
+            )
+        # path hygiene: basename only, conservative charset, known
+        # point-cloud suffix — a hostile filename cannot traverse or
+        # smuggle metacharacters into the store
+        name = Path(str(filename)).name
+        name = re.sub(r"[^A-Za-z0-9._-]", "_", name).lstrip(".")
+        suffix = Path(name).suffix.lower()
+        if not name or suffix not in CONVERTIBLE_SUFFIXES:
+            raise ValueError(
+                f"filename must end in one of {sorted(CONVERTIBLE_SUFFIXES)}"
+            )
+        if length < 0:
+            raise ValueError("Content-Length required")
+        if length > UPLOAD_LIMIT_BYTES:
+            raise UploadTooLarge(
+                f"upload of {length} bytes exceeds the "
+                f"{UPLOAD_LIMIT_BYTES} byte limit"
+            )
+        updir = self._resolve_under_root("uploads")
+        updir.mkdir(parents=True, exist_ok=True)
+        target = updir / name
+        n = 1
+        while target.exists():  # never clobber an earlier upload
+            target = updir / f"{Path(name).stem}_{n}{suffix}"
+            n += 1
+        remaining = length
+        try:
+            with open(target, "wb") as f:
+                while remaining > 0:
+                    chunk = stream.read(min(1 << 20, remaining))
+                    if not chunk:
+                        raise ValueError(
+                            "connection closed before the declared "
+                            "Content-Length arrived"
+                        )
+                    f.write(chunk)
+                    remaining -= len(chunk)
+        except Exception:
+            target.unlink(missing_ok=True)
+            raise
+        rel = str(target.relative_to(self.convert_root.resolve()))
+        return {"path": rel, "bytes": length}
+
     def export_file(self, fmt: str, point_format: int = 2,
                     scale: float = 0.001):
         """Export this store to a temp file (LAS/LAZ/PLY); returns its
@@ -448,6 +513,28 @@ def make_handler(registry: StoreRegistry):
             if server is None:
                 self._send(404, f"no store {store_name!r}".encode(),
                            "text/plain")
+                return
+            if path == "upload":
+                # raw binary body (no multipart): the browser client
+                # POSTs the File object directly, curl uses
+                # --data-binary; filename travels in the query string
+                qs = parse_qs(url.query)
+                filename = (qs.get("filename") or [""])[0]
+                try:
+                    length = int(self.headers.get("Content-Length", "-1"))
+                    body = server.save_upload(filename, self.rfile, length)
+                except PermissionError as err:
+                    self._send(403, str(err).encode(), "text/plain")
+                    return
+                except UploadTooLarge as err:
+                    self._send(413, str(err).encode(), "text/plain")
+                    return
+                except (ValueError, OSError) as err:
+                    self._send(400, str(err).encode(), "text/plain")
+                    return
+                self._send(
+                    200, json.dumps(body).encode(), "application/json"
+                )
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))

@@ -118,6 +118,8 @@ class TestBrowserClient:
         assert "pointerdown" in text       # mouse orbit wiring
         assert "wheel" in text             # zoom wiring
         assert "/stats" in text            # stats panel data source
+        assert "conv_upload" in text       # bring-your-own-cloud upload
+        assert "/upload?filename=" in text
 
     def test_stats_endpoint(self, server):
         import json
@@ -393,35 +395,34 @@ class TestSettingsEndpoint:
         assert err.value.code == 403
 
 
+@pytest.fixture()
+def conv_server(store, tmp_path):
+    from point_cloud_tpu.io.ply import write_ply
+
+    root = tmp_path / "inputs"
+    root.mkdir()
+    rng = np.random.default_rng(44)
+    batch = PointBatch(
+        rng.uniform(-30, 30, (9_000, 3)).astype(np.float32),
+        rng.integers(0, 256, (9_000, 4)).astype(np.uint8),
+    )
+    write_ply(root / "cloud.ply", batch)
+    (root / "out").mkdir()
+
+    from point_cloud_tpu.serve import serve
+
+    httpd = serve(store, host="127.0.0.1", port=0, width=64,
+                  height=48, convert_root=root)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", root, batch
+    httpd.shutdown()
+
+
 class TestConvertEndpoint:
     """The in-app converter driven over HTTP (converter.rs:723-848):
     choose files / save at / start / per-file progress, and the
     resulting store must be byte-correct."""
-
-    @pytest.fixture()
-    def conv_server(self, store, tmp_path):
-        import shutil
-
-        from point_cloud_tpu.io.ply import write_ply
-
-        root = tmp_path / "inputs"
-        root.mkdir()
-        rng = np.random.default_rng(44)
-        batch = PointBatch(
-            rng.uniform(-30, 30, (9_000, 3)).astype(np.float32),
-            rng.integers(0, 256, (9_000, 4)).astype(np.uint8),
-        )
-        write_ply(root / "cloud.ply", batch)
-        (root / "out").mkdir()
-
-        from point_cloud_tpu.serve import serve
-
-        httpd = serve(store, host="127.0.0.1", port=0, width=64,
-                      height=48, convert_root=root)
-        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
-        thread.start()
-        yield f"http://127.0.0.1:{httpd.server_address[1]}", root, batch
-        httpd.shutdown()
 
     def test_http_conversion_byte_correct(self, conv_server, tmp_path):
         import time
@@ -616,3 +617,109 @@ class TestRenderOverrideHygiene:
             assert v.settings.voronoi == prev
         finally:
             store_server._drain_streaming = orig
+
+
+class TestUploadEndpoint:
+    """Bring-your-own-cloud (reference: src/web.rs:5-53 client-side dir
+    access; here: raw-body POST /upload -> /convert -> rendered frame),
+    with size limits and path hygiene."""
+
+    def _post_raw(self, url, data, timeout=120):
+        import urllib.request
+
+        req = urllib.request.Request(url, data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read()
+
+    def test_upload_convert_render(self, conv_server, tmp_path):
+        import time
+
+        from point_cloud_tpu.io.las import write_las
+
+        url, root, _ = conv_server
+        rng = np.random.default_rng(55)
+        batch = PointBatch(
+            rng.uniform(-20, 20, (4_000, 3)).astype(np.float32),
+            rng.integers(0, 256, (4_000, 4)).astype(np.uint8),
+        )
+        src = tmp_path / "mine.las"
+        write_las(src, batch)
+
+        status, body = self._post_raw(
+            f"{url}/upload?filename=mine.las", src.read_bytes()
+        )
+        assert status == 200
+        import json as _json
+
+        rel = _json.loads(body)["path"]
+        assert rel == "uploads/mine.las"
+        assert (root / rel).read_bytes() == src.read_bytes()
+
+        # same name again: never clobbered, uniquified
+        status, body = self._post_raw(
+            f"{url}/upload?filename=mine.las", src.read_bytes()
+        )
+        assert _json.loads(body)["path"] == "uploads/mine_1.las"
+
+        # convert the uploaded file into a fresh store
+        post_json(f"{url}/convert", {"action": "new_cloud"})
+        post_json(f"{url}/convert", {"action": "choose", "files": [rel]})
+        status, st = post_json(f"{url}/convert", {"action": "start"})
+        assert status == 200
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            status, st = get_json(f"{url}/convert")
+            if st["state"] == "finished":
+                break
+            time.sleep(0.3)
+        assert st["state"] == "finished", st
+        assert st["number_of_points"] == 4_000
+
+        # the converted cloud renders (cells published live)
+        status, png = get(f"{url}/render?yaw=0.3&pitch=-0.4")
+        assert status == 200
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_upload_path_hygiene(self, conv_server):
+        import urllib.error
+
+        url, root, _ = conv_server
+        # traversal collapses to a basename inside uploads/
+        status, body = self._post_raw(
+            f"{url}/upload?filename=..%2F..%2Fevil.ply", b"x" * 16
+        )
+        assert status == 200
+        import json as _json
+
+        rel = _json.loads(body)["path"]
+        assert rel.startswith("uploads/") and ".." not in rel
+        assert (root / rel).exists()
+        # unknown suffixes rejected
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(f"{url}/upload?filename=a.exe", b"x")
+        assert err.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(f"{url}/upload?filename=", b"x")
+        assert err.value.code == 400
+
+    def test_upload_size_limit(self, conv_server, monkeypatch):
+        import urllib.error
+
+        from point_cloud_tpu import serve as serve_mod
+
+        url, _, _ = conv_server
+        monkeypatch.setattr(serve_mod, "UPLOAD_LIMIT_BYTES", 64)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(f"{url}/upload?filename=big.ply", b"x" * 65)
+        assert err.value.code == 413
+        status, _ = self._post_raw(
+            f"{url}/upload?filename=ok.ply", b"x" * 64
+        )
+        assert status == 200
+
+    def test_upload_disabled_without_convert_root(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(f"{server}/upload?filename=a.ply", b"x")
+        assert err.value.code == 403
