@@ -52,12 +52,17 @@ def _lex_less(row_a, row_b):
 #
 # The WGSL walks a sorted buffer with a per-thread binary search
 # (compute.wgsl:127-155) — ~13 dependent gather rounds on TPU. The
-# TPU-native structure is an open-addressing hash table: the host builds
-# it once per loaded-set change, the kernel probes with MAX_PROBE
-# independent gathers (exact: every probe compares the full key row).
+# TPU-native structure is a BUCKETIZED hash table: the host packs up to
+# BUCKET_ROWS candidate rows into one contiguous 16-lane bucket, so a
+# membership test is ONE row gather + BUCKET_ROWS in-register compares
+# (exact: every candidate compares the full key row). Round 2 used
+# linear probing with 4 separate gathers; the gather count — not the
+# compare count — is the cost on this chip (PERF.md primitive table), so
+# one 16-lane gather beats four 4-lane gathers ~4x.
 
 HASH_EMPTY = np.int32(np.iinfo(np.int32).min)  # sentinel row value
-MAX_PROBE = 4  # bounded by construction (builder grows until it fits)
+BUCKET_ROWS = 4  # rows per aligned bucket: one gather probes all four
+MAX_PROBE = BUCKET_ROWS  # kept name: bound on candidates per membership
 
 _HC1 = np.uint32(0x9E3779B1)
 _HC2 = np.uint32(0x85EBCA77)
@@ -86,50 +91,49 @@ def _hash_rows_jnp(rows):
 
 
 def build_loaded_cells_hash(table: np.ndarray) -> np.ndarray:
-    """Open-addressing table of (h, x, y, z) rows -> (M2, 4) i32 array.
+    """Bucketized table of (h, x, y, z) rows -> (NB, BUCKET_ROWS*4) i32.
 
-    M2 is a power of two >= 2*M; linear probing with displacement bounded
-    by MAX_PROBE (the table grows until every key fits). Empty slots hold
-    HASH_EMPTY rows, which can never equal a real probe target (targets
-    carry h >= 1).
+    NB is a power of two with NB*BUCKET_ROWS >= 2*M; each key lands in
+    bucket ``hash & (NB-1)``; a bucket that would exceed BUCKET_ROWS rows
+    grows the whole table (so lookups never probe a second bucket).
+    Empty lanes hold HASH_EMPTY rows, which can never equal a real probe
+    target (targets carry h >= 1). Duplicate input rows are deduplicated
+    so they cannot artificially overflow a bucket.
     """
     rows = np.asarray(table, np.int32).reshape(-1, 4)
-    m2 = 256
-    while m2 < 2 * max(len(rows), 1):
-        m2 *= 2
+    if len(rows):
+        rows = np.unique(rows, axis=0)
+    nb = 64
+    while nb * BUCKET_ROWS < 2 * max(len(rows), 1):
+        nb *= 2
     while True:
-        slots = np.full((m2, 4), HASH_EMPTY, np.int32)
-        used = np.zeros(m2, bool)
+        slots = np.full((nb, BUCKET_ROWS * 4), HASH_EMPTY, np.int32)
+        fill = np.zeros(nb, np.int32)
         ok = True
-        base = (_hash_rows_np(rows) & np.uint32(m2 - 1)).astype(np.int64)
-        for row, b in zip(rows, base):
-            placed = False
-            for step in range(MAX_PROBE):
-                j = (b + step) & (m2 - 1)
-                if not used[j]:
-                    slots[j] = row
-                    used[j] = True
-                    placed = True
-                    break
-            if not placed:
+        bucket = (_hash_rows_np(rows) & np.uint32(nb - 1)).astype(np.int64)
+        for row, b in zip(rows, bucket):
+            k = fill[b]
+            if k >= BUCKET_ROWS:
                 ok = False
                 break
+            slots[b, 4 * k : 4 * k + 4] = row
+            fill[b] = k + 1
         if ok:
             return slots
-        m2 *= 2
+        nb *= 2
 
 
 def hash_member(hash_table, targets):
-    """Exact membership of (N, 4) i32 target rows in a hash table built by
-    :func:`build_loaded_cells_hash` (MAX_PROBE independent gathers)."""
-    m2 = hash_table.shape[0]
-    base = _hash_rows_jnp(targets) & jnp.uint32(m2 - 1)
-    base = base.astype(jnp.int32)
-    found = jnp.zeros(targets.shape[0], bool)
-    for step in range(MAX_PROBE):
-        rows = hash_table[(base + step) & (m2 - 1)]
-        found = found | jnp.all(rows == targets, axis=-1)
-    return found
+    """Exact membership of (N, 4) i32 target rows in a table built by
+    :func:`build_loaded_cells_hash`: ONE 16-lane bucket gather per
+    target, then BUCKET_ROWS full-row compares in registers."""
+    nb = hash_table.shape[0]
+    bucket = _hash_rows_jnp(targets) & jnp.uint32(nb - 1)
+    lanes = hash_table[bucket.astype(jnp.int32)]  # (N, BUCKET_ROWS*4)
+    cand = lanes.reshape(-1, BUCKET_ROWS, 4)
+    return jnp.any(
+        jnp.all(cand == targets[:, None, :], axis=-1), axis=-1
+    )
 
 
 def loaded_cells_member(table, targets):
