@@ -385,6 +385,114 @@ def emit_fragments(
     )
 
 
+_PART_CHUNK = 1024  # lanes per independent partition chunk (pow2)
+
+
+def _partition_chunks(key, *cols, chunk: int = _PART_CHUNK):
+    """Sort each ``chunk``-lane slice of the columns ascending by ``key``
+    (unique within its chunk), independently per chunk.
+
+    A bitonic network expressed as XLA reshape compare-exchanges —
+    contiguous and fusable, the same formulation the Pallas sort uses
+    for its cross-tile substages (ops/sort_pallas.py). All exchange
+    distances stay inside one chunk, so direction bits come from the
+    LOCAL index: bit (stage+1) of i % chunk (zero at the final stage —
+    every chunk sorts ascending)."""
+    n = key.shape[0]
+    assert n % chunk == 0
+    log_c = chunk.bit_length() - 1
+    all_cols = (key,) + cols
+    for stage in range(log_c):
+        for sub in range(stage, -1, -1):
+            d = 1 << sub
+            shaped = [c.reshape(n // (2 * d), 2, d) for c in all_cols]
+            lo = [s[:, 0, :] for s in shaped]
+            hi = [s[:, 1, :] for s in shaped]
+            gt = lo[0] > hi[0]
+            r = jax.lax.broadcasted_iota(
+                jnp.int32, (n // (2 * d), 1), 0
+            )
+            r_local = r % jnp.int32(chunk // (2 * d))
+            up = ((r_local >> (stage - sub)) & 1) == 0
+            swap = gt == up  # unique keys: no ties to break
+            out = []
+            for l, h in zip(lo, hi):
+                new_lo = jnp.where(swap, h, l)
+                new_hi = jnp.where(swap, l, h)
+                out.append(
+                    jnp.stack([new_lo, new_hi], axis=1).reshape(n)
+                )
+            all_cols = tuple(out)
+    return all_cols
+
+
+def compact_winner_rows(pix, depth_bits, ids, win, n_pix: int):
+    """Compact the ``win`` rows of a pixel-sorted fragment list to the
+    front (order preserved), padded per 128-lane block; loser/pad rows
+    carry pix == _NO_ID.
+
+    Scatter cost on this chip is per row PROCESSED (~7.5 ns), not per
+    row landed (PERF.md "Sorted raster: measured negative result"), so
+    the framebuffer merge must not see the full fragment width. Three
+    steps, none a full-width scatter:
+
+    1. per-chunk stable partition (``_partition_chunks``): key =
+       rank-among-winners for winners (exclusive cumsum), chunk+lane
+       for losers — winners land at the chunk front in original order,
+    2. per-chunk block counts -> aligned block offsets (tiny cumsum),
+    3. squeeze: one 128-lane-row gather moves each chunk's winner
+       blocks to their packed position (block b of the output maps to
+       exactly one source block because offsets are 128-aligned).
+
+    Output length: static bound min(n, blocks(n_pix) + one pad block
+    per chunk) * 128 — at 2^21 fragments on a 640x480 frame that is
+    ~3.6x fewer scatter rows; denser frames squeeze harder. Returns
+    (pix, depth_bits, ids) compacted."""
+    n = pix.shape[0]
+    chunk = _PART_CHUNK
+    n_chunks = n // chunk
+    npix_blocks = (n_pix + 127) // 128
+    nb_out = min(n // 128, npix_blocks + n_chunks)
+    if n % chunk or nb_out * 128 >= n:
+        # tiny or incompressible bucket: the merge would process the
+        # same rows either way — skip the partition entirely
+        return jnp.where(win, pix, _NO_ID), depth_bits, ids
+
+    winc = win.reshape(n_chunks, chunk).astype(jnp.int32)
+    rank = jnp.cumsum(winc, axis=1) - winc
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
+    key = jnp.where(winc > 0, rank, chunk + lane).reshape(n)
+    pix_m = jnp.where(win, pix, _NO_ID)
+    _, pix_p, db_p, ids_p = _partition_chunks(
+        key, pix_m, depth_bits, ids, chunk=chunk
+    )
+
+    counts = jnp.sum(winc, axis=1)
+    blocks_c = (counts + 127) // 128
+    ends = jnp.cumsum(blocks_c)
+    boff = ends - blocks_c
+    total_blocks = ends[-1]
+    b = jnp.arange(nb_out, dtype=jnp.int32)
+    c = (
+        jnp.searchsorted(boff, b, side="right").astype(jnp.int32) - 1
+    )
+    c = jnp.clip(c, 0, n_chunks - 1)
+    src = c * (chunk // 128) + (b - boff[c])
+    src = jnp.where(b < total_blocks, src, jnp.int32(n // 128))
+
+    def squeeze(col, fill):
+        rows = jnp.concatenate(
+            [col.reshape(-1, 128), jnp.full((1, 128), fill, col.dtype)]
+        )
+        return rows[src].reshape(-1)
+
+    return (
+        squeeze(pix_p, _NO_ID),
+        squeeze(db_p, jnp.int32(0)),
+        squeeze(ids_p, jnp.int32(0)),
+    )
+
+
 @jax.jit
 def sorted_raster_merge(framebuffer: Framebuffer, pix, depth, ids):
     """One depth-tested merge of a fragment list into the framebuffer via
@@ -420,20 +528,29 @@ def sorted_raster_merge(framebuffer: Framebuffer, pix, depth, ids):
     valid_s = pix_s != _NO_ID
     first = (pix_s != jnp.roll(pix_s, 1)).at[0].set(True)
     win = first & valid_s
-    depth_s = jax.lax.bitcast_convert_type(depth_bits_s, jnp.float32)
 
-    target = jnp.where(win, pix_s, jnp.int32(n_pix))
+    # winners (<= 1 per covered pixel) compact before the framebuffer
+    # merge: the scatters then process the packed winner blocks instead
+    # of every fragment (compact_winner_rows; this is what round 3's
+    # sorted formulation was missing — its scatters stayed full-width)
+    pix_c, db_c, ids_c = compact_winner_rows(
+        pix_s, depth_bits_s, ids_s, win, n_pix
+    )
+    valid_c = pix_c != _NO_ID
+    depth_c = jax.lax.bitcast_convert_type(db_c, jnp.float32)
+
+    target = jnp.where(valid_c, pix_c, jnp.int32(n_pix))
     old_depth = framebuffer.depth
-    new_depth = old_depth.at[target].min(depth_s, mode="drop")
+    new_depth = old_depth.at[target].min(depth_c, mode="drop")
 
     improved = new_depth < old_depth
     ids0 = jnp.where(improved, _NO_ID, framebuffer.point_id)
     min_at = banked_gather(
-        new_depth, jnp.clip(pix_s, 0, n_pix - 1)
+        new_depth, jnp.clip(pix_c, 0, n_pix - 1)
     )
-    ok = win & (depth_s == min_at)
-    new_ids = ids0.at[jnp.where(ok, pix_s, jnp.int32(n_pix))].min(
-        ids_s, mode="drop"
+    ok = valid_c & (depth_c == min_at)
+    new_ids = ids0.at[jnp.where(ok, pix_c, jnp.int32(n_pix))].min(
+        ids_c, mode="drop"
     )
     return Framebuffer(depth=new_depth, point_id=new_ids)
 

@@ -1780,3 +1780,91 @@ class TestChunkedRaster:
         np.testing.assert_array_equal(
             np.asarray(fb_c.depth), np.asarray(fb_b.depth)
         )
+
+
+class TestWinnerCompaction:
+    """compact_winner_rows (the round-4 sorted-raster upgrade): winners
+    move to packed 128-aligned blocks, order preserved, losers/pads as
+    _NO_ID — vs a direct NumPy reference."""
+
+    def _reference(self, pix, win, n_out):
+        import numpy as np
+
+        from point_cloud_tpu.render.splat import _PART_CHUNK, _NO_ID
+
+        chunk = _PART_CHUNK
+        out = []
+        for c0 in range(0, len(pix), chunk):
+            sel = [i for i in range(c0, c0 + chunk) if win[i]]
+            out.extend(sel)
+            while len(out) % 128:
+                out.append(None)
+        rows = np.full(n_out, int(_NO_ID), np.int64)
+        for j, i in enumerate(out[:n_out]):
+            if i is not None:
+                rows[j] = pix[i]
+        return rows
+
+    def test_matches_reference_and_preserves_payload(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from point_cloud_tpu.render.splat import (
+            _NO_ID, compact_winner_rows,
+        )
+
+        rng = np.random.default_rng(17)
+        n = 1 << 14
+        n_pix = 96 * 72
+        # sorted-by-pixel fragments with sparse winners (the real shape)
+        pix = np.sort(rng.integers(0, n_pix, n)).astype(np.int32)
+        db = rng.integers(0, 1 << 30, n).astype(np.int32)
+        ids = rng.integers(0, 1 << 20, n).astype(np.int32)
+        win = np.zeros(n, bool)
+        win[np.unique(rng.integers(0, n, 900))] = True
+
+        pc, dc, ic = compact_winner_rows(
+            jnp.asarray(pix), jnp.asarray(db), jnp.asarray(ids),
+            jnp.asarray(win), n_pix,
+        )
+        pc, dc, ic = np.asarray(pc), np.asarray(dc), np.asarray(ic)
+        assert len(pc) < n  # the squeeze actually compressed
+
+        ref = self._reference(pix, win, len(pc))
+        valid = ref != int(_NO_ID)
+        np.testing.assert_array_equal(pc[valid], ref[valid])
+        np.testing.assert_array_equal(pc[~valid], np.int32(_NO_ID))
+
+        # payloads ride along with their pixel rows, in original order
+        order = {}
+        for i in np.nonzero(win)[0]:
+            order.setdefault(int(pix[i]), []).append(i)
+        taken = {p: 0 for p in order}
+        for j in np.nonzero(valid)[0]:
+            p = int(pc[j])
+            i = order[p][taken[p]]
+            taken[p] += 1
+            assert dc[j] == db[i] and ic[j] == ids[i]
+
+    def test_incompressible_passthrough(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from point_cloud_tpu.render.splat import (
+            _NO_ID, compact_winner_rows,
+        )
+
+        n = 1 << 10  # nb_out*128 >= n: passthrough branch
+        pix = np.arange(n, dtype=np.int32)
+        db = pix * 2
+        ids = pix * 3
+        win = (pix % 2 == 0)
+        pc, dc, ic = compact_winner_rows(
+            jnp.asarray(pix), jnp.asarray(db), jnp.asarray(ids),
+            jnp.asarray(win), 640 * 480,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pc), np.where(win, pix, np.int32(_NO_ID))
+        )
+        np.testing.assert_array_equal(np.asarray(dc), db)
+        np.testing.assert_array_equal(np.asarray(ic), ids)
