@@ -392,38 +392,47 @@ def _partition_chunks(key, *cols, chunk: int = _PART_CHUNK):
     """Sort each ``chunk``-lane slice of the columns ascending by ``key``
     (unique within its chunk), independently per chunk.
 
-    A bitonic network expressed as XLA reshape compare-exchanges —
-    contiguous and fusable, the same formulation the Pallas sort uses
-    for its cross-tile substages (ops/sort_pallas.py). All exchange
-    distances stay inside one chunk, so direction bits come from the
-    LOCAL index: bit (stage+1) of i % chunk (zero at the final stage —
-    every chunk sorts ascending)."""
+    The ops/bitonic.py formulation (fori_loop substages, roll-based
+    partners — the loop body traces ONCE, so compile time and live
+    memory stay constant in n; an unrolled reshape network OOM'd HBM at
+    2^21 rows) restricted to in-chunk distances: 55 substages for a
+    1024-lane chunk instead of the full array's 210+. Direction bits
+    come from the LOCAL index (bit ``stage`` of i % chunk — zero at the
+    final stage, so every chunk independently sorts ascending); rolls
+    fetch i ^ d, which stays inside the chunk for every d < chunk."""
     n = key.shape[0]
     assert n % chunk == 0
     log_c = chunk.bit_length() - 1
-    all_cols = (key,) + cols
-    for stage in range(log_c):
-        for sub in range(stage, -1, -1):
-            d = 1 << sub
-            shaped = [c.reshape(n // (2 * d), 2, d) for c in all_cols]
-            lo = [s[:, 0, :] for s in shaped]
-            hi = [s[:, 1, :] for s in shaped]
-            gt = lo[0] > hi[0]
-            r = jax.lax.broadcasted_iota(
-                jnp.int32, (n // (2 * d), 1), 0
-            )
-            r_local = r % jnp.int32(chunk // (2 * d))
-            up = ((r_local >> (stage - sub)) & 1) == 0
-            swap = gt == up  # unique keys: no ties to break
-            out = []
-            for l, h in zip(lo, hi):
-                new_lo = jnp.where(swap, h, l)
-                new_hi = jnp.where(swap, l, h)
-                out.append(
-                    jnp.stack([new_lo, new_hi], axis=1).reshape(n)
-                )
-            all_cols = tuple(out)
-    return all_cols
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    local = idx & jnp.int32(chunk - 1)
+    all_cols = (key,) + tuple(cols)
+
+    def substage(carry, stage, sub):
+        d = jnp.int32(1) << sub
+        is_low = (idx & d) == 0
+
+        def partner(c):
+            return jnp.where(is_low, jnp.roll(c, -d), jnp.roll(c, d))
+
+        k = carry[0]
+        pk = partner(k)
+        block_up = (local & (jnp.int32(1) << stage)) == 0
+        gt = k > pk
+        lt = pk > k  # keys unique within a chunk: no tie handling
+        want_swap = jnp.where(
+            block_up,
+            jnp.where(is_low, gt, lt),
+            jnp.where(is_low, lt, gt),
+        )
+        return tuple(jnp.where(want_swap, partner(c), c) for c in carry)
+
+    def outer(stage, carry):
+        def inner(m, c):
+            return substage(c, stage, stage - 1 - m)
+
+        return jax.lax.fori_loop(0, stage, inner, carry)
+
+    return jax.lax.fori_loop(1, log_c + 1, outer, all_cols)
 
 
 def compact_winner_rows(pix, depth_bits, ids, win, n_pix: int):
