@@ -885,12 +885,9 @@ class Engine {
                         const int32_t* sub_idx, const float* dist,
                         const uint8_t* winner, const int32_t* next_idx,
                         const int32_t* src_in) {
-        out_level_.clear();
         const size_t m = static_cast<size_t>(n);
         prof_.level_rows += n;
         if (h == 0) prof_.input_rows += n;
-        const float cs = cell_size(h);
-        const float next_cs = cs / 2.0f;
         const size_t n_workers = shards_.size();
 
         std::vector<Point> level(m);
@@ -911,8 +908,192 @@ class Engine {
                 skey[i] = pack_slot_key(sub, &key) ? key : INT64_MIN;
             }
         });
+        prof_.t_keys += Profile::now() - t0;
+        return merge_level_core(h, level, cidx, nidx, skey, dist, winner,
+                                src_in);
+    }
+
+    // fused device-merge entry: consumes the device pass's packed output
+    // (perm | winner<<30 | suspect<<29 per sorted row, ops/dedup.py
+    // _dedup_light_body) together with the UNSORTED level inputs, and does
+    // the permutation gather, the hex-key recompute (bit-identical pchex
+    // math — the same kernel hex_keys_native wraps, lockstep-gated at
+    // engine construction), and the exact hash-collision re-dedup
+    // (ops/dedup.py resolve_suspects_host) in one parallel C++ pass.
+    // Replaces convert/native_device.py's NumPy host_rebuild plus three
+    // host perm-gathers; byte parity with that path is enforced by the
+    // store-comparison suites (tests/test_native_engine.py).
+    int64_t merge_level_raw(int32_t h, int64_t n, const float* pos,
+                            const uint8_t* col, const int32_t* src_in,
+                            const int32_t* packed) {
+        const size_t m = static_cast<size_t>(n);
+        prof_.level_rows += n;
+        if (h == 0) prof_.input_rows += n;
+        const float cs = cell_size(h);
+        const float next_cs = cs / 2.0f;
+        const size_t n_workers = shards_.size();
+
+        std::vector<Point> level(m);
+        std::vector<Key3> cidx(m), nidx(m);
+        std::vector<int64_t> skey(m);
+        std::vector<float> sdist(m);
+        std::vector<uint8_t> winner(m);
+        std::vector<int32_t> perm(m);
+        std::vector<uint8_t> suspect(m);
+        std::vector<int32_t> srcv(src_in != nullptr ? m : 0);
+        std::atomic<bool> has_suspect{false};
+        const double t0 = Profile::now();
+        run_parallel(n_workers, m, [&](size_t lo, size_t hi, size_t) {
+            const float sub_size = cs / sub_grid_dim_;
+            const float radius = sub_size / 2.0f;
+            bool any = false;
+            for (size_t i = lo; i < hi; ++i) {
+                const uint32_t pk = static_cast<uint32_t>(packed[i]);
+                const size_t p = pk & ((1u << 29) - 1u);
+                perm[i] = static_cast<int32_t>(p);
+                winner[i] = static_cast<uint8_t>((pk >> 30) & 1u);
+                const uint8_t s = static_cast<uint8_t>((pk >> 29) & 1u);
+                suspect[i] = s;
+                any |= s != 0;
+                std::memcpy(level[i].p, pos + 3 * p, 12);
+                std::memcpy(level[i].rgba, col + 4 * p, 4);
+                if (src_in != nullptr) srcv[i] = src_in[p];
+            }
+            size_t i = lo;
+#ifdef PC_HEX_SIMD
+            alignas(16) float xs[4], ys[4], zs[4];
+            const __m128 vcs = _mm_set1_ps(cs);
+            const __m128 vncs = _mm_set1_ps(next_cs);
+            for (; i + 4 <= hi; i += 4) {
+                for (int j = 0; j < 4; ++j) {
+                    const Point& pt = level[i + j];
+                    xs[j] = pt.p[0];
+                    ys[j] = pt.p[1];
+                    zs[j] = pt.p[2];
+                }
+                const __m128 vx = _mm_load_ps(xs);
+                const __m128 vy = _mm_load_ps(ys);
+                const __m128 vz = _mm_load_ps(zs);
+                alignas(16) int32_t cx[4], cy[4], cz[4];
+                alignas(16) int32_t nx[4], ny[4], nz[4];
+                _mm_store_si128(reinterpret_cast<__m128i*>(cx),
+                                pchex::cell_coord_x4(vx, vcs));
+                _mm_store_si128(reinterpret_cast<__m128i*>(cy),
+                                pchex::cell_coord_x4(vy, vcs));
+                _mm_store_si128(reinterpret_cast<__m128i*>(cz),
+                                pchex::cell_coord_x4(vz, vcs));
+                _mm_store_si128(reinterpret_cast<__m128i*>(nx),
+                                pchex::cell_coord_x4(vx, vncs));
+                _mm_store_si128(reinterpret_cast<__m128i*>(ny),
+                                pchex::cell_coord_x4(vy, vncs));
+                _mm_store_si128(reinterpret_cast<__m128i*>(nz),
+                                pchex::cell_coord_x4(vz, vncs));
+                pchex::HexResultX4 hx;
+                pchex::hex_quantize_x4(xs, ys, zs, radius, &hx);
+                for (int j = 0; j < 4; ++j) {
+                    cidx[i + j] = Key3{cx[j], cy[j], cz[j]};
+                    nidx[i + j] = Key3{nx[j], ny[j], nz[j]};
+                    const Key3 sub{hx.sub0[j], hx.sub1[j], hx.sub2[j]};
+                    int64_t key;
+                    skey[i + j] =
+                        pack_slot_key(sub, &key) ? key : INT64_MIN;
+                    sdist[i + j] = hx.dist[j];
+                }
+            }
+#endif
+            for (; i < hi; ++i) {
+                const Point& pt = level[i];
+                cidx[i] = Key3{pchex::cell_coord(pt.p[0], cs),
+                               pchex::cell_coord(pt.p[1], cs),
+                               pchex::cell_coord(pt.p[2], cs)};
+                nidx[i] = Key3{pchex::cell_coord(pt.p[0], next_cs),
+                               pchex::cell_coord(pt.p[1], next_cs),
+                               pchex::cell_coord(pt.p[2], next_cs)};
+                const pchex::HexResult hr = pchex::hex_quantize(
+                    pt.p[0], pt.p[1], pt.p[2], radius);
+                const Key3 sub{hr.sub[0], hr.sub[1], hr.sub[2]};
+                int64_t key;
+                skey[i] = pack_slot_key(sub, &key) ? key : INT64_MIN;
+                sdist[i] = hr.dist;
+            }
+            if (any) has_suspect.store(true, std::memory_order_relaxed);
+        });
+        if (has_suspect.load(std::memory_order_relaxed)) {
+            resolve_suspects(h, level, cidx, sdist, perm, suspect,
+                             winner.data());
+        }
+        prof_.t_keys += Profile::now() - t0;
+        return merge_level_core(
+            h, level, cidx, nidx, skey, sdist.data(), winner.data(),
+            src_in != nullptr ? srcv.data() : nullptr);
+    }
+
+    // exact re-dedup of hash-collision runs, NumPy-identical semantics
+    // (ops/dedup.py resolve_suspects_host): suspect rows lexsorted by
+    // (cell_idx, sub_idx, dist, arrival); the first row of each distinct
+    // 6-int key wins, every other suspect row loses
+    void resolve_suspects(int32_t h, const std::vector<Point>& level,
+                          const std::vector<Key3>& cidx,
+                          const std::vector<float>& dist,
+                          const std::vector<int32_t>& perm,
+                          const std::vector<uint8_t>& suspect,
+                          uint8_t* winner) {
+        const float sub_size = cell_size(h) / sub_grid_dim_;
+        const float radius = sub_size / 2.0f;
+        struct Row {
+            Key3 cell;
+            Key3 sub;
+            float dist;
+            int32_t arrival;
+            int64_t idx;
+        };
+        std::vector<Row> rows;
+        for (size_t i = 0; i < level.size(); ++i) {
+            if (!suspect[i]) continue;
+            // suspects are rare (hash-collision runs only): recompute the
+            // true sub index here instead of storing it for every row
+            const pchex::HexResult hr = pchex::hex_quantize(
+                level[i].p[0], level[i].p[1], level[i].p[2], radius);
+            rows.push_back(Row{cidx[i],
+                               Key3{hr.sub[0], hr.sub[1], hr.sub[2]},
+                               dist[i], perm[i],
+                               static_cast<int64_t>(i)});
+        }
+        if (rows.empty()) return;
+        // NumPy sort order for floats puts NaN last; a strict weak order
+        const auto fless = [](float a, float b) {
+            if (a < b) return true;
+            return !std::isnan(a) && std::isnan(b);
+        };
+        std::sort(rows.begin(), rows.end(),
+                  [&fless](const Row& a, const Row& b) {
+                      if (a.cell != b.cell) return a.cell < b.cell;
+                      if (a.sub != b.sub) return a.sub < b.sub;
+                      if (fless(a.dist, b.dist)) return true;
+                      if (fless(b.dist, a.dist)) return false;
+                      return a.arrival < b.arrival;  // unique: total order
+                  });
+        for (size_t k = 0; k < rows.size(); ++k) {
+            const bool first = k == 0 || rows[k].cell != rows[k - 1].cell ||
+                               rows[k].sub != rows[k - 1].sub;
+            winner[rows[k].idx] = first ? 1 : 0;
+        }
+    }
+
+    // the shared back half of merge_level / merge_level_raw: owner
+    // partition, winner merge + loser staging, overflow flush
+    int64_t merge_level_core(int32_t h, std::vector<Point>& level,
+                             std::vector<Key3>& cidx,
+                             std::vector<Key3>& nidx,
+                             std::vector<int64_t>& skey, const float* dist,
+                             const uint8_t* winner,
+                             const int32_t* src_in) {
+        out_level_.clear();
+        const size_t m = level.size();
+        const float cs = cell_size(h);
+        const float next_cs = cs / 2.0f;
+        const size_t n_workers = shards_.size();
         const double t0b = Profile::now();
-        prof_.t_keys += t0b - t0;
 
         // owner partition (same as cascade pass B)
         std::vector<uint8_t> own;
@@ -1407,6 +1588,14 @@ int64_t pc_engine_merge_level(void* e, int32_t h, int64_t n,
                               const int32_t* src_in) {
     return static_cast<Engine*>(e)->merge_level(
         h, n, pos, col, cell_idx, sub_idx, dist, winner, next_idx, src_in);
+}
+
+int64_t pc_engine_merge_level_raw(void* e, int32_t h, int64_t n,
+                                  const float* pos, const uint8_t* col,
+                                  const int32_t* src_in,
+                                  const int32_t* packed) {
+    return static_cast<Engine*>(e)->merge_level_raw(h, n, pos, col, src_in,
+                                                    packed);
 }
 
 int64_t pc_engine_take_level(void* e, float* pos, uint8_t* col,

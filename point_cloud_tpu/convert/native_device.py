@@ -13,7 +13,9 @@ stores are byte-identical to the host oracle
 (tests/test_native_engine.py::TestNativeDeviceParity).
 
 Per batch: while a level is at/above the host-cascade threshold, one
-device pass -> one ``pc_engine_merge_level`` -> ``pc_engine_take_level``
+device pass -> one ``pc_engine_merge_level_raw`` (the engine gathers the
+device's packed permutation, recomputes the hex keys bit-identically, and
+resolves hash-collision suspects — all in C++) -> ``pc_engine_take_level``
 feeds the next level; the sub-threshold tail finishes natively in one
 ``pc_engine_cascade_from`` call (no device dispatch latency on small
 levels). Cross-batch pipelining reuses DeviceConverter's prefetch hook:
@@ -85,7 +87,7 @@ class NativeDeviceConverter(DevicePrefetchMixin, NativeConverter):
 
     def _run_cascade(self, positions, colors, prefetch_handle,
                      seq: int) -> None:
-        from ..ops.dedup import collect_dedup, dispatch_dedup_auto
+        from ..ops.dedup import dispatch_dedup_auto
         from .device import RESIDENT_ENABLED
 
         config = self.metadata.config
@@ -121,25 +123,22 @@ class NativeDeviceConverter(DevicePrefetchMixin, NativeConverter):
                 enabled=RESIDENT_ENABLED,
             )
             prefetch_handle = None
-            with stage("device_dedup+rebuild"):
-                perm, winner, cell_idx, sub_idx, dist, next_idx = (
-                    collect_dedup(handle, positions, cell_size,
-                                  sub_cell_size)
+            # the engine's fused raw entry does the perm gather, the hex
+            # key recompute, and the exact suspect re-dedup in one C++
+            # pass (merge_level_raw) — the NumPy host_rebuild +
+            # three perm-gathers this replaces cost ~1.6 s/Mpts on this
+            # host vs ~0.2 s for the same math in the engine (PERF.md)
+            n_rows = handle["n"]
+            with stage("d2h_wait"):
+                packed = np.ascontiguousarray(
+                    np.asarray(handle["packed"])[:n_rows], np.int32
                 )
-            pos_s = np.ascontiguousarray(positions[perm])
-            col_s = np.ascontiguousarray(colors[perm])
-            src_s = np.ascontiguousarray(src_arr[perm], dtype=np.int32)
+            src_s = np.ascontiguousarray(src_arr, np.int32)
             self._wait_level(seq, hierarchy)
             with stage("native_merge_level"), self._engine_guard():
-                n_out = lib.pc_engine_merge_level(
-                    engine, hierarchy, len(pos_s), _ptr(pos_s),
-                    _ptr(col_s),
-                    _ptr(np.ascontiguousarray(cell_idx, np.int32)),
-                    _ptr(np.ascontiguousarray(sub_idx, np.int32)),
-                    _ptr(np.ascontiguousarray(dist, np.float32)),
-                    _ptr(np.ascontiguousarray(winner, np.uint8)),
-                    _ptr(np.ascontiguousarray(next_idx, np.int32)),
-                    _ptr(src_s),
+                n_out = lib.pc_engine_merge_level_raw(
+                    engine, hierarchy, n_rows, _ptr(positions),
+                    _ptr(colors), _ptr(src_s), _ptr(packed),
                 )
                 if n_out < 0:
                     self._raise_load_error()

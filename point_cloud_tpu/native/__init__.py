@@ -156,6 +156,12 @@ def load_native():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.pc_engine_merge_level_raw.restype = ctypes.c_int64
+        lib.pc_engine_merge_level_raw.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.pc_engine_take_level.restype = ctypes.c_int64
         lib.pc_engine_take_level.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

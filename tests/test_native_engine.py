@@ -313,6 +313,42 @@ class TestNativeDeviceParity:
                 conv.add_points_batch(b)
         assert_stores_equal(tmp_path / "host", tmp_path / "nd")
 
+    def test_forced_collision_suspects_byte_identical(self, tmp_path):
+        """Flood the device pass with hash collisions (1-bit hashes) so
+        every level carries suspect rows: the engine's C++ re-dedup
+        (pc_engine.cpp resolve_suspects) must reproduce the exact winner
+        set — the store stays byte-identical to the host oracle."""
+        import jax
+
+        import point_cloud_tpu.ops.dedup as dd
+        from point_cloud_tpu.convert import native_device
+
+        n = 8_000
+        batch = random_batch(n, seed=77, lo=-3, hi=3)
+        with Converter(Metadata(), tmp_path / "host") as conv:
+            for i in range(0, n, 3_000):
+                conv.add_points_batch(batch[i : i + 3_000])
+
+        orig_hash = dd._hash_cols
+        orig_light = dd.dedup_pass_light
+        orig_res = dd.dedup_pass_resident
+        try:
+            dd._hash_cols = lambda cols, primes: orig_hash(cols, primes) & 1
+            dd.dedup_pass_light = jax.jit(dd._dedup_light_body)
+            dd.dedup_pass_resident = jax.jit(dd._dedup_resident_body)
+            with pytest.MonkeyPatch.context() as mp:
+                mp.setattr(native_device, "HOST_CASCADE_THRESHOLD", 0)
+                with native_device_converter(
+                    Metadata(), tmp_path / "nd"
+                ) as conv:
+                    for i in range(0, n, 3_000):
+                        conv.add_points_batch(batch[i : i + 3_000])
+        finally:
+            dd._hash_cols = orig_hash
+            dd.dedup_pass_light = orig_light
+            dd.dedup_pass_resident = orig_res
+        assert_stores_equal(tmp_path / "host", tmp_path / "nd")
+
     def test_tiny_budget_byte_identical(self, tmp_path, threshold):
         """Spilling composes with the device-merge path: cells evicted
         between batches reload lazily inside merge_level workers."""
