@@ -48,6 +48,17 @@ BATCH = 1 << 18
 KERNEL_ROWS = 1 << 20
 TARGET_PER_CHIP = 12.5e6  # BASELINE.json: 100 Mpts/s on 8 chips
 
+_T0 = time.monotonic()
+
+
+def _bc(msg: str) -> None:
+    """Per-extra stderr breadcrumb (VERDICT r4 #1c): each device extra
+    narrates its progress (imports / data staged / compiled / rep N) so
+    a timeout is attributable post-mortem — the parent captures the
+    child's stderr and folds the LAST breadcrumb into the error string."""
+    print(f"[bc +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def synth_cloud(n: int, seed: int = 0) -> np.ndarray:
     """LiDAR-like mix: a ground plane sheet + building clusters + scatter."""
@@ -231,8 +242,10 @@ def bench_mesh_dedup(positions) -> float:
         jnp.float32(1000.0 / 96.0 / 2.0),
     )
     fn = opass._get_fn(n_pad, capacity)
+    _bc("data sharded on the mesh; compiling the owner cascade")
     a, b = fn(*args)
     float(jnp.int32(0) + jnp.sum(a) + jnp.sum(b))  # compile + warm
+    _bc("compiled+warm; timing")
     reps = 5
     t0 = time.perf_counter()
     acc = jnp.int32(0)
@@ -262,8 +275,10 @@ def bench_device_sort(positions) -> float:
     # device-to-host readback truly synchronizes (PERF.md). A 4-byte scalar
     # reduce forces each run's completion while amortizing the ~30 ms RPC
     # latency over all reps.
+    _bc("data on device; compiling dedup_pass_light")
     out = dedup_pass_light(pos, valid, cs, radius)  # compile + warm
     float(jnp.int32(0) + jnp.sum(out))  # also compiles the probe reduces
+    _bc("compiled+warm; timing")
     reps = 5
     t0 = time.perf_counter()
     acc = jnp.int32(0)
@@ -271,6 +286,112 @@ def bench_device_sort(positions) -> float:
         acc = acc + jnp.sum(dedup_pass_light(pos, valid, cs, radius))
     float(acc)
     dt = (time.perf_counter() - t0) / reps
+    return n / dt / 1e6
+
+
+def bench_device_cascade(positions) -> float:
+    """Full multi-level conversion cascade, device-resident, ONE XLA
+    program (VERDICT r4 #2: the honest per-chip proxy for the ≥100
+    Mpts/s v5e-8 north star — measures the complete device compute of
+    `/root/reference/point-converter/src/converter.rs:114-139`, not one
+    level).
+
+    A `lax.while_loop` carries (positions, valid, cell_size) across
+    hierarchy levels entirely on-chip: each iteration runs the dedup
+    sort (hex keys -> hashes -> 4-column pallas sort), marks per-slot
+    winners (the argmin), partitions losers onward by applying the sort
+    permutation and masking winners out (the winner partition), and
+    re-keys the survivors at the halved cell size (the overflow
+    re-key) — exactly the per-level device work of
+    convert/device.py::_cascade_level, minus the host store merge. The
+    loop exits where production hands the tail to the host
+    (HOST_CASCADE_THRESHOLD = 2^14 rows). No host transfer in the
+    timed region; sync is a scalar readback (tunnel acks
+    block_until_ready at enqueue, PERF.md).
+
+    Conservative vs production shapes: every level sorts the full
+    N-row buffer (static shapes under jit) where production shrinks
+    deeper levels to smaller pow2 buckets — the reported Mpts/s is a
+    floor, not a flattering proxy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from point_cloud_tpu.ops import dedup as dd
+    from point_cloud_tpu.ops.exact import exact_div
+
+    _bc("imports done")
+    n = KERNEL_ROWS
+    threshold = 1 << 14  # convert/device.py HOST_CASCADE_THRESHOLD
+    max_levels = 12
+
+    @jax.jit
+    def cascade(pos, valid, cs0):
+        def cond(carry):
+            _, valid, _, _, lvl = carry
+            return (jnp.sum(valid.astype(jnp.int32)) >= threshold) & (
+                lvl < max_levels
+            )
+
+        def body(carry):
+            pos, valid, cs, processed, lvl = carry
+            # sub-cell radius: IEEE-correct divide (TPU hw divide is
+            # approximate; production computes this scalar on the host)
+            radius = exact_div(cs, jnp.float32(96.0)) * jnp.float32(0.5)
+            ch_s, sh_s, perm, _, _, _ = dd._hash_sort(
+                pos, valid, cs, radius
+            )
+            valid_s = ch_s != dd._I32_MAX
+            same = (ch_s == jnp.roll(ch_s, 1)) & (
+                sh_s == jnp.roll(sh_s, 1)
+            )
+            winner = jnp.logical_not(same).at[0].set(True) & valid_s
+            pos_s = pos[perm]  # the winner/loser partition gather
+            processed = processed + jnp.sum(valid.astype(jnp.int32))
+            # losers cascade; next iteration re-keys them at cs/2
+            return (
+                pos_s, valid_s & ~winner, cs * jnp.float32(0.5),
+                processed, lvl + 1,
+            )
+
+        pos, valid, cs, processed, lvl = jax.lax.while_loop(
+            cond, body, (pos, valid, cs0, jnp.int32(0), jnp.int32(0))
+        )
+        # fold every carry into scalars so nothing dead-code-eliminates
+        checksum = jnp.sum(
+            jnp.where(valid[:, None], pos, 0.0), dtype=jnp.float32
+        )
+        return processed, lvl, jnp.sum(valid.astype(jnp.int32)), checksum
+
+    pos = jnp.asarray(positions[:n])
+    valid = jnp.ones(n, bool)
+    cs0 = jnp.float32(1000.0)
+    _bc("data on device; compiling the while_loop cascade")
+    t_c = time.perf_counter()
+    processed, levels, tail, _ = cascade(pos, valid, cs0)
+    processed_i, levels_i, tail_i = (
+        int(processed), int(levels), int(tail),
+    )  # readback = true sync
+    _bc(
+        f"compiled+warm in {time.perf_counter() - t_c:.1f}s: "
+        f"{levels_i} levels, {processed_i} rows processed, "
+        f"{tail_i} tail rows to the host"
+    )
+    reps = 3
+    t0 = time.perf_counter()
+    acc = jnp.int32(0)
+    for i in range(reps):
+        p, _, t, _ = cascade(pos, valid, cs0)
+        acc = acc + p + t
+        _bc(f"rep {i + 1}/{reps} dispatched")
+    int(acc)
+    dt = (time.perf_counter() - t0) / reps
+    _bc(
+        f"timed: {dt * 1e3:.1f} ms/cascade, "
+        f"{dt / max(levels_i, 1) * 1e3:.1f} ms/level, "
+        f"{dt * 1e9 / n:.1f} ns/input-pt, "
+        f"{dt * 1e9 / max(processed_i, 1):.2f} ns/row"
+    )
     return n / dt / 1e6
 
 
@@ -313,7 +434,9 @@ def bench_render_kernel(positions) -> float:
         keep, hierarchy, _ = run()
         return jnp.sum(keep.astype(jnp.int32)) + jnp.sum(hierarchy)
 
+    _bc("data on device; compiling cull_lod_pass")
     float(jnp.int32(0) + probe())  # compile + warm (incl. the accumulate)
+    _bc("compiled+warm; timing")
     reps = 5
     t0 = time.perf_counter()
     acc = jnp.int32(0)
@@ -359,7 +482,9 @@ def bench_render_kernel_steady(positions) -> float:
         )
         return jnp.sum(out[6])  # the counts vector sums the frame
 
+    _bc("data on device; compiling cull_classify_pass")
     float(jnp.int32(0) + probe())
+    _bc("compiled+warm; timing")
     reps = 5
     t0 = time.perf_counter()
     acc = jnp.int32(0)
@@ -466,10 +591,13 @@ def bench_render_fps(positions, colors, settings_overrides=None) -> float:
         # (measured 1.7 vs 4.1 fps, a pure harness artifact)
         reps = 6
         yaws = [0.5 + i * 0.35 for i in range(reps)]
+        _bc("store converted; first frame (streaming + resolve compile)")
         frame(0.0)  # first streaming + resolve compile
-        for yaw in yaws:
+        for i, yaw in enumerate(yaws):
             frame_pipelined(yaw)
+            _bc(f"warm orbit frame {i + 1}/{reps}")
         renderer.render_flush()
+        _bc("warm orbit done; timing two orbits")
 
         def timed_pass(offset: float) -> float:
             t0 = time.perf_counter()
@@ -508,7 +636,9 @@ def bench_tunnel_pipeline(positions, colors) -> float:
         from point_cloud_tpu.convert.pipelined import PipelinedConverter as cls
 
     n = 1 << 20
+    _bc(f"backend {cls.__name__}; warm conversion (compiles)")
     _convert_once(cls, positions, colors, n)  # compile/warm
+    _bc("warm done; timing 3 conversions")
     times = [_convert_once(cls, positions, colors, n) for _ in range(3)]
     # best of 3, same rationale as the fps orbit: the runs are identical
     # warm work (zero compiles), so the spread between them is tunnel/
@@ -529,16 +659,20 @@ def bench_render_fps_fused(positions, colors) -> float:
 
 # insertion order = run priority: when the global wall budget runs
 # short (flapping tunnel burning per-extra timeouts), the metrics that
-# matter most for round-over-round tracking are measured first
+# matter most for round-over-round tracking are measured first —
+# never-yet-recorded metrics BEFORE anything that has a number on the
+# books (VERDICT r4 #1b: mesh_dedup_mpts sat behind the extra that
+# wedged and has never recorded)
 _EXTRAS = {
     # fast kernels first (~1-2 min each incl. tunnel setup): a slow or
     # wedged fps orbit must not starve them of the global budget
     # (observed: fps ran 2nd, burned 750 s, five extras recorded
     # nothing)
     "device_dedup_sort_mpts": (bench_device_sort, False),
+    "mesh_dedup_mpts": (bench_mesh_dedup, False),
+    "device_cascade_mpts": (bench_device_cascade, False),
     "render_cull_lod_mpts": (bench_render_kernel, False),
     "render_cull_steady_mpts": (bench_render_kernel_steady, False),
-    "mesh_dedup_mpts": (bench_mesh_dedup, False),
     # the long ones: end-to-end fps orbit, tunnel pipeline, fused A/B
     "render_fps_640x480": (bench_render_fps, True),
     "tunnel_pipeline_mpts": (bench_tunnel_pipeline, True),
@@ -599,8 +733,18 @@ def _run_extra(name: str, deadline: float | None = None):
             [sys.executable, __file__, "--extra", name],
             capture_output=True, text=True, timeout=budget,
         )
-    except subprocess.TimeoutExpired:
-        return f"error: timed out after {int(budget)}s"
+    except subprocess.TimeoutExpired as exc:
+        # fold the child's LAST breadcrumb into the error so the timeout
+        # is attributable (VERDICT r4 #1c: render_cull_steady died at
+        # 278 s with no trace of compile vs tunnel vs harness)
+        err = exc.stderr or b""
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        crumbs = [
+            ln for ln in err.strip().splitlines() if ln.startswith("[bc ")
+        ]
+        last = f" (last: {crumbs[-1]})" if crumbs else " (no breadcrumb)"
+        return f"error: timed out after {int(budget)}s{last}"
     if proc.returncode != 0:
         tail = (proc.stderr or "").strip().splitlines()
         return "error: " + (tail[-1] if tail else f"rc={proc.returncode}")
@@ -653,6 +797,37 @@ def _device_healthy(deadline: float | None = None) -> bool:
                 return False
             time.sleep(pause_s)
     return False
+
+
+def _wait_for_device(deadline: float | None) -> tuple[bool, str]:
+    """Probe-at-intervals until the tunnel flaps back or the budget runs
+    out (VERDICT r4 #1a). Returns (healthy, note): on failure the note
+    is the durable artifact evidence — how many probes ran over how much
+    wall — since stderr breadcrumbs may not survive the driver."""
+    attempts = 0
+    t_start = time.monotonic()
+    while True:
+        remaining = (
+            deadline - time.monotonic() if deadline is not None else 600.0
+        )
+        if remaining < _EXTRA_FLOOR_S + 15:
+            waited = int(time.monotonic() - t_start)
+            return False, (
+                f"error: device unreachable; {attempts} re-probes over "
+                f"{waited}s exhausted the bench budget"
+            )
+        attempts += 1
+        _bc(f"device re-probe #{attempts} ({int(remaining)}s budget left)")
+        if _probe_device_once(min(60.0, remaining - _EXTRA_FLOOR_S)):
+            _bc(f"device back after {attempts} probe(s)")
+            return True, ""
+        pause = 30.0
+        if deadline is not None:
+            pause = min(
+                pause,
+                max(0.0, deadline - time.monotonic() - _EXTRA_FLOOR_S - 15),
+            )
+        time.sleep(pause)
 
 
 def main() -> None:
@@ -769,18 +944,21 @@ def main() -> None:
         emit(value)
 
     healthy = _device_healthy(deadline)
-    lost_mid_run = False
+    down_note = (
+        "error: device unreachable (health gate: "
+        f"{os.environ.get('PCT_BENCH_HEALTH_RETRIES', '3')} "
+        f"probes x {_HEALTH_TIMEOUT_S}s)"
+    )
     for name in _EXTRAS:
         if not healthy:
-            extra[name] = (
-                "error: device went unreachable mid-run (re-probe failed)"
-                if lost_mid_run
-                else (
-                    "error: device unreachable (health gate: "
-                    f"{os.environ.get('PCT_BENCH_HEALTH_RETRIES', '3')} "
-                    f"probes x {_HEALTH_TIMEOUT_S}s)"
-                )
-            )
+            # probe-at-intervals (VERDICT r4 #1a): the tunnel FLAPS —
+            # round 4's single 60 s re-probe forfeited 5 metrics. Keep
+            # probing within the remaining budget and resume the moment
+            # it flaps back; give up only when too little budget is
+            # left to run anything anyway.
+            healthy, down_note = _wait_for_device(deadline)
+        if not healthy:
+            extra[name] = down_note
             emit(value)
             continue
         result = _run_extra(name, deadline)
@@ -789,13 +967,7 @@ def main() -> None:
         if isinstance(result, str) and result.startswith(
             "error: timed out"
         ):
-            # the tunnel wedged mid-run: one quick re-probe decides
-            # whether the remaining extras get their shot (the endpoint
-            # flaps back sometimes) or are skipped without burning a
-            # full per-extra timeout each
-            probe_s = min(60.0, max(deadline - time.monotonic(), 0.0))
-            healthy = probe_s >= 10 and _probe_device_once(probe_s)
-            lost_mid_run = not healthy
+            healthy = False  # wedged mid-run: next loop iteration probes
 
 
 if __name__ == "__main__":
