@@ -83,6 +83,15 @@ class RenderSettings:
     size_by_distance: bool = False  # FrustumsSettings (cell/shader.rs:173-195)
     max_hierarchy: int = 0
     occlusion: bool = True
+    # depth-pyramid pre-cull (kernel._cull_body, VERDICT r4 #3): an
+    # extra provably-conservative occlusion gate — a splat whose nearest
+    # possible fragment is behind the FARTHEST depth in a dilated coarse
+    # max-depth tile containing its whole footprint cannot win any
+    # pixel, so rejecting it leaves images BIT-IDENTICAL while its
+    # k x k fragment expansion never reaches the scatter. Only applies
+    # when ``occlusion`` is on (it reads the same inter-bucket depth).
+    # A/B knob: bench.py --fps-ab depth_pyramid
+    depth_pyramid: bool = True
     footprint: int = 5  # splat.py DEFAULT_FOOTPRINT rationale
     # per-hierarchy visibility toggles (debug plugin, src/plugins/debug.rs:344-371)
     hidden_hierarchies: set = field(default_factory=set)
@@ -450,6 +459,7 @@ class PointRenderer:
         sbd_dev = jnp.bool_(s.size_by_distance)
         maxh_dev = jnp.int32(s.max_hierarchy)
         use_occ = s.occlusion and not paused
+        use_pyr = use_occ and s.depth_pyramid
         ladder_ks, thresholds_dev = self._ladder_thresholds()
 
         # group consecutive same-bucket cells; near buckets raster first so
@@ -554,6 +564,7 @@ class PointRenderer:
                             height=s.height, width=s.width,
                             footprint=s.footprint, voronoi=s.voronoi,
                             use_occlusion=use_occ,
+                            use_pyramid=use_pyr,
                             out_size=0, overflow_rows=(),
                             overflow_ks=mega_rungs,
                             sub_rows=(), sub_ks=mega_subs,
@@ -618,6 +629,7 @@ class PointRenderer:
                         height=s.height, width=s.width,
                         footprint=s.footprint, voronoi=s.voronoi,
                         use_occlusion=use_occ,
+                        use_pyramid=use_pyr,
                         out_size=static_cfg[0],
                         overflow_rows=static_cfg[1],
                         overflow_ks=static_cfg[2],
@@ -650,6 +662,7 @@ class PointRenderer:
                 s.height,
                 depth=depth_now,
                 use_occlusion=use_occ,
+                use_pyramid=use_pyr,
             )
             frame_vecs.append(
                 (bucket, tuple(ladder_ks), counts_vec, "cum")
@@ -927,7 +940,8 @@ class PointRenderer:
                     spacings_dev, fars_dev, sbd_dev, maxh_dev,
                     depth=depth_now, height=s.height, width=s.width,
                     footprint=s.footprint, voronoi=s.voronoi,
-                    use_occlusion=use_occ, out_size=cfg[0],
+                    use_occlusion=use_occ, use_pyramid=use_pyr,
+                    out_size=cfg[0],
                     overflow_rows=cfg[1], overflow_ks=cfg[2],
                     sub_rows=cfg[3], sub_ks=cfg[4],
                     chunked=s.chunked_raster,
@@ -945,6 +959,7 @@ class PointRenderer:
                     height=s.height, width=s.width,
                     footprint=s.footprint, voronoi=s.voronoi,
                     use_occlusion=use_occ,
+                    use_pyramid=use_pyr,
                     bucket_static=tuple(fused_static),
                     with_depth=s.transfer_depth,
                     chunked=s.chunked_raster,

@@ -667,6 +667,7 @@ def _render_bucket_body(
     footprint: int = DEFAULT_FOOTPRINT,
     voronoi: bool = True,
     use_occlusion: bool = False,
+    use_pyramid: bool = False,
     out_size: int = 1 << 10,
     overflow_rows: tuple = (),
     overflow_ks: tuple = (),
@@ -723,7 +724,7 @@ def _render_bucket_body(
     keep, hierarchy, ndc, view_pos, radius = _cull_body(
         positions, hier_base, valid, view, projection, cam_pos, spacings,
         far_distances, size_by_distance, max_hierarchy, depth,
-        use_occlusion,
+        use_occlusion, use_pyramid,
     )
     rx, ry = splat_pixel_radii(view_pos, radius, projection, width, height)
     rmax = jnp.maximum(rx, ry)
@@ -837,8 +838,8 @@ render_bucket_pass = partial(
     jax.jit,
     static_argnames=(
         "height", "width", "footprint", "voronoi", "use_occlusion",
-        "out_size", "overflow_rows", "overflow_ks", "sub_rows", "sub_ks",
-        "chunked",
+        "use_pyramid", "out_size", "overflow_rows", "overflow_ks",
+        "sub_rows", "sub_ks", "chunked",
     ),
 )(_render_bucket_body)
 
@@ -847,7 +848,7 @@ render_bucket_pass = partial(
     jax.jit,
     static_argnames=(
         "height", "width", "footprint", "voronoi", "use_occlusion",
-        "bucket_static", "with_depth", "chunked",
+        "use_pyramid", "bucket_static", "with_depth", "chunked",
     ),
 )
 def render_frame_pass(
@@ -861,6 +862,7 @@ def render_frame_pass(
     bucket_static: tuple,
     with_depth: bool,
     chunked: bool = False,
+    use_pyramid: bool = False,
 ):
     """The WHOLE frame — every bucket's megakernel chain plus the packed
     resolve — as ONE XLA program: one dispatch + one readback per frame.
@@ -895,6 +897,7 @@ def render_frame_pass(
             spacings, far_distances, size_by_distance, max_hierarchy,
             depth=depth, height=height, width=width, footprint=footprint,
             voronoi=voronoi, use_occlusion=use_occlusion,
+            use_pyramid=use_pyramid,
             out_size=out_size, overflow_rows=orows, overflow_ks=oks,
             sub_rows=srows, sub_ks=sks, chunked=chunked,
         )

@@ -1868,3 +1868,172 @@ class TestWinnerCompaction:
         )
         np.testing.assert_array_equal(np.asarray(dc), db)
         np.testing.assert_array_equal(np.asarray(ic), ids)
+
+
+class TestDepthPyramid:
+    """The depth-pyramid pre-cull (kernel._cull_body use_pyramid,
+    VERDICT r4 #3): an extra conservative occlusion gate that rejects a
+    splat only when its nearest possible fragment depth (moved_z) is
+    strictly behind the farthest depth in the dilated coarse tile
+    containing its whole footprint — so rejections can never change the
+    rendered image."""
+
+    W = H = 64
+
+    def _terms(self, spacing):
+        """NumPy mirror of the kernel's occlusion terms for one point
+        ``dist`` metres dead ahead of the default camera."""
+        cam = Camera()
+        view = cam.view_matrix()
+        proj = cam.projection_matrix()
+        p = cam.transform.translation + 5.0 * cam.transform.forward()
+        hp = np.append(p, 1.0).astype(np.float32)
+        vp = view @ hp
+        clip = proj @ vp
+        ndc_z = clip[2] / clip[3]
+        moved = vp.copy()
+        moved[2] += spacing
+        mc = proj @ moved
+        moved_z = mc[2] / mc[3]
+        radius_z = ndc_z - moved_z
+        w_clip = -vp[2]
+        rmax = max(
+            spacing * proj[0, 0] / w_clip * (0.5 * self.W),
+            spacing * proj[1, 1] / w_clip * (0.5 * self.H),
+        )
+        return p.astype(np.float32), float(moved_z), float(radius_z), rmax
+
+    def _keep(self, pos, spacing, depth_value, use_pyramid):
+        import jax.numpy as jnp
+
+        from point_cloud_tpu.render.kernel import build_loaded_cells_hash
+
+        cam = Camera()
+        sizes = np.zeros(MAX_HIERARCHIES, np.float32)
+        spacings = np.zeros(MAX_HIERARCHIES, np.float32)
+        spacings[0] = spacing
+        depth = np.full((self.H, self.W), depth_value, np.float32)
+        keep, _, _ = cull_lod_pass(
+            jnp.asarray(pos[None, :]),
+            jnp.zeros(1, jnp.int32),
+            jnp.ones(1, bool),
+            jnp.asarray(cam.view_matrix()),
+            jnp.asarray(cam.projection_matrix()),
+            jnp.asarray(cam.transform.translation),
+            jnp.asarray(sizes),
+            jnp.asarray(spacings),
+            1,
+            jnp.asarray(
+                build_loaded_cells_hash(np.empty((0, 4), np.int32))
+            ),
+            jnp.zeros(MAX_HIERARCHIES, jnp.float32),
+            jnp.bool_(False),
+            jnp.int32(0),
+            depth=jnp.asarray(depth),
+            use_occlusion=True,
+            use_pyramid=use_pyramid,
+        )
+        return bool(np.asarray(keep)[0])
+
+    def test_rejects_inside_center_test_slack(self):
+        """A splat whose moved_z sits behind the buffer but within the
+        center test's 3x slack: the legacy test keeps it, the pyramid
+        proves it can't win any pixel and rejects it."""
+        spacing = 0.2  # rmax ~3 px at 5 m in a 64x64 viewport
+        pos, moved_z, radius_z, rmax = self._terms(spacing)
+        assert 1.0 < rmax <= 7.0  # inside the pyramid's small-splat gate
+        assert radius_z > 0
+        depth_value = moved_z - 0.5 * radius_z  # behind, within the slack
+        assert self._keep(pos, spacing, depth_value, use_pyramid=False)
+        assert not self._keep(pos, spacing, depth_value, use_pyramid=True)
+
+    def test_keeps_splat_in_front_of_depth(self):
+        spacing = 0.2
+        pos, moved_z, radius_z, _ = self._terms(spacing)
+        depth_value = moved_z + 0.5 * radius_z  # buffer behind the splat
+        assert self._keep(pos, spacing, depth_value, use_pyramid=False)
+        assert self._keep(pos, spacing, depth_value, use_pyramid=True)
+
+    def test_large_splats_bypass_the_gate(self):
+        """Half-extents above PYRAMID_TILE - 1 px skip the pyramid test
+        (one coarse gather cannot bound their footprint)."""
+        spacing = 1.2  # rmax ~18 px: too wide for one dilated tile
+        pos, moved_z, radius_z, rmax = self._terms(spacing)
+        assert rmax > 7.0
+        depth_value = moved_z - 0.5 * radius_z
+        assert self._keep(pos, spacing, depth_value, use_pyramid=False)
+        assert self._keep(pos, spacing, depth_value, use_pyramid=True)
+
+    def test_images_bit_identical_end_to_end(self, tmp_path):
+        """The whole point of the formulation: frames with the pyramid
+        gate on must be byte-identical to frames with it off (same
+        occlusion semantics otherwise) — rejected splats provably lose
+        the scatter-min at every pixel they could touch. Two-wall scene
+        in different distance buckets so inter-bucket occlusion runs."""
+        from point_cloud_tpu.convert.converter import Converter
+        from point_cloud_tpu.render.frustums import update_streaming_frustums
+        from point_cloud_tpu.render.renderer import (
+            PointRenderer, RenderSettings,
+        )
+        from point_cloud_tpu.render.streaming import CellStreamer
+
+        rng = np.random.default_rng(29)
+        # front wall at y=0, back wall at y=40, clutter between
+        n = 12_000
+        front = np.empty((n, 3), np.float32)
+        front[:, 0] = rng.uniform(-30, 30, n)
+        front[:, 2] = rng.uniform(-30, 30, n)
+        front[:, 1] = rng.normal(0.0, 0.05, n)
+        back = front.copy()
+        back[:, 1] = 40.0 + rng.normal(0.0, 0.05, n)
+        mid = rng.uniform([-30, 5, -30], [30, 35, 30], (n, 3)).astype(
+            np.float32
+        )
+        pos = np.concatenate([front, back, mid])
+        col = rng.integers(0, 256, (len(pos), 4), dtype=np.uint8)
+        metadata = Metadata()
+        with Converter(metadata, tmp_path) as conv:
+            conv.add_points_batch(PointBatch(pos, col))
+        metadata = Metadata.from_path(tmp_path / "metadata.json")
+
+        def loader(cell_id):
+            path = tmp_path / cell_id.path()
+            return Cell.from_path(path) if path.exists() else None
+
+        def run(pyramid):
+            streamer = CellStreamer(metadata, loader=loader)
+            renderer = PointRenderer(
+                metadata,
+                RenderSettings(
+                    width=96, height=72, depth_pyramid=pyramid
+                ),
+            )
+            cam = Camera()
+            cam.projection.far = metadata.config.max_cell_size * 5.0
+            # close to the front wall, looking through the scene
+            cam.transform.translation = np.array(
+                [0.0, -25.0, 5.0], np.float32
+            )
+            cam.transform.look_at(
+                np.array([0.0, 20.0, 0.0], np.float32),
+                np.array([0.0, 0.0, 1.0], np.float32),
+            )
+            frustums = update_streaming_frustums(
+                metadata, cam.transform, cam.projection, cam.frustum()
+            )
+            streamer.update(frustums, cam.transform)
+            for _ in range(400):
+                if not streamer.fill_load_slots():
+                    break
+            out = None
+            for _ in range(3):
+                out = renderer.render(streamer, cam, frustums)
+            return out
+
+        rgb_p, d_p, stats_p = run(True)
+        rgb_n, d_n, stats_n = run(False)
+        np.testing.assert_array_equal(rgb_p, rgb_n)
+        np.testing.assert_array_equal(d_p, d_n)
+        # the gate can only ever REMOVE provably-invisible survivors
+        assert stats_p["points_visible"] <= stats_n["points_visible"]
+        assert stats_n["points_visible"] > 0
