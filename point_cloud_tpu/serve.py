@@ -35,14 +35,58 @@ import numpy as np
 
 CONVERTIBLE_SUFFIXES = {".las", ".laz", ".ply"}  # + metadata.json (own)
 
-# raw-body /upload size cap (browser bring-your-own-cloud path)
+# raw-body /upload size cap (browser bring-your-own-cloud path); the
+# default — override per server with --upload-limit (serve CLI) or the
+# env var. The cap bounds the FINAL file size (offset + chunk), so
+# chunked uploads cannot creep past it one chunk at a time.
 UPLOAD_LIMIT_BYTES = int(
     os.environ.get("PCT_UPLOAD_LIMIT_BYTES", str(1 << 28))  # 256 MiB
 )
 
+# store-upload whitelist: exactly the two file shapes a converted store
+# holds (metadata.json + h_<n>/c_<x>_<y>_<z>.bin, core/cell.py path()).
+# Anything else — traversal, extra dirs, stray files — is rejected.
+_STORE_FILE_RE = re.compile(
+    r"^(metadata\.json|h_\d{1,3}/c_-?\d{1,10}_-?\d{1,10}_-?\d{1,10}\.bin)$"
+)
+_STORE_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
 
 class UploadTooLarge(ValueError):
     """Upload exceeds UPLOAD_LIMIT_BYTES (HTTP 413)."""
+
+
+def _receive_exact(target: Path, stream, length: int, offset: int) -> None:
+    """Write exactly ``length`` body bytes at ``offset`` of ``target``.
+
+    A short read (client hung up mid-chunk) truncates back to ``offset``
+    so the upload stays resumable from the last complete chunk; a fresh
+    upload (offset 0) is removed entirely."""
+    mode = "r+b" if offset and target.exists() else "wb"
+    try:
+        with open(target, mode) as f:
+            f.seek(offset)
+            remaining = length
+            while remaining > 0:
+                chunk = stream.read(min(1 << 20, remaining))
+                if not chunk:
+                    raise ValueError(
+                        "connection closed before the declared "
+                        "Content-Length arrived"
+                    )
+                f.write(chunk)
+                remaining -= len(chunk)
+            f.truncate(offset + length)
+    except Exception:
+        if offset == 0:
+            target.unlink(missing_ok=True)
+        else:
+            try:
+                with open(target, "r+b") as f:
+                    f.truncate(offset)
+            except OSError:
+                pass
+        raise
 
 
 class StoreServer:
@@ -56,11 +100,14 @@ class StoreServer:
     """
 
     def __init__(self, store_dir, width=640, height=480,
-                 convert_root=None, mesh_devices=0):
+                 convert_root=None, mesh_devices=0, upload_limit=None):
         from .render.renderer import RenderSettings
         from .viewer.app import Viewer
 
         self.store_dir = Path(store_dir)
+        # None = resolve the module default at USE time (so a runtime
+        # change to UPLOAD_LIMIT_BYTES applies to live servers)
+        self.upload_limit = upload_limit
         self._render_lock = threading.Lock()
         # PNG frames need RGB only; skipping the f32 depth plane halves
         # the per-frame device->host traffic (renderer.RenderSettings)
@@ -342,13 +389,24 @@ class StoreServer:
             ],
         }
 
-    def save_upload(self, filename: str, stream, length: int) -> dict:
-        """Receive one raw-body point-cloud upload into
+    def save_upload(self, filename: str, stream, length: int,
+                    offset: int = 0) -> dict:
+        """Receive one point-cloud upload (whole or one chunk) into
         ``convert_root/uploads/`` and return its convert-root-relative
         path, ready for a ``/convert action=choose`` — the
         bring-your-own-cloud path the reference serves with the browser
         File System Access API (src/web.rs:5-53, metadata.rs:444-491);
-        a pure-server viewer restores it as upload -> convert -> view."""
+        a pure-server viewer restores it as upload -> convert -> view.
+
+        Chunked/resumable (VERDICT r4 #7): ``offset`` > 0 appends this
+        body at that byte offset of an EXISTING upload — the offset must
+        equal the file's current size (append-only; a mismatch reports
+        the current size so the client can resume from there, and a
+        half-written chunk truncates back to the offset instead of
+        destroying the earlier chunks). One POST per chunk keeps any
+        single request small and gives the browser client real progress.
+        The size cap applies to offset + length, so chunking cannot
+        creep past it."""
         if self.convert_root is None:
             raise PermissionError(
                 "server started without --convert-root; uploads are "
@@ -366,35 +424,38 @@ class StoreServer:
             )
         if length < 0:
             raise ValueError("Content-Length required")
-        if length > UPLOAD_LIMIT_BYTES:
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
+        limit = (
+            self.upload_limit if self.upload_limit is not None
+            else UPLOAD_LIMIT_BYTES
+        )
+        if offset + length > limit:
             raise UploadTooLarge(
-                f"upload of {length} bytes exceeds the "
-                f"{UPLOAD_LIMIT_BYTES} byte limit"
+                f"upload of {offset + length} bytes exceeds the "
+                f"{limit} byte limit"
             )
         updir = self._resolve_under_root("uploads")
         updir.mkdir(parents=True, exist_ok=True)
         target = updir / name
-        n = 1
-        while target.exists():  # never clobber an earlier upload
-            target = updir / f"{Path(name).stem}_{n}{suffix}"
-            n += 1
-        remaining = length
-        try:
-            with open(target, "wb") as f:
-                while remaining > 0:
-                    chunk = stream.read(min(1 << 20, remaining))
-                    if not chunk:
-                        raise ValueError(
-                            "connection closed before the declared "
-                            "Content-Length arrived"
-                        )
-                    f.write(chunk)
-                    remaining -= len(chunk)
-        except Exception:
-            target.unlink(missing_ok=True)
-            raise
+        if offset == 0:
+            n = 1
+            while target.exists():  # never clobber an earlier upload
+                target = updir / f"{Path(name).stem}_{n}{suffix}"
+                n += 1
+        else:
+            # chunk continuation addresses the exact name the first
+            # chunk's response returned — never a renamed sibling
+            have = target.stat().st_size if target.exists() else None
+            if have != offset:
+                raise ValueError(
+                    f"offset {offset} does not match the current upload "
+                    f"size ({have if have is not None else 'no file'}); "
+                    "resume from the reported size"
+                )
+        _receive_exact(target, stream, length, offset)
         rel = str(target.relative_to(self.convert_root.resolve()))
-        return {"path": rel, "bytes": length}
+        return {"path": rel, "bytes": offset + length}
 
     def export_file(self, fmt: str, point_format: int = 2,
                     scale: float = 0.001):
@@ -432,11 +493,12 @@ class StoreRegistry:
     """
 
     def __init__(self, root, width=640, height=480, convert_root=None,
-                 mesh_devices=0):
+                 mesh_devices=0, upload_limit=None):
         self.root = Path(root)
         self._width, self._height = width, height
         self._convert_root = convert_root
         self._mesh_devices = mesh_devices
+        self.upload_limit = upload_limit  # None = module default at use
         self._servers: dict[str, StoreServer] = {}
         self._lock = threading.Lock()
         self._name_locks: dict[str, threading.Lock] = {}
@@ -481,9 +543,128 @@ class StoreRegistry:
                     height=self._height,
                     convert_root=self._convert_root,
                     mesh_devices=self._mesh_devices,
+                    upload_limit=self.upload_limit,
                 )
                 self._servers[name] = srv
             return srv
+
+    # --- browser store upload (closes SURVEY L9) --------------------------
+    #
+    # The reference opens an existing CONVERTED store from the browser
+    # via the File System Access API and streams its cells client-side
+    # (src/web.rs:5-53, src/plugins/metadata.rs:444-491). The
+    # server-rendering equivalent: the browser posts the store's files
+    # (metadata.json + h_*/c_*.bin) into the registry — chunked and
+    # resumable per file — the server fsck-validates the result
+    # (validate.py), registers it, and every /s/<name>/ endpoint serves
+    # it like any local store.
+
+    def _upload_store_dir(self, name: str, create: bool = False) -> Path:
+        if self._convert_root is None:
+            raise PermissionError(
+                "server started without --convert-root; store uploads "
+                "are disabled"
+            )
+        if not _STORE_NAME_RE.match(name or ""):
+            raise ValueError(
+                "store name must be 1-64 chars of [A-Za-z0-9._-], "
+                "starting alphanumeric"
+            )
+        existing = self._dirs.get(name)
+        target = (Path(self._convert_root) / "stores" / name).resolve()
+        if existing is not None and Path(existing).resolve() != target:
+            raise ValueError(
+                f"store name {name!r} is taken by a local store"
+            )
+        if create:
+            target.mkdir(parents=True, exist_ok=True)
+        return target
+
+    def save_store_file(self, name: str, rel: str, stream, length: int,
+                        offset: int = 0) -> dict:
+        """One store file (or one chunk of it) into the upload area.
+
+        ``rel`` must match a store's exact file shapes (metadata.json or
+        h_<n>/c_<x>_<y>_<z>.bin) — the whitelist, not a denylist, so
+        traversal or stray files can never land. Chunk semantics match
+        :meth:`StoreServer.save_upload` (append-only offset, truncate-on-
+        short-read, cap on offset + length)."""
+        if not _STORE_FILE_RE.match(rel or ""):
+            raise ValueError(
+                "path must be metadata.json or h_<n>/c_<x>_<y>_<z>.bin"
+            )
+        if length < 0:
+            raise ValueError("Content-Length required")
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
+        limit = (
+            self.upload_limit if self.upload_limit is not None
+            else UPLOAD_LIMIT_BYTES
+        )
+        if offset + length > limit:
+            raise UploadTooLarge(
+                f"file of {offset + length} bytes exceeds the "
+                f"{limit} byte limit"
+            )
+        store_dir = self._upload_store_dir(name, create=True)
+        target = store_dir / rel
+        target.parent.mkdir(parents=True, exist_ok=True)
+        have = target.stat().st_size if target.exists() else None
+        if offset == 0:
+            pass  # a re-send of the first chunk restarts the file
+        elif have != offset:
+            raise ValueError(
+                f"offset {offset} does not match the current size "
+                f"({have if have is not None else 'no file'}); resume "
+                "from the reported size"
+            )
+        _receive_exact(target, stream, length, offset)
+        return {"store": name, "path": rel, "bytes": offset + length}
+
+    def store_file_status(self, name: str, rel: str) -> dict:
+        """Resume support: the current byte count of one uploaded file
+        (0 when absent) — the offset the client should continue from."""
+        if not _STORE_FILE_RE.match(rel or ""):
+            raise ValueError(
+                "path must be metadata.json or h_<n>/c_<x>_<y>_<z>.bin"
+            )
+        store_dir = self._upload_store_dir(name)
+        target = store_dir / rel
+        size = target.stat().st_size if target.exists() else 0
+        return {"store": name, "path": rel, "bytes": size}
+
+    def finish_store_upload(self, name: str) -> dict:
+        """Validate the uploaded store (full fsck) and register it.
+
+        A store that fails any structural invariant is NOT registered —
+        the issues come back in the error so the client can fix and
+        re-upload just the bad files."""
+        from .validate import validate_store
+
+        store_dir = self._upload_store_dir(name)
+        if not (store_dir / "metadata.json").exists():
+            raise ValueError("upload has no metadata.json yet")
+        report = validate_store(store_dir)
+        if report.issues:
+            head = "; ".join(str(i) for i in report.issues[:5])
+            more = len(report.issues) - 5
+            raise ValueError(
+                f"store failed validation ({len(report.issues)} issues): "
+                + head + (f"; and {more} more" if more > 0 else "")
+            )
+        with self._lock:
+            self._dirs[name] = store_dir
+            if name not in self.names:
+                self.names.append(name)
+            # a re-upload replaces any live session on the old bytes
+            self._servers.pop(name, None)
+        meta = json.loads((store_dir / "metadata.json").read_text())
+        return {
+            "store": name,
+            "registered": True,
+            "number_of_points": meta.get("number_of_points"),
+            "hierarchies": meta.get("hierarchies"),
+        }
 
 
 def make_handler(registry: StoreRegistry):
@@ -502,6 +683,36 @@ def make_handler(registry: StoreRegistry):
         def do_POST(self):
             url = urlparse(self.path)
             path = url.path.lstrip("/")
+            if path in ("upload_store", "upload_store/finish"):
+                # registry-level (not store-scoped): a store upload
+                # CREATES the store every /s/<name>/ route then serves
+                qs = parse_qs(url.query)
+                name = (qs.get("name") or [""])[0]
+                try:
+                    if path == "upload_store":
+                        rel = (qs.get("path") or [""])[0]
+                        offset = int((qs.get("offset") or ["0"])[0])
+                        length = int(
+                            self.headers.get("Content-Length", "-1")
+                        )
+                        body = registry.save_store_file(
+                            name, rel, self.rfile, length, offset
+                        )
+                    else:
+                        body = registry.finish_store_upload(name)
+                except PermissionError as err:
+                    self._send(403, str(err).encode(), "text/plain")
+                    return
+                except UploadTooLarge as err:
+                    self._send(413, str(err).encode(), "text/plain")
+                    return
+                except (ValueError, OSError) as err:
+                    self._send(400, str(err).encode(), "text/plain")
+                    return
+                self._send(
+                    200, json.dumps(body).encode(), "application/json"
+                )
+                return
             store_name = registry.default
             if path.startswith("s/"):
                 parts = path.split("/", 2)
@@ -521,8 +732,11 @@ def make_handler(registry: StoreRegistry):
                 qs = parse_qs(url.query)
                 filename = (qs.get("filename") or [""])[0]
                 try:
+                    offset = int((qs.get("offset") or ["0"])[0])
                     length = int(self.headers.get("Content-Length", "-1"))
-                    body = server.save_upload(filename, self.rfile, length)
+                    body = server.save_upload(
+                        filename, self.rfile, length, offset
+                    )
                 except PermissionError as err:
                     self._send(403, str(err).encode(), "text/plain")
                     return
@@ -562,6 +776,23 @@ def make_handler(registry: StoreRegistry):
         def do_GET(self):
             url = urlparse(self.path)
             path = url.path.lstrip("/")
+            if path == "upload_store":
+                # resume probe: current byte count of one uploaded file
+                qs = parse_qs(url.query)
+                try:
+                    body = registry.store_file_status(
+                        (qs.get("name") or [""])[0],
+                        (qs.get("path") or [""])[0],
+                    )
+                except PermissionError as err:
+                    self._send(403, str(err).encode(), "text/plain")
+                    return
+                except (ValueError, OSError) as err:
+                    self._send(400, str(err).encode(), "text/plain")
+                    return
+                self._send(200, json.dumps(body).encode(),
+                           "application/json")
+                return
             if path == "stores":
                 self._send(
                     200,
@@ -761,17 +992,18 @@ def make_handler(registry: StoreRegistry):
 
 
 def serve(store_dir, host="127.0.0.1", port=8080, width=640, height=480,
-          convert_root=None, mesh_devices=0):
+          convert_root=None, mesh_devices=0, upload_limit=None):
     """Build and return the HTTP server (call serve_forever on it).
 
     ``store_dir`` may be one store (holds metadata.json) or a directory
     of stores (each child with a metadata.json gets served under
     ``/s/<name>/`` and the browser client shows a picker).
     ``convert_root`` (optional) enables the in-app converter endpoints,
-    restricted to files under that directory."""
+    restricted to files under that directory. ``upload_limit`` caps any
+    single uploaded file in bytes (default PCT_UPLOAD_LIMIT_BYTES)."""
     registry = StoreRegistry(
         store_dir, width=width, height=height, convert_root=convert_root,
-        mesh_devices=mesh_devices,
+        mesh_devices=mesh_devices, upload_limit=upload_limit,
     )
     httpd = ThreadingHTTPServer((host, port), make_handler(registry))
     httpd.registry = registry  # exposed for tests/ops introspection
@@ -799,6 +1031,11 @@ def main(argv=None) -> int:
         "(render/parallel.py; images identical to single-device — "
         "for co-located multi-chip hosts)",
     )
+    parser.add_argument(
+        "--upload-limit", type=int, default=None, metavar="BYTES",
+        help="per-file upload size cap for /upload and /upload_store "
+        "(default: PCT_UPLOAD_LIMIT_BYTES env or 256 MiB)",
+    )
     args = parser.parse_args(argv)
 
     from .ops.runtime import pin_cpu_if_unreachable, setup_jax_cache
@@ -809,7 +1046,7 @@ def main(argv=None) -> int:
     pin_cpu_if_unreachable(logging.getLogger("point_cloud_tpu.serve"))
     httpd = serve(args.store, args.host, args.port, args.width,
                   args.height, convert_root=args.convert_root,
-                  mesh_devices=args.mesh)
+                  mesh_devices=args.mesh, upload_limit=args.upload_limit)
     print(f"serving {args.store} on http://{args.host}:{args.port}")
     httpd.serve_forever()
     return 0

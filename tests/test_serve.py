@@ -723,3 +723,228 @@ class TestUploadEndpoint:
         with pytest.raises(urllib.error.HTTPError) as err:
             self._post_raw(f"{server}/upload?filename=a.ply", b"x")
         assert err.value.code == 403
+
+
+class TestStoreUpload:
+    """Open an EXISTING converted store from the browser (closes SURVEY
+    L9; the reference streams one client-side via the File System
+    Access API, src/web.rs:5-53, metadata.rs:444-491): the store's
+    files POST chunked + resumable into the registry, the server
+    fsck-validates the result (validate.py), and every /s/<name>/
+    endpoint then serves it like a local store."""
+
+    def _post_raw(self, url, data, timeout=120):
+        req = urllib.request.Request(url, data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read()
+
+    def _make_store(self, base_dir, seed=61, n=3_000):
+        out = base_dir / "mystore"
+        rng = np.random.default_rng(seed)
+        with Converter(Metadata(), out) as conv:
+            conv.add_points_batch(PointBatch(
+                rng.uniform(-25, 25, (n, 3)).astype(np.float32),
+                rng.integers(0, 256, (n, 4)).astype(np.uint8),
+            ))
+        return out
+
+    def _upload_file(self, url, name, rel, data, chunk=None):
+        from urllib.parse import quote
+
+        chunk = chunk or max(len(data), 1)
+        off = 0
+        while True:
+            part = data[off : off + chunk]
+            status, _ = self._post_raw(
+                f"{url}/upload_store?name={quote(name)}"
+                f"&path={quote(rel, safe='')}&offset={off}",
+                part,
+            )
+            assert status == 200
+            off += len(part)
+            if off >= len(data):
+                return
+
+    def _upload_store(self, url, src, name, chunk=None):
+        for p in sorted(p for p in src.rglob("*") if p.is_file()):
+            rel = p.relative_to(src).as_posix()
+            self._upload_file(url, name, rel, p.read_bytes(), chunk)
+
+    def test_upload_register_and_render(self, conv_server, tmp_path):
+        import json as _json
+
+        url, root, _ = conv_server
+        src = self._make_store(tmp_path)
+        # small chunks exercise the offset-append path on every file
+        self._upload_store(url, src, "uploaded", chunk=1024)
+        status, body = self._post_raw(
+            f"{url}/upload_store/finish?name=uploaded", b""
+        )
+        assert status == 200
+        fin = _json.loads(body)
+        assert fin["registered"] is True
+        assert fin["number_of_points"] == 3_000
+
+        # listed, served verbatim, and renderable like any local store
+        status, listing = get_json(f"{url}/stores")
+        assert "uploaded" in listing["stores"]
+        status, meta = get(f"{url}/s/uploaded/metadata.json")
+        assert meta == (src / "metadata.json").read_bytes()
+        a_cell = next((src / "h_0").glob("c_*.bin"))
+        status, cell = get(f"{url}/s/uploaded/h_0/{a_cell.name}")
+        assert cell == a_cell.read_bytes()
+        status, png = get(f"{url}/s/uploaded/render?yaw=0.4&pitch=-0.5")
+        assert status == 200
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_resume_probe_and_offset_mismatch(self, conv_server):
+        import json as _json
+        import urllib.error
+
+        url, _, _ = conv_server
+        self._upload_file(url, "resume", "metadata.json", b"{", chunk=1)
+        status, body = get(
+            f"{url}/upload_store?name=resume&path=metadata.json"
+        )
+        assert _json.loads(body)["bytes"] == 1
+        # wrong offset: rejected, current size reported for resume
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(
+                f"{url}/upload_store?name=resume&path=metadata.json"
+                "&offset=5",
+                b"xx",
+            )
+        assert err.value.code == 400
+        assert b"current" in err.value.read()
+        # the right offset continues
+        status, _ = self._post_raw(
+            f"{url}/upload_store?name=resume&path=metadata.json&offset=1",
+            b"}",
+        )
+        assert status == 200
+        status, body = get(
+            f"{url}/upload_store?name=resume&path=metadata.json"
+        )
+        assert _json.loads(body)["bytes"] == 2
+
+    def test_bad_paths_and_names_rejected(self, conv_server):
+        import urllib.error
+
+        url, _, _ = conv_server
+        for bad in (
+            "..%2Fmetadata.json", "h_0%2F..%2F..%2Fx.bin", "a.bin",
+            "h_0%2Fc_0_0_0.txt", "metadata.json%2Fx", "h_x%2Fc_0_0_0.bin",
+        ):
+            with pytest.raises(urllib.error.HTTPError) as err:
+                self._post_raw(
+                    f"{url}/upload_store?name=ok&path={bad}", b"x"
+                )
+            assert err.value.code == 400, bad
+        for badname in ("..", ".hidden", "a%2Fb", ""):
+            with pytest.raises(urllib.error.HTTPError) as err:
+                self._post_raw(
+                    f"{url}/upload_store?name={badname}"
+                    "&path=metadata.json",
+                    b"x",
+                )
+            assert err.value.code == 400, badname
+
+    def test_fsck_gates_registration(self, conv_server, tmp_path):
+        import urllib.error
+
+        url, _, _ = conv_server
+        src = self._make_store(tmp_path, seed=62)
+        self._upload_store(url, src, "fscked")
+        a_cell = next((src / "h_0").glob("c_*.bin"))
+        rel = f"h_0/{a_cell.name}"
+        # corrupt one cell file; finish must refuse to register
+        self._upload_file(url, "fscked", rel, b"garbage-not-a-cell")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(f"{url}/upload_store/finish?name=fscked", b"")
+        assert err.value.code == 400
+        assert b"validation" in err.value.read()
+        status, listing = get_json(f"{url}/stores")
+        assert "fscked" not in listing["stores"]
+        # fix just the bad file and retry — now registers
+        self._upload_file(url, "fscked", rel, a_cell.read_bytes())
+        status, _ = self._post_raw(
+            f"{url}/upload_store/finish?name=fscked", b""
+        )
+        assert status == 200
+        status, listing = get_json(f"{url}/stores")
+        assert "fscked" in listing["stores"]
+
+    def test_finish_without_metadata_400(self, conv_server):
+        import urllib.error
+
+        url, _, _ = conv_server
+        self._upload_file(url, "nometa", "h_0/c_0_0_0.bin", b"x" * 16)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(f"{url}/upload_store/finish?name=nometa", b"")
+        assert err.value.code == 400
+
+    def test_cannot_shadow_local_store(self, conv_server):
+        import urllib.error
+
+        url, _, _ = conv_server
+        _, listing = get_json(f"{url}/stores")
+        local = listing["default"]
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(
+                f"{url}/upload_store?name={local}&path=metadata.json",
+                b"{}",
+            )
+        assert err.value.code == 400
+        assert b"taken" in err.value.read()
+
+    def test_disabled_without_convert_root(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(
+                f"{server}/upload_store?name=x&path=metadata.json", b"x"
+            )
+        assert err.value.code == 403
+
+    def test_page_has_store_upload_wiring(self, server):
+        _, page = get(f"{server}/")
+        assert b"store_upload" in page
+        assert b"upload_store" in page
+        assert b"webkitdirectory" in page
+
+    def test_chunked_raw_upload_appends(self, conv_server, tmp_path):
+        """The raw-cloud /upload path (VERDICT r4 #7): chunked offset
+        append assembles the same bytes one POST per chunk, and a
+        too-large total is rejected at the offset sum."""
+        import json as _json
+        import urllib.error
+
+        from point_cloud_tpu.io.ply import write_ply
+
+        url, root, _ = conv_server
+        rng = np.random.default_rng(63)
+        batch = PointBatch(
+            rng.uniform(-10, 10, (500, 3)).astype(np.float32),
+            rng.integers(0, 256, (500, 4)).astype(np.uint8),
+        )
+        src = tmp_path / "chunky.ply"
+        write_ply(src, batch)
+        data = src.read_bytes()
+        chunk = 1000
+        name = "chunky.ply"
+        rel = None
+        for off in range(0, len(data), chunk):
+            status, body = self._post_raw(
+                f"{url}/upload?filename={name}&offset={off}",
+                data[off : off + chunk],
+            )
+            assert status == 200
+            rel = _json.loads(body)["path"]
+            name = rel.split("/")[-1]  # server may uniquify chunk 0
+        assert (root / rel).read_bytes() == data
+        # offset mismatch rejected with the current size
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post_raw(
+                f"{url}/upload?filename={name}&offset=7", b"zz"
+            )
+        assert err.value.code == 400
