@@ -712,7 +712,8 @@ _BENCH_BUDGET_S = float(os.environ.get("PCT_BENCH_BUDGET_S", "900"))
 _EXTRA_FLOOR_S = 90.0
 
 
-def _run_extra(name: str, deadline: float | None = None):
+def _run_extra(name: str, deadline: float | None = None,
+               extras_left: int = 1):
     """One extra metric in a subprocess with a hard wall timeout.
 
     The device metrics must not be able to sink the bench: through this
@@ -720,7 +721,16 @@ def _run_extra(name: str, deadline: float | None = None):
     creation *inside a C extension* — uninterruptible from Python, so
     in-process try/except can never bound it. A subprocess + timeout
     can. Prints the value on the last stdout line when run with
-    --extra <name>."""
+    --extra <name>.
+
+    ``extras_left`` is informational only (it rides into the error
+    string). Deliberately NO fair-share cap: on a cold-cache day (a
+    tunnel-endpoint restart changes the compilation-cache key, so every
+    program recompiles — observed 2026-08-20: 274 s for a pass that
+    warm-runs in 9 s) no device extra fits a fractional slice, so
+    splitting the budget records NOTHING; spending it front-to-back
+    records the highest-priority extras, which is what the _EXTRAS
+    ordering is for."""
     import subprocess
 
     budget = _EXTRA_TIMEOUT_S
@@ -949,7 +959,7 @@ def main() -> None:
         f"{os.environ.get('PCT_BENCH_HEALTH_RETRIES', '3')} "
         f"probes x {_HEALTH_TIMEOUT_S}s)"
     )
-    for name in _EXTRAS:
+    for pos, name in enumerate(_EXTRAS):
         if not healthy:
             # probe-at-intervals (VERDICT r4 #1a): the tunnel FLAPS —
             # round 4's single 60 s re-probe forfeited 5 metrics. Keep
@@ -961,7 +971,7 @@ def main() -> None:
             extra[name] = down_note
             emit(value)
             continue
-        result = _run_extra(name, deadline)
+        result = _run_extra(name, deadline, len(_EXTRAS) - pos)
         extra[name] = result
         emit(value)
         if isinstance(result, str) and result.startswith(
