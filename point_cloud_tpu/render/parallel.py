@@ -63,7 +63,8 @@ from .splat import (
 
 def _make_sharded_frame(mesh, axis: str, n_buckets: int, height: int,
                         width: int, footprint: int, voronoi: bool,
-                        use_occlusion: bool, num_hierarchies: int):
+                        use_occlusion: bool, num_hierarchies: int,
+                        use_pyramid: bool = False):
     """Compile one whole-frame program for a fixed bucket-shape tuple.
 
     The body runs per shard: every bucket's LOD walk + camera cull +
@@ -95,6 +96,7 @@ def _make_sharded_frame(mesh, axis: str, n_buckets: int, height: int,
             keep, _, ndc, view_pos, radius = _cull_body(
                 pos, hier_base, valid, view, proj, cam_pos, spacings,
                 fars, sbd, maxh, depth_img, use_occlusion,
+                use_pyramid,
             )
             visible = visible + jnp.sum(keep.astype(jnp.int32))
             fb = _rasterize_body(
@@ -285,6 +287,7 @@ class MeshPointRenderer:
         key = (
             tuple(a.shape for a in bucket_arrays[::4]),
             s.height, s.width, s.footprint, s.voronoi, use_occ,
+            use_occ and s.depth_pyramid,
             max(int(self.metadata.hierarchies), 1),
         )
         fn = self._fns.get(key)
@@ -293,6 +296,7 @@ class MeshPointRenderer:
                 self.mesh, self.axis, len(buckets), s.height, s.width,
                 s.footprint, s.voronoi, use_occ,
                 max(int(self.metadata.hierarchies), 1),
+                use_pyramid=use_occ and s.depth_pyramid,
             )
             if len(self._fns) > 32:
                 self._fns.pop(next(iter(self._fns)))
