@@ -625,5 +625,14 @@ class Cell:
             return Cell.from_bytes(f.read())
 
     def write_to_path(self, path) -> None:
-        with open(path, "wb") as f:
+        """Atomic write (tmp + rename), matching the native
+        AsyncStoreWriter's contract: a crash never leaves a truncated
+        cell, and REPLACING (not truncating in place) means a cell file
+        that was hardlinked into another store (merge_stores' verbatim
+        copy phase) can be updated without corrupting the link source."""
+        import os
+
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
             f.write(self.to_bytes())
+        os.replace(tmp, path)
