@@ -220,9 +220,18 @@ def las_record_bytes(batch: PointBatch, point_format: int, scale, offset,
     offset = np.asarray(offset, np.float64)
     record_len = _WRITE_RECORD_LEN[point_format]
 
-    raw = np.round(
+    quant = np.round(
         (batch.positions.astype(np.float64) - offset) / scale
-    ).astype(np.int32)
+    )
+    # saturate instead of tripping the undefined out-of-range C cast
+    # (fuzz finding: coordinates beyond ±i32·scale — ±2.1e6 m at the
+    # default mm scale — wrapped to garbage with a RuntimeWarning; a
+    # too-big coordinate cannot round-trip at this scale either way,
+    # so pin the behavior: clamp to the representable range, NaN -> 0)
+    quant = np.nan_to_num(
+        quant, nan=0.0, posinf=float(2**31 - 1), neginf=float(-(2**31))
+    )
+    raw = np.clip(quant, -(2.0**31), 2.0**31 - 1).astype(np.int32)
     gps_formats = (1, 3, 6, 7, 8)
     color_offsets = {2: 20, 3: 28, 7: 30, 8: 30}
     dtype_fields = {
@@ -269,8 +278,14 @@ def write_las(path, batch: PointBatch, point_format: int = 2,
     n = len(batch)
     if n:
         pos64 = batch.positions.astype(np.float64)
-        offset = pos64.min(axis=0)
-        bbox_min, bbox_max = offset, pos64.max(axis=0)
+        # header offset/bbox from fully-finite rows only: a NaN/inf
+        # coordinate would poison the min fold and push EVERY point's
+        # quantization to garbage (fuzz finding, round 5); non-finite
+        # rows themselves quantize through the saturating cast below
+        finite = pos64[np.isfinite(pos64).all(axis=1)]
+        ref = finite if len(finite) else np.zeros((1, 3), np.float64)
+        offset = ref.min(axis=0)
+        bbox_min, bbox_max = offset, ref.max(axis=0)
     else:
         offset = np.zeros(3, np.float64)
         bbox_min = bbox_max = offset

@@ -208,3 +208,54 @@ class TestLas14:
         out = reader.get_batch(100)
         assert len(out) == 50
         np.testing.assert_allclose(out.positions, batch.positions, atol=2e-3)
+
+
+class TestQuantizationSaturation:
+    def test_out_of_range_coordinates_saturate(self, tmp_path):
+        """Coordinates beyond ±i32·scale saturate to the representable
+        range instead of wrapping through an undefined C cast, NaN rows
+        pin to the offset, and non-finite rows no longer poison the
+        header offset/bbox min-fold (fuzz findings, round 5); the LAZ
+        twin quantizes identically."""
+        import warnings
+
+        from point_cloud_tpu.io import get_batched_point_reader
+        from point_cloud_tpu.io.las import write_las
+        from point_cloud_tpu.io.laz import write_laz
+        from point_cloud_tpu.core.point import PointBatch
+
+        pos = np.array(
+            [
+                [0.0, 0.0, 0.0],           # finite anchor: offset = 0
+                [1e30, 5.0, 6.0],          # x far beyond the i32 range
+                [np.nan, 1.0, -1.0],       # NaN pins to the offset
+                [2.0, 3.0, 4.0],           # ordinary row unaffected
+            ],
+            np.float32,
+        )
+        col = np.full((4, 4), 255, np.uint8)
+        las = tmp_path / "sat.las"
+        laz = tmp_path / "sat.laz"
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # the old cast warned
+            write_las(las, PointBatch(pos, col))
+            write_laz(laz, PointBatch(pos, col))
+        a = get_batched_point_reader(las).get_batch(4)
+        b = get_batched_point_reader(laz).get_batch(4)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        lim = (2**31 - 1) * 0.001  # saturated x at mm scale, offset 0
+        np.testing.assert_allclose(
+            a.positions[1], [lim, 5.0, 6.0], rtol=1e-6, atol=2e-3
+        )
+        # NaN x pinned to offset (= the finite min, here -1? no: x
+        # finite min is 0.0 from the anchor row)
+        np.testing.assert_allclose(a.positions[2], [0.0, 1.0, -1.0],
+                                   atol=2e-3)
+        np.testing.assert_allclose(a.positions[3], [2.0, 3.0, 4.0],
+                                   atol=2e-3)
+        # the header offset stayed finite despite the NaN/1e30 rows
+        from point_cloud_tpu.io.las import LasHeader
+
+        header = LasHeader(las.read_bytes()[:375])
+        assert np.isfinite(header.offset).all()
+        np.testing.assert_array_equal(header.offset, [0.0, 0.0, 0.0])
