@@ -338,7 +338,7 @@ def bench_device_cascade(positions) -> float:
             # sub-cell radius: IEEE-correct divide (TPU hw divide is
             # approximate; production computes this scalar on the host)
             radius = exact_div(cs, jnp.float32(96.0)) * jnp.float32(0.5)
-            ch_s, sh_s, perm, _, _, _ = dd._hash_sort(
+            ch_s, sh_s, _, perm, _, _, _ = dd._hash_sort(
                 pos, valid, cs, radius
             )
             valid_s = ch_s != dd._I32_MAX

@@ -34,6 +34,7 @@
 #include <cstring>
 #include <map>
 #include <memory>
+#include <set>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -1018,7 +1019,8 @@ class Engine {
             }
             if (any) has_suspect.store(true, std::memory_order_relaxed);
         });
-        if (has_suspect.load(std::memory_order_relaxed)) {
+        const bool audited = audit_runs(cidx, skey, winner, suspect);
+        if (audited || has_suspect.load(std::memory_order_relaxed)) {
             resolve_suspects(h, level, cidx, sdist, perm, suspect,
                              winner.data());
         }
@@ -1029,6 +1031,69 @@ class Engine {
     }
 
     // exact re-dedup of hash-collision runs, NumPy-identical semantics
+    // host-key audit of the device run structure (ops/dedup.py
+    // audit_device_runs, round-5 fuzz finding): the on-device audits
+    // compare device-recomputed keys, which carry the same backend
+    // fma-contraction drift as the sort keys, so a boundary-exact
+    // coordinate whose quantization flipped on the device looks
+    // self-consistent there. With the exact keys recomputed above:
+    // (1) a run boundary (winner flag) must coincide with a true-key
+    // change, and (2) no true key may carry two winners (a mis-slotted
+    // row forming its own clean run under the wrong hash is invisible
+    // to any run-local check). Every row of an affected key becomes
+    // suspect; resolve_suspects then re-decides those keys exactly.
+    bool audit_runs(const std::vector<Key3>& cidx,
+                    const std::vector<int64_t>& skey,
+                    const std::vector<uint8_t>& winner,
+                    std::vector<uint8_t>& suspect) {
+        const size_t m = cidx.size();
+        if (m == 0) return false;
+        std::vector<uint8_t> bad(m, 0);
+        bool any_bad = false;
+        for (size_t i = 1; i < m; ++i) {
+            const bool change =
+                cidx[i] != cidx[i - 1] || skey[i] != skey[i - 1];
+            if ((winner[i] != 0) != change) {
+                bad[i] = 1;
+                bad[i - 1] = 1;
+                any_bad = true;
+            }
+        }
+        std::vector<int64_t> wrows;
+        wrows.reserve(m / 4);
+        for (size_t i = 0; i < m; ++i)
+            if (winner[i]) wrows.push_back(static_cast<int64_t>(i));
+        std::sort(wrows.begin(), wrows.end(),
+                  [&](int64_t a, int64_t b) {
+                      if (cidx[a] != cidx[b]) return cidx[a] < cidx[b];
+                      return skey[a] < skey[b];
+                  });
+        for (size_t k = 1; k < wrows.size(); ++k) {
+            if (cidx[wrows[k]] == cidx[wrows[k - 1]] &&
+                skey[wrows[k]] == skey[wrows[k - 1]]) {
+                bad[wrows[k]] = 1;
+                bad[wrows[k - 1]] = 1;
+                any_bad = true;
+            }
+        }
+        if (!any_bad) return false;
+        std::set<std::pair<Key3, int64_t>> conflicted;
+        for (size_t i = 0; i < m; ++i)
+            if (bad[i]) conflicted.emplace(cidx[i], skey[i]);
+        bool extended = false;
+        for (size_t i = 0; i < m; ++i) {
+            if (!suspect[i] && conflicted.count({cidx[i], skey[i]})) {
+                suspect[i] = 1;
+                extended = true;
+            }
+            if (bad[i] && !suspect[i]) {
+                suspect[i] = 1;
+                extended = true;
+            }
+        }
+        return extended;
+    }
+
     // (ops/dedup.py resolve_suspects_host): suspect rows lexsorted by
     // (cell_idx, sub_idx, dist, arrival); the first row of each distinct
     // 6-int key wins, every other suspect row loses

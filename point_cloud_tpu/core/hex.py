@@ -159,9 +159,15 @@ def jax_axial_from_world(pos, cell_radius):
     radius = jnp.float32(cell_radius)
     sqrt3 = jnp.float32(SQRT_3)
     pos = pos.astype(jnp.float32)
+    import jax as _jax
+
     x = exact_div(pos[..., 0], radius * sqrt3)
     y = exact_div(pos[..., 1], -radius * sqrt3)
-    t = sqrt3 * y + 1.0
+    # barrier: keep sqrt3*y + 1.0 as two IEEE roundings (an fma here
+    # shifts the floor boundary below by 1 ulp vs the host path —
+    # ops/dedup.py hex_keys rationale)
+    sy = _jax.lax.optimization_barrier(sqrt3 * y)
+    t = sy + 1.0
     temp1 = jnp.floor(t + x)
     temp2 = t - x
     temp3 = 2.0 * x + 1.0
@@ -205,12 +211,20 @@ def jax_offset_to_axial(offset):
 
 def jax_axial_to_world(axial, cell_radius):
     jnp = _jax_ops()
+    import jax as _jax
+
     radius = jnp.float32(cell_radius)
     sqrt3 = jnp.float32(SQRT_3)
     q = axial[..., 0].astype(jnp.float32)
     r = axial[..., 1].astype(jnp.float32)
     h = axial[..., 2].astype(jnp.float32)
-    x = radius * (sqrt3 * q + (sqrt3 / 2.0) * r)
+    # barrier pins mul-then-add IEEE order against XLA:CPU FMA
+    # contraction (ops/dedup.py hex_keys rationale — the round-5 fuzz
+    # measured 1-ulp drift vs NumPy at batch shapes without it)
+    t1, t2 = _jax.lax.optimization_barrier(
+        (sqrt3 * q, (sqrt3 / 2.0) * r)
+    )
+    x = radius * (t1 + t2)
     y = radius * 1.5 * r
     z = h * radius
     return jnp.stack([x, y, z], axis=-1)

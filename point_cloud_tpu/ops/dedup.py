@@ -42,6 +42,44 @@ from ..core.hex import jax_axial_from_world, jax_axial_to_offset, jax_cell_index
 
 _I32_MAX = np.int32(2**31 - 1)
 
+# near-tie floor (in ulps of the f32 distance) — see _near_tie_mask
+_NEAR_TIE_ULPS = np.int32(8)
+# cancellation-drift safety factor — see _near_tie_mask
+_NEAR_TIE_SCALE = np.float32(64.0 * 2.0**-24)
+
+
+def _near_tie_mask(same_hash, db_s, pos_s, valid_s):
+    """Adjacent-pair near-tie detection, robust to fma-contraction drift.
+
+    XLA backends may contract the distance chain's mul+add steps into
+    fmas at LLVM codegen (measured on XLA:CPU; no HLO barrier, bitcast
+    trick, or XLA flag prevents it), so the device's f32 distance can
+    drift from the host IEEE value by two error terms:
+
+    - a few ulps of direct rounding drift on the products/sums — the
+      flat ``_NEAR_TIE_ULPS`` bit floor covers it;
+    - a CANCELLATION-AMPLIFIED term: the slot-center products drift by
+      ~1 ulp of the COORDINATE (|p| * 2^-24), which enters
+      dist = |pos - center|^2 as ~2*|d|*|p|*2^-24 however small dist
+      is — at |p| ~ 500 and dist ~ 0.02 that is ~100 ulp OF DIST
+      (measured, round-5 fuzz seed 1063496344), unboundable in dist
+      ulps. The float threshold ``C * |p|_max * sqrt(dist) * 2^-24``
+      bounds it with C = 64x headroom.
+
+    Runs containing a flagged adjacent pair resolve exactly on the
+    host via the existing suspect fallback, making the winner choice
+    bit-identical to the host oracle on every backend; the fallback
+    costs only rows genuinely ambiguous at f32 resolution.
+    """
+    prev_bits = jnp.roll(db_s, 1)
+    gap_bits = db_s - prev_bits
+    d_f = jax.lax.bitcast_convert_type(db_s, jnp.float32)
+    prev_f = jax.lax.bitcast_convert_type(prev_bits, jnp.float32)
+    pmax = jnp.max(jnp.abs(pos_s), axis=-1)
+    thr = _NEAR_TIE_SCALE * pmax * jnp.sqrt(jnp.maximum(d_f, 0.0))
+    near = (gap_bits <= _NEAR_TIE_ULPS) | ((d_f - prev_f) <= thr)
+    return same_hash & near & valid_s
+
 # sort backend (PCT_SORT):
 #   "auto"    — pallas on TPU, bitonic elsewhere (the measured winners)
 #   "pallas"  — tiled VMEM kernel (ops/sort_pallas.py): 12.2 ms vs the
@@ -158,15 +196,32 @@ def hex_keys(positions, cell_size, sub_cell_radius):
     q = axial[..., 0].astype(jnp.float32)
     r = axial[..., 1].astype(jnp.float32)
     h = axial[..., 2].astype(jnp.float32)
-    cx = sub_cell_radius * (sqrt3 * q + (sqrt3 / 2.0) * r)
-    cy = sub_cell_radius * 1.5 * r
-    cz = h * sub_cell_radius
+    # optimization_barrier pins the IEEE mul-then-add op order: XLA:CPU's
+    # LLVM pipeline contracts a*b + c into fma(a, b, c), whose single
+    # rounding differs from the host NumPy path by 1 ulp — measured
+    # 10,349/16,384 dist-bit mismatches at batch shape, enough to flip
+    # closest-to-center winners on near-ties and break the store
+    # byte-parity invariant on the CPU backend (round-5 fuzz finding;
+    # the TPU backend measured 0 mismatches but is pinned anyway).
+    # Materializing the products costs one extra elementwise pass —
+    # noise against the sort that follows.
+    t1, t2 = jax.lax.optimization_barrier(
+        (sqrt3 * q, (sqrt3 / 2.0) * r)
+    )
+    # the centers are products, so the subtractions below are further
+    # fnma candidates (pos - radius*s) — barrier them too
+    cx, cy, cz = jax.lax.optimization_barrier((
+        sub_cell_radius * (t1 + t2),
+        sub_cell_radius * 1.5 * r,
+        h * sub_cell_radius,
+    ))
 
     dx = positions[..., 0] - cx
     dy = positions[..., 1] - cy
     dz = positions[..., 2] - cz
     # reference op order: (dx*dx + dy*dy) + dz*dz (cell.rs:75-79)
-    dist = (dx * dx + dy * dy) + dz * dz
+    xx, yy, zz = jax.lax.optimization_barrier((dx * dx, dy * dy, dz * dz))
+    dist = (xx + yy) + zz
     return cell_idx, sub_idx, dist
 
 
@@ -199,10 +254,10 @@ def _hash_sort(positions, valid, cell_size, sub_cell_radius):
     # arrival as the 4th column makes the pallas/bitonic total order
     # equal the stable 3-key lax.sort (the arrival values are < 2^30,
     # which the pallas sub-tile padding contract requires)
-    ch_s, sh_s, _, perm = dispatch_sort4(
+    ch_s, sh_s, db_s, perm = dispatch_sort4(
         cell_hash, slot_hash, dist_bits, arrival, num_keys=3, is_stable=True
     )
-    return ch_s, sh_s, perm, cell_idx, sub_idx, dist
+    return ch_s, sh_s, db_s, perm, cell_idx, sub_idx, dist
 
 
 @jax.jit
@@ -228,7 +283,7 @@ def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
       suspect: (N,) bool, rows inside hash-collision runs (host fallback).
     """
     n = positions.shape[0]
-    ch_s, sh_s, perm, cell_idx, sub_idx, dist = _hash_sort(
+    ch_s, sh_s, db_s, perm, cell_idx, sub_idx, dist = _hash_sort(
         positions, valid, cell_size, sub_cell_radius
     )
     next_cell_idx = jax_cell_index(positions, next_cell_size)
@@ -247,7 +302,12 @@ def dedup_pass(positions, valid, cell_size, sub_cell_radius, next_cell_size):
     key_s = jnp.concatenate([cell_idx_s, sub_idx_s], axis=1)
     diff_prev = jnp.any(key_s != jnp.roll(key_s, 1, axis=0), axis=1)
     mismatch = same_hash & diff_prev & valid_s
-    mismatch = mismatch.at[0].set(False)
+    # near-tie audit (_near_tie_mask): ambiguous-distance runs resolve
+    # exactly on the host, immunizing winner choice against backend
+    # fma contraction of the distance formula
+    pos_s = positions[perm]
+    near_tie = _near_tie_mask(same_hash, db_s, pos_s, valid_s)
+    mismatch = (mismatch | near_tie).at[0].set(False)
     seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
     seg_bad = jnp.zeros(n, jnp.int32).at[seg_id].max(
         mismatch.astype(jnp.int32)
@@ -312,7 +372,7 @@ def _dedup_light_body(positions, valid, cell_size, sub_cell_radius):
     compare the resulting stores against the host oracle).
     """
     n = positions.shape[0]
-    ch_s, sh_s, perm, _, _, _ = _hash_sort(
+    ch_s, sh_s, db_s, perm, _, _, _ = _hash_sort(
         positions, valid, cell_size, sub_cell_radius
     )
     valid_s = ch_s != _I32_MAX  # real hashes are clamped below i32::MAX
@@ -335,7 +395,11 @@ def _dedup_light_body(positions, valid, cell_size, sub_cell_radius):
     key_s = jnp.concatenate([cell_idx_s, sub_idx_s], axis=1)
     diff_prev = jnp.any(key_s != jnp.roll(key_s, 1, axis=0), axis=1)
     mismatch = same_hash & diff_prev & valid_s
-    mismatch = mismatch.at[0].set(False)
+    # near-tie audit (_near_tie_mask): ambiguous-distance runs resolve
+    # exactly on the host, immunizing winner choice against backend
+    # fma contraction of the distance formula
+    near_tie = _near_tie_mask(same_hash, db_s, pos_s, valid_s)
+    mismatch = (mismatch | near_tie).at[0].set(False)
 
     # run-fill without segment scatters: runs are contiguous, so "any
     # mismatch in my run" = cumsum(mismatch) rose between the run's start
@@ -607,6 +671,60 @@ def _guarded_call(thunk):
         return thunk()
 
 
+def audit_device_runs(winner, suspect, cell_idx, sub_idx) -> np.ndarray:
+    """Host-key audit of the device's run structure; returns the
+    extended suspect mask (round-5 fuzz finding).
+
+    The ON-DEVICE audits compare device-recomputed keys, which carry
+    the same fma-contraction drift as the sort keys — a boundary-exact
+    coordinate whose quantization flipped on the device looks
+    self-consistent there (measured: a point at x == 0.0 exactly on a
+    hex edge quantized to a different slot than the host). With the
+    EXACT host keys of the sorted rows, two global invariants close the
+    hole:
+
+    1. a device run boundary (winner flag) must coincide exactly with a
+       true-key change — the XOR catches runs that mixed two true keys
+       AND one true key split across two runs,
+    2. no true key may carry two winners — catches a mis-slotted row
+       that formed its own clean run under the wrong hash (invisible
+       to any run-local check).
+
+    Every row of every affected true key becomes suspect, so
+    :func:`resolve_suspects_host` re-decides those keys exactly; the
+    audit costs one winners-only lexsort (no conflicts, the common
+    case) plus an isin pass only when something flagged."""
+    n = len(winner)
+    if n == 0:
+        return suspect
+    keys = np.ascontiguousarray(
+        np.concatenate([cell_idx, sub_idx], axis=1)
+    )
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = np.any(keys[1:] != keys[:-1], axis=1)
+    bad = np.zeros(n, bool)
+    xb = winner[1:] != change[1:]
+    bad[1:] |= xb
+    bad[:-1] |= xb  # both sides of a bad boundary
+    w = np.nonzero(winner)[0]
+    if len(w) > 1:
+        wk = keys[w]
+        order = np.lexsort(wk.T[::-1])
+        wks = wk[order]
+        dup = np.all(wks[1:] == wks[:-1], axis=1)
+        if dup.any():
+            dup_rows = np.concatenate(
+                [w[order[1:][dup]], w[order[:-1][dup]]]
+            )
+            bad[dup_rows] = True
+    if not bad.any():
+        return suspect
+    kb = keys.view(f"V{keys.dtype.itemsize * keys.shape[1]}").reshape(-1)
+    mark = np.isin(kb, np.unique(kb[bad]))
+    return suspect | mark
+
+
 def collect_dedup(handle: dict, positions: np.ndarray, cell_size,
                   sub_cell_size):
     """Block on a dispatched pass and rebuild the per-row data host-side."""
@@ -624,6 +742,7 @@ def collect_dedup(handle: dict, positions: np.ndarray, cell_size,
         cell_idx, sub_idx, dist, next_cell_idx = host_keys_full(
             pos_s, cell_size, sub_cell_size
         )
+        suspect = audit_device_runs(winner, suspect, cell_idx, sub_idx)
         winner = resolve_suspects_host(
             perm, winner, cell_idx, sub_idx, dist, suspect
         )

@@ -144,7 +144,10 @@ class ShardedDedup:
                 self._fn(*fn_args)
             )
             perm = np.asarray(perm)
-        winner = np.asarray(winner)
+        # np.array, not asarray: device arrays view as READ-ONLY and the
+        # suspect fallback below writes winner[sl] in place (latent until
+        # the near-tie audit made suspects routine)
+        winner = np.array(winner)
         suspect = np.asarray(suspect)
         cell_idx_np = np.asarray(cell_idx_s)
         sub_idx_np = np.asarray(sub_idx_s)

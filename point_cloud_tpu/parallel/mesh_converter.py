@@ -53,6 +53,15 @@ log = logging.getLogger(__name__)
 MESH_MIN_ROWS = 16_384  # below this the single-device pass is faster
 
 
+def _key_bytes(cell_idx: np.ndarray, sub_idx: np.ndarray) -> np.ndarray:
+    """(n,) void view of the packed 6-int true key — byte-comparable
+    rows for the run audit's sort/searchsorted set logic."""
+    k = np.ascontiguousarray(
+        np.concatenate([cell_idx, sub_idx], axis=1)
+    )
+    return k.view(f"V{k.dtype.itemsize * k.shape[1]}").reshape(-1)
+
+
 def resolve_sideband(
     side_arr, side_keys, win_arr, win_keys,
 ):
@@ -208,6 +217,62 @@ class MeshConverter(DeviceConverter):
             win_keys = host_keys_full(
                 positions[b_win], cell_size, sub_cell_size
             )
+
+        with stage("mesh_run_audit"):
+            # host-key audit of the device verdicts (ops/dedup.py
+            # audit_device_runs rationale; round-5 fuzz finding): device
+            # quantization can drift on boundary-exact coordinates
+            # (backend fma contraction), so a row can be decided in the
+            # WRONG slot's contest while looking self-consistent on
+            # device. With the exact host keys two invariants restore
+            # host-identical winners through the EXISTING sideband:
+            # (1) no true key may carry two device winners — extras are
+            # demoted into the sideband; (2) no loser may beat its true
+            # key's winner under the exact (dist, arrival) order — such
+            # losers join the sideband, where resolve_sideband already
+            # compares them against the incumbent winner exactly.
+            b_losers = np.concatenate([losers_a, b_lose])
+            w_kb = _key_bytes(win_keys[0], win_keys[1])
+            w_order = np.argsort(w_kb, kind="stable")
+            w_kb_s = w_kb[w_order]
+            dup_s = np.zeros(len(w_kb_s), bool)
+            if len(w_kb_s) > 1:
+                eq = w_kb_s[1:] == w_kb_s[:-1]
+                dup_s[1:] |= eq
+                dup_s[:-1] |= eq
+            demote = np.zeros(len(b_win), bool)
+            demote[w_order[dup_s]] = True
+            beat_rows = np.empty(0, np.int64)
+            if len(b_losers) and len(w_kb_s):
+                lose_keys = host_keys_full(
+                    positions[b_losers], cell_size, sub_cell_size
+                )
+                l_kb = _key_bytes(lose_keys[0], lose_keys[1])
+                ins = np.searchsorted(w_kb_s, l_kb)
+                ins_c = np.minimum(ins, len(w_kb_s) - 1)
+                found = w_kb_s[ins_c] == l_kb
+                wrow = w_order[ins_c]
+                w_d = win_keys[2][wrow]
+                w_a = b_win[wrow]
+                l_d = lose_keys[2]
+                l_a = b_losers
+                beats = found & (
+                    (l_d < w_d) | ((l_d == w_d) & (l_a < w_a))
+                )
+                beat_rows = b_losers[beats]
+                # a row moved into the sideband must leave the loser
+                # list — the sideband resolution re-decides its fate
+                # (winner, or loser via side_lose_rows), and keeping it
+                # in both would duplicate the point
+                b_losers = b_losers[~beats]
+            if demote.any() or len(beat_rows):
+                self.sideband_suspect += int(demote.sum()) + len(beat_rows)
+                side_arr = np.concatenate(
+                    [side_arr, b_win[demote], beat_rows]
+                )
+                b_win = b_win[~demote]
+                win_keys = tuple(k[~demote] for k in win_keys)
+
             side_keys = (
                 host_keys_full(positions[side_arr], cell_size, sub_cell_size)
                 if len(side_arr)
@@ -291,8 +356,10 @@ class MeshConverter(DeviceConverter):
                     )
 
         # ---- losers ------------------------------------------------------
+        # b_losers = losers_a ++ b_lose minus any row the run audit
+        # moved into the sideband (whose verdict extra_losers carries)
         loser_arr = np.concatenate(
-            [losers_a, b_lose] + extra_losers
+            [b_losers] + extra_losers
         ).astype(np.int64)
         if len(loser_arr):
             l_pos = np.ascontiguousarray(positions[loser_arr])

@@ -67,13 +67,18 @@ def _iota_like(ref, n):
     return iota + (ref & jnp.int32(0))
 
 
-def _winner_and_suspect(ch_s, sh_s, pos_s, cell_size, sub_cell_radius):
+def _winner_and_suspect(ch_s, sh_s, db_s, pos_s, cell_size,
+                        sub_cell_radius):
     """Winner flags + gather-free collision audit over hash-sorted rows.
 
     Same formulation as ops.dedup.dedup_pass_light: recompute the true
     keys from the (already gathered) sorted positions and propagate
     run-local mismatches with cumsum/cummax fills — per-row scatters cost
     more than the sort itself on TPU (PERF.md primitive table).
+    ``db_s`` is the sorted distance-bits column: ambiguous-distance
+    runs route to the exact host sideband (the near-tie audit,
+    ops/dedup.py _near_tie_mask — immunizes winner choice against
+    backend fma contraction of the distance formula).
     """
     n = ch_s.shape[0]
     valid_s = ch_s != _I32_MAX
@@ -93,7 +98,8 @@ def _winner_and_suspect(ch_s, sh_s, pos_s, cell_size, sub_cell_radius):
     key_s = jnp.concatenate([cell_idx_s, sub_idx_s], axis=1)
     diff_prev = jnp.any(key_s != jnp.roll(key_s, 1, axis=0), axis=1)
     mismatch = same_hash & diff_prev & valid_s
-    mismatch = mismatch.at[0].set(False)
+    near_tie = dedup_mod._near_tie_mask(same_hash, db_s, pos_s, valid_s)
+    mismatch = (mismatch | near_tie).at[0].set(False)
 
     s = jnp.cumsum(mismatch.astype(jnp.int32))
     start_s = jax.lax.cummax(jnp.where(first, s, np.int32(-1)))
@@ -165,12 +171,12 @@ def _owner_pass_local(positions, valid, cell_size, sub_cell_radius,
     shard = jax.lax.axis_index("data").astype(jnp.int32)
 
     # ---- stage A: local hash sort + winner/suspect flags ----------------
-    ch_s, sh_s, perm, _, _, _ = dedup_mod._hash_sort(
+    ch_s, sh_s, db_s, perm, _, _, _ = dedup_mod._hash_sort(
         positions, valid, cell_size, sub_cell_radius
     )
     pos_s = positions[perm]
     winner, suspect, _ = _winner_and_suspect(
-        ch_s, sh_s, pos_s, cell_size, sub_cell_radius
+        ch_s, sh_s, db_s, pos_s, cell_size, sub_cell_radius
     )
 
     # ---- owner routing --------------------------------------------------
@@ -250,11 +256,11 @@ def _owner_pass_local(positions, valid, cell_size, sub_cell_radius,
         pos_b2, valid_b2, cell_size, sub_cell_radius
     )
     rank = _iota_like(ch_b, n_b)
-    ch_bs, sh_bs, _, rank_s = _sort4(ch_b, sh_b, dist_bits, rank)
+    ch_bs, sh_bs, db_bs, rank_s = _sort4(ch_b, sh_b, dist_bits, rank)
     arr_bs = arr_b2[rank_s]
     pos_bs = pos_b2[rank_s]
     winner_b, suspect_b, valid_bs = _winner_and_suspect(
-        ch_bs, sh_bs, pos_bs, cell_size, sub_cell_radius
+        ch_bs, sh_bs, db_bs, pos_bs, cell_size, sub_cell_radius
     )
 
     out_a = (
